@@ -1,0 +1,493 @@
+"""Oracle LQ-interval machinery: candidate-allele extraction, yak k-mer scoring,
+heterozygous-site marking, read phasing glue, seed filling, consensus splicing and
+the multi-k recheck cascade.
+
+Faithful reimplementation of reference src/main.rs:647-1543. One deliberate
+difference: the reference re-streams each .yak file from disk per scoring call
+(retrieve_kmer_count -> KmerInfo::retrieve_kmers); we query the resident KmerTable
+directly — get(hash, min_count) is the exact composition of the reference's
+candidate-insert + file-scan + get.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from itertools import product as cartesian_product
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..config import PolishConfig
+from ..io.yak import INVALID_KMER, KmerTable, seq_kmers
+from ..utils.seqcodes import CODE2ASCII
+from .louvain import assign_data, insert_data, new_data, phase_communities
+from .oracle_align import AlignTags
+from .oracle_msa import ConsensusBase, LqRegion
+
+# label bits (main.rs:655-658)
+L_TEMP = 0b0000_0001
+L_SUCC = 0b1000_0000
+L_HETE = 0b0100_0000
+L_RECH = 0b0010_0000
+
+INVALID = int(INVALID_KMER)
+
+
+@dataclass
+class LqSeq:
+    order: int
+    kscore: int
+    kmer: int  # full yak hash, or INVALID
+    seq: bytes
+
+
+def extract_alleles(alignseqs: List[AlignTags], lqseqs: List[LqRegion],
+                    table: KmerTable, max_can: int = 60) -> None:
+    """Per-read allele extraction over LQ intervals
+    (generate_lqseqs_from_tags_kmer first half, main.rs:1429-1523).
+
+    lqseqs are in DESCENDING genome order. alignseqs[0] must be the reference
+    pseudo-alignment (order 0). Appends LqSeq entries in read order.
+    """
+    ksize = table.ksize
+    shift = 2 * (ksize - 1)
+    mask = (1 << (2 * ksize)) - 1
+    s = len(lqseqs) - 1
+    for idx, a in enumerate(alignseqs):
+        if a.dropped or len(a) == 0:
+            continue
+        while s > 0 and lqseqs[s].start < a.aln_t_s:
+            s -= 1
+        if lqseqs[s].start < a.aln_t_s or lqseqs[s].end > a.aln_t_e:
+            continue
+        j = s
+        while j > 0 and lqseqs[j].end <= a.aln_t_e:
+            j -= 1
+        if lqseqs[j].end > a.aln_t_e:
+            j += 1
+
+        # decode tags until t_pos > lqseqs[j].end + ksize (main.rs:1462-1471)
+        stop = int(np.searchsorted(a.t_pos, lqseqs[j].end + ksize, side="right"))
+        t_pos = a.t_pos[:stop + 1] if stop < len(a) else a.t_pos
+        q_base = a.q_base[: len(t_pos)]
+
+        for lqseq in lqseqs[j : s + 1]:
+            if len(lqseq.seqs) >= max_can:
+                continue
+            off = lqseq.start - a.aln_t_s  # lower-bound column skip (main.rs:1482)
+            l = 0
+            k_fwd = 0
+            k_rev = 0
+            chars = bytearray()
+            for i in range(off, len(t_pos)):
+                tp = int(t_pos[i])
+                qb = int(q_base[i])
+                if tp >= lqseq.start and qb != 4:
+                    if tp <= lqseq.end:
+                        chars.append(int(CODE2ASCII[qb]))
+                    if l < ksize:
+                        # raw rolling (q_base used unchecked, incl N/M codes —
+                        # reference main.rs:1488-1492 does the same)
+                        k_fwd = ((k_fwd << 2) | qb) & mask
+                        k_rev = (k_rev >> 2) | ((3 ^ qb) << shift)
+                        l += 1
+                    if tp > lqseq.end and l >= ksize:
+                        break
+            kmer = min(k_fwd, k_rev) if l >= ksize else INVALID
+            if chars:
+                lqseq.seqs.append(LqSeq(
+                    order=idx, kscore=0,
+                    kmer=int(table.to_hash(np.uint64(kmer))) if kmer != INVALID else INVALID,
+                    seq=bytes(chars),
+                ))
+
+
+def retrieve_kmer_count(lqseqs: List[LqRegion], table: KmerTable,
+                        min_kmer_count: int) -> None:
+    """Score each allele by its min k-mer count (main.rs:740-778)."""
+    ksize = table.ksize
+    for lqseq in lqseqs:
+        for seq in lqseq.seqs:
+            if len(seq.seq) > ksize:
+                km = seq_kmers(seq.seq, ksize)
+                if len(km):
+                    seq.kscore = int(table.get(table.to_hash(km), min_kmer_count).min())
+                else:
+                    seq.kscore = 0
+            elif seq.kmer != INVALID:
+                seq.kscore = int(table.get(np.uint64(seq.kmer), min_kmer_count)[0])
+
+
+def is_valid_snp(seq1: bytes, seq2: bytes) -> bool:
+    """Homopolymer-compressed inequality (main.rs:780-801)."""
+    i = j = 0
+    n1, n2 = len(seq1), len(seq2)
+    while i < n1 and j < n2:
+        if seq1[i] != seq2[j]:
+            return True
+        while i + 1 < n1 and seq1[i] == seq1[i + 1]:
+            i += 1
+        while j + 1 < n2 and seq2[j] == seq2[j + 1]:
+            j += 1
+        i += 1
+        j += 1
+    return False
+
+
+def get_min_count(c: int) -> int:
+    """Coverage-scaled minimum allele support (main.rs:803-811)."""
+    if c >= 9:
+        return 3
+    if c >= 6:
+        return 2
+    return 1
+
+
+def fill_order_stat(lqseq: LqRegion, stats: List[int],
+                    order_stat: Dict[int, int]) -> tuple[int, int, int, int]:
+    """Allele-identity counting + top-2 stats (main.rs:813-849).
+
+    Returns (max1_c, max1_p, max2_c, max2_p); fills stats (per seq index) and
+    order_stat (first-occurrence order -> count).
+    """
+    max1_c = max1_p = max2_c = max2_p = 0
+    for i in range(len(stats)):
+        stats[i] = 0
+    order_stat.clear()
+    seqs = lqseq.seqs
+    for p1, seq in enumerate(seqs):
+        if seq.kscore <= 0:
+            continue
+        if stats[p1] > 0:
+            continue
+        c = sum(1 for x in seqs[p1:] if x.seq == seq.seq)
+        order_stat[seq.order] = c
+        for p2, x in enumerate(seqs[p1:]):
+            if x.seq == seq.seq:
+                stats[p1 + p2] = c
+        if c > max1_c or (c == max1_c and seq.order == 0):
+            max2_c = max1_c
+            max2_p = max1_p
+            max1_c = c
+            max1_p = p1
+        elif max1_p == max2_p or c > max2_c:
+            max2_c = c
+            max2_p = p1
+    return max1_c, max1_p, max2_c, max2_p
+
+
+def no_dupseq_lqseq(lqseq: LqRegion) -> bool:
+    """True if no duplicate alleles among non-ref seqs (main.rs:851-860)."""
+    seqs = lqseq.seqs
+    for p1 in range(1, len(seqs)):
+        for p2 in range(p1 + 1, len(seqs)):
+            if seqs[p1].seq == seqs[p2].seq:
+                return False
+    return True
+
+
+def mark_hete_lqseqs(lqseqs: List[LqRegion], max_can: int = 60) -> None:
+    """Heterozygous-interval marking; zeroes minor-allele kscores (main.rs:916-946)."""
+    stats = [0] * max_can
+    order_stat: Dict[int, int] = {}
+    for lqseq in lqseqs:
+        max1_c, max1_p, max2_c, max2_p = fill_order_stat(lqseq, stats, order_stat)
+        min_c = get_min_count(len(lqseq.seqs))
+        if (
+            max2_c >= min_c
+            and (
+                len(lqseq.seqs[max1_p].seq) == len(lqseq.seqs[max2_p].seq)
+                or (len(lqseq.seqs) >= 6 and max2_c >= max1_c // 2)
+            )
+            and is_valid_snp(lqseq.seqs[max1_p].seq, lqseq.seqs[max2_p].seq)
+        ):
+            lqseq.label |= L_HETE
+            for p, seq in enumerate(lqseq.seqs):
+                if seq.kscore > 0 and stats[p] < min_c:
+                    seq.kscore = 0
+
+
+def phase_reads_by_lqseqs(lqseqs: List[LqRegion], asref: bool,
+                          use_all_reads: bool) -> List[int]:
+    """Read-pair agreement graph + Louvain phasing (main.rs:948-1015).
+
+    Returns read orders to invalidate (their alignments removed from iteration 2).
+    """
+    data = new_data()
+    dif = new_data()
+    ref_data = new_data()
+    invalid_ids: set[int] = set()
+    for lqseq in lqseqs:
+        if not lqseq.label & L_HETE:
+            continue
+        seqs = lqseq.seqs
+        for i in range(len(seqs)):
+            s1 = seqs[i]
+            if s1.kscore == 0:
+                continue
+            for j in range(i + 1, len(seqs)):
+                s2 = seqs[j]
+                if s2.kscore == 0:
+                    continue
+                w = 1.0 if s1.seq == s2.seq else -1.0
+                if s1.order == 0:
+                    if asref:
+                        insert_data(ref_data, s1.order, s2.order, w)
+                    if w < 0 and not use_all_reads:
+                        invalid_ids.add(s2.order)
+                    continue
+                assert s2.order != 0, "seq2 order is equal to 0"
+                if w == -1.0:
+                    insert_data(dif, s1.order, s2.order, -1.0)
+                    insert_data(dif, s2.order, s1.order, -1.0)
+                insert_data(data, s1.order, s2.order, w)
+                insert_data(data, s2.order, s1.order, w)
+
+    # >=3 conflicting het sites -> hard conflict override (main.rs:994-1002)
+    for n1 in sorted(dif):
+        for n2 in sorted(dif[n1]):
+            if dif[n1][n2] <= -3.0:
+                assign_data(data, n1, n2, dif[n1][n2])
+
+    if not use_all_reads:
+        for k in invalid_ids:
+            data.pop(k, None)
+        for row in data.values():
+            for k in invalid_ids:
+                row.pop(k, None)
+
+    ref_weight = next(iter(ref_data.values()), None) if ref_data else None
+    new_invalid = phase_communities(data, ref_weight)
+    new_invalid.extend(invalid_ids)
+    return new_invalid
+
+
+def fill_seed_lqseqs(lqseqs: List[LqRegion], max_indel_len: int,
+                     max_can: int = 60) -> None:
+    """Pick dominant-allele seeds; prune candidates; set SUCC/RECH
+    (main.rs:862-914)."""
+    stats = [0] * max_can
+    order_stat: Dict[int, int] = {}
+    for lqseq in lqseqs:
+        max1_c, max1_p, _, _ = fill_order_stat(lqseq, stats, order_stat)
+        lqseq.sudoseed = lqseq.seqs[max1_p].seq
+        lqseq.label |= L_SUCC | L_RECH
+        min_c = get_min_count(len(lqseq.seqs))
+        assert lqseq.seqs[0].order == 0, "the first lqseq is not ref."
+
+        # protect the reference allele (main.rs:877-890)
+        if 0 in order_stat:
+            if 1 < order_stat[0] < min_c:
+                order_stat[0] = min_c
+        else:
+            c = sum(1 for x in lqseq.seqs if x.seq == lqseq.seqs[0].seq)
+            if c > 1:
+                order_stat[0] = min_c
+
+        if max1_p != 0 and max1_c < min_c and (max1_c > 1 or no_dupseq_lqseq(lqseq)):
+            order_stat[lqseq.seqs[max1_p].order] = min_c
+            order_stat[0] = min_c
+        elif max1_c < min_c:
+            order_stat[0] = min_c
+
+        # retain_sort_seqs (main.rs:714-727): stable sort by count desc, truncate
+        lqseq.seqs.sort(key=lambda v: -order_stat.get(v.order, 0))
+        c = 0
+        for seq in lqseq.seqs:
+            if order_stat.get(seq.order, 0) < min_c:
+                break
+            c += 1
+        del lqseq.seqs[c:]
+
+        skip_long = abs(len(lqseq.sudoseed) - len(lqseq.seqs[0].seq)) > max_indel_len \
+            if lqseq.seqs else False
+        if len(lqseq.seqs) <= 1 or skip_long:
+            if lqseq.seqs or skip_long:
+                lqseq.sudoseed = lqseq.seqs[0].seq
+            lqseq.label &= ~L_RECH
+            lqseq.seqs = []
+
+
+def _next_labeled(lqseqs: List[LqRegion], i: int, label: int) -> int:
+    """get_lqseqs_next_idx_by_lable (main.rs:1017-1025): scan downward; -1 = none."""
+    i -= 1
+    while i >= 0 and not (lqseqs[i].label & label):
+        i -= 1
+    return i
+
+
+def update_consensus_with_lqseqs(lqseqs: List[LqRegion],
+                                 consensus: List[ConsensusBase],
+                                 label: int) -> List[ConsensusBase]:
+    """Splice sudoseeds over labeled intervals (main.rs:1027-1058).
+
+    lqseqs are in descending genome order; iterated from the tail (ascending).
+    """
+    out: List[ConsensusBase] = []
+    i = 0
+    li = _next_labeled(lqseqs, len(lqseqs), label)
+    n = len(consensus)
+    while i < n:
+        p = consensus[i].pos
+        if li >= 0 and p == lqseqs[li].start:
+            for ch in lqseqs[li].sudoseed:
+                out.append(ConsensusBase(pos=p, base=ch))
+            while i < n and consensus[i].pos <= lqseqs[li].end:
+                i += 1
+            li = _next_labeled(lqseqs, li, label)
+        else:
+            out.append(consensus[i])
+            i += 1
+    return out
+
+
+def _iter_consensus_region(consensus: List[ConsensusBase], idx: List[int],
+                           s: int, e: int) -> tuple[int, int]:
+    """Indices of consensus strictly inside (s, e) (main.rs:1068-1097);
+    idx is a persistent cursor."""
+    i = idx[0]
+    while consensus[i].pos <= s:
+        i += 1
+    while consensus[i].pos > s:
+        i -= 1
+    i += 1
+    si = i
+    while consensus[i].pos >= e:
+        i -= 1
+    while consensus[i].pos < e:
+        i += 1
+    i -= 1
+    idx[0] = i
+    return si, i + 1
+
+
+def _iter_consensus_extend(consensus: List[ConsensusBase], idx: List[int],
+                           p: int, l: int, toleft: bool) -> tuple[int, int]:
+    """k-1 flank index range, exclusive of pos p (main.rs:1100-1139)."""
+    i = idx[0]
+    if toleft:
+        while consensus[i].pos >= p:
+            i -= 1
+        while consensus[i].pos < p:
+            i += 1
+        idx[0] = i
+        ei = i
+        si = i - l if i > l else 0
+    else:
+        while consensus[i].pos <= p:
+            i += 1
+        while consensus[i].pos > p:
+            i -= 1
+        idx[0] = i
+        si = i + 1
+        ei = i + l + 1 if i + l < len(consensus) else len(consensus)
+    return si, ei
+
+
+def reupdate_consensus_with_lqseqs(lqseqs: List[LqRegion],
+                                   consensus: List[ConsensusBase],
+                                   table: KmerTable, min_kmer_count: int,
+                                   iter_count: int,
+                                   max_can: int = 60) -> List[ConsensusBase]:
+    """One recheck pass with one yak table (main.rs:1060-1420).
+
+    Chains of RECH intervals closer than ksize (max 6) are rescored as the
+    cartesian product of their candidate alleles spliced with k-1 flank context;
+    best valid combination becomes the new seeds; intervals with >1 valid allele
+    stay RECH for the next (longer-k) table.
+    """
+    ksize = table.ksize
+
+    def chain_score(seq_bytes: bytes) -> int:
+        km = seq_kmers(seq_bytes, ksize)
+        if len(km) == 0:
+            return 0
+        return int(table.get(table.to_hash(km), min_kmer_count).min())
+
+    rech_idxs = [i for i in range(len(lqseqs) - 1, -1, -1) if lqseqs[i].label & L_RECH]
+
+    idx = [0]
+    sj = 0
+    while sj < len(rech_idxs):
+        ej = sj + 1
+        while (ej < len(rech_idxs)
+               and lqseqs[rech_idxs[ej]].start < lqseqs[rech_idxs[ej - 1]].end + ksize):
+            ej += 1
+            if ej > sj + 5:
+                break
+        si_l, ei_l = _iter_consensus_extend(
+            consensus, idx, lqseqs[rech_idxs[sj]].start, ksize - 1, True)
+        si_r, ei_r = _iter_consensus_extend(
+            consensus, idx, lqseqs[rech_idxs[ej - 1]].end, ksize - 1, False)
+        flank_l = bytes(consensus[i].base for i in range(si_l, ei_l))
+        flank_r = bytes(consensus[i].base for i in range(si_r, ei_r))
+
+        if ej == sj + 1:
+            for seq in lqseqs[rech_idxs[sj]].seqs:
+                seq.kscore = chain_score(flank_l + seq.seq + flank_r)
+        else:
+            # gap sequences between consecutive chained regions (computed once:
+            # the cursor walks are deterministic for fixed (s, e))
+            gaps: List[bytes] = []
+            for i in range(sj, ej - 1):
+                s = lqseqs[rech_idxs[i]].end
+                e = lqseqs[rech_idxs[i + 1]].start
+                if s + 1 == e:
+                    gaps.append(b"")
+                else:
+                    gs, ge = _iter_consensus_region(consensus, idx, s, e)
+                    gaps.append(bytes(consensus[x].base for x in range(gs, ge)))
+            kscore_buf: List[tuple[int, int, int]] = []
+            cand_lists = [
+                list(enumerate(lqseqs[rech_idxs[x]].seqs)) for x in range(sj, ej)
+            ]
+            for combo in cartesian_product(*cand_lists):
+                parts = [flank_l]
+                for i, (_, seq) in enumerate(combo):
+                    parts.append(seq.seq)
+                    if i < len(combo) - 1:
+                        parts.append(gaps[i])
+                parts.append(flank_r)
+                ks = chain_score(b"".join(parts))
+                if ks > 0:
+                    for i, (p, _) in enumerate(combo):
+                        kscore_buf.append((rech_idxs[sj + i], p, ks))
+            for x in range(sj, ej):
+                for seq in lqseqs[rech_idxs[x]].seqs:
+                    seq.kscore = 0
+            for i, p, ks in kscore_buf:
+                lqseqs[i].seqs[p].kscore = ks
+        sj = ej
+
+    # choose seeds (main.rs:1371-1406)
+    for lqseq in lqseqs:
+        if not lqseq.label & L_RECH:
+            continue
+        c = 0
+        valid_count = 0
+        for p, seq in enumerate(lqseq.seqs):
+            if seq.kscore != 0:
+                if c == 0 or seq.order == 0:
+                    c = p + 1
+                valid_count += 1
+        if valid_count > 1:
+            lqseq.label |= L_TEMP
+        if c != 0:
+            lqseq.sudoseed = lqseq.seqs[c - 1].seq
+        elif iter_count == 1:
+            i = 0
+            for p, seq in enumerate(lqseq.seqs):
+                if seq.order == 0:
+                    i = p
+                    break
+            lqseq.sudoseed = lqseq.seqs[i].seq
+
+    consensus = update_consensus_with_lqseqs(lqseqs, consensus, L_RECH)
+
+    for lqseq in lqseqs:
+        if lqseq.label & L_RECH:
+            if lqseq.label & L_TEMP:
+                lqseq.label &= ~L_TEMP
+            else:
+                lqseq.label &= ~L_RECH
+    return consensus

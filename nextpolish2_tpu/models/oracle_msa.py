@@ -1,0 +1,319 @@
+"""Oracle MSA pileup + consensus DP + backtrack/LQ detection.
+
+Faithful reimplementation of the reference 3-mer MSA graph and Viterbi consensus
+(src/main.rs:33-268 Kmer/Msa, main.rs:576-589 update_msas, main.rs:1645-1687 DP,
+main.rs:1555-1643 backtrack + LQ regions).
+
+A 3-mer is keyed by (delta, bases) where bases packs two t_pos-equality flag bits
+and three 4-bit base codes (main.rs:55-101). Per reference position the distinct
+3-mers are kept in first-occurrence order, then stably sorted by the delta of their
+third base (Msa::sort, main.rs:227-229) — this ordering is semantically load-bearing
+for DP tie-breaking and in-position dependency order.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .oracle_align import AlignTags
+
+NEG_INF = -(2**62)  # i64::MIN >> 1 equivalent guard (main.rs:1661)
+HEAD_Q = 15
+
+
+def _b3_delta(flags: int, delta: int) -> int:
+    """delta of the third base, used as the Msa sort key (Kmer::bases, main.rs:105-184)."""
+    if flags & 0b0101 == 0b0101:
+        return delta + 2
+    if flags & 0b0001:
+        return 1
+    return 0
+
+
+def _decode(flags: int, delta: int, q1: int, q2: int, q3: int, p: int):
+    """Kmer::bases(p): the three (t_pos, delta, q_base) bases (main.rs:105-184)."""
+    if flags & 0b0101 == 0b0101:  # A--
+        return (p, delta, q1), (p, delta + 1, q2), (p, delta + 2, q3)
+    if flags & 0b0001:  # AA-
+        return (p - 1, delta, q1), (p, 0, q2), (p, 1, q3)
+    if flags & 0b0100:  # A-A
+        return (p - 1, delta, q1), (p - 1, delta + 1, q2), (p, 0, q3)
+    return (p - 2, delta, q1), (p - 1, 0, q2), (p, 0, q3)  # AAA
+
+
+@dataclass
+class Msas:
+    """Column-major MSA: for each reference position, its distinct 3-mers."""
+
+    n_pos: int
+    # per position: parallel lists (sorted per Msa::sort order)
+    deltas: List[np.ndarray]
+    flags: List[np.ndarray]
+    q1: List[np.ndarray]
+    q2: List[np.ndarray]
+    q3: List[np.ndarray]
+    counts: List[np.ndarray]
+    coverage: np.ndarray  # int64 per position (Msa::coverage, main.rs:232-241)
+
+
+def build_msas(alignseqs: List[AlignTags], n_pos: int) -> Msas:
+    """update_msas over all non-dropped alignments (main.rs:576-589), vectorized.
+
+    Produces per-position kmer lists in first-occurrence order stably sorted by
+    b3-delta, with occurrence counts.
+    """
+    pos_chunks = []
+    key_chunks = []
+    for a in alignseqs:
+        if a.dropped or len(a) == 0:
+            continue
+        n = len(a)
+        t = a.t_pos
+        d = a.delta
+        q = a.q_base.astype(np.uint32)
+        head_t = a.aln_t_s - 1
+        # b1/b2 shifted streams with two virtual heads (update_msas, main.rs:579-581)
+        b1_t = np.empty(n, dtype=np.int64)
+        b1_d = np.empty(n, dtype=np.int64)
+        b1_q = np.empty(n, dtype=np.uint32)
+        b2_t = np.empty(n, dtype=np.int64)
+        b2_d = np.empty(n, dtype=np.int64)
+        b2_q = np.empty(n, dtype=np.uint32)
+        b1_t[2:] = t[:-2]
+        b1_d[2:] = d[:-2]
+        b1_q[2:] = q[:-2]
+        b2_t[1:] = t[:-1]
+        b2_d[1:] = d[:-1]
+        b2_q[1:] = q[:-1]
+        b1_t[0] = head_t
+        b1_d[0] = 0
+        b1_q[0] = HEAD_Q
+        if n > 1:
+            b1_t[1] = head_t
+            b1_d[1] = 1
+            b1_q[1] = HEAD_Q
+        b2_t[0] = head_t
+        b2_d[0] = 1
+        b2_q[0] = HEAD_Q
+        flag = ((b2_t == b1_t).astype(np.uint32) << 2) | (b2_t == t).astype(np.uint32)
+        # key packs (b1.delta:u16 | flags:4 | q1:4 | q2:4 | q3:4) like Kmer::new
+        key = (
+            (b1_d.astype(np.uint64) << np.uint64(16))
+            | (flag.astype(np.uint64) << np.uint64(12))
+            | (b1_q.astype(np.uint64) << np.uint64(8))
+            | (b2_q.astype(np.uint64) << np.uint64(4))
+            | q.astype(np.uint64)
+        )
+        pos_chunks.append(t)
+        key_chunks.append(key)
+
+    if not pos_chunks:
+        empty = [np.zeros(0, dtype=np.int64) for _ in range(n_pos)]
+        z = lambda: [np.zeros(0, dtype=np.int64) for _ in range(n_pos)]  # noqa: E731
+        return Msas(n_pos, z(), z(), z(), z(), z(), z(), np.zeros(n_pos, dtype=np.int64))
+
+    pos_all = np.concatenate(pos_chunks)
+    key_all = np.concatenate(key_chunks)
+    comb = (pos_all.astype(np.uint64) << np.uint64(32)) | key_all
+    uniq, first_idx, counts = np.unique(comb, return_index=True, return_counts=True)
+    upos = (uniq >> np.uint64(32)).astype(np.int64)
+    ukey = uniq & np.uint64(0xFFFFFFFF)
+    udelta = (ukey >> np.uint64(16)).astype(np.int64)
+    uflag = ((ukey >> np.uint64(12)) & np.uint64(0xF)).astype(np.int64)
+    uq1 = ((ukey >> np.uint64(8)) & np.uint64(0xF)).astype(np.int64)
+    uq2 = ((ukey >> np.uint64(4)) & np.uint64(0xF)).astype(np.int64)
+    uq3 = (ukey & np.uint64(0xF)).astype(np.int64)
+    b3d = np.where(uflag & 0b0101 == 0b0101, udelta + 2, np.where(uflag & 1 == 1, 1, 0))
+    # order: position, then b3-delta, then first occurrence (stable Msa::sort)
+    order = np.lexsort((first_idx, b3d, upos))
+    upos = upos[order]
+    udelta = udelta[order]
+    uflag = uflag[order]
+    uq1, uq2, uq3 = uq1[order], uq2[order], uq3[order]
+    counts = counts[order].astype(np.int64)
+    b3d = b3d[order]
+
+    bounds = np.searchsorted(upos, np.arange(n_pos + 1))
+    deltas, flags_l, q1l, q2l, q3l, cl = [], [], [], [], [], []
+    coverage = np.zeros(n_pos, dtype=np.int64)
+    cov_all = np.where(b3d == 0, counts, 0)
+    cov_sums = np.concatenate([[0], np.cumsum(cov_all)])
+    for p in range(n_pos):
+        lo, hi = bounds[p], bounds[p + 1]
+        deltas.append(udelta[lo:hi])
+        flags_l.append(uflag[lo:hi])
+        q1l.append(uq1[lo:hi])
+        q2l.append(uq2[lo:hi])
+        q3l.append(uq3[lo:hi])
+        cl.append(counts[lo:hi])
+        coverage[p] = cov_sums[hi] - cov_sums[lo]
+    return Msas(n_pos, deltas, flags_l, q1l, q2l, q3l, cl, coverage)
+
+
+@dataclass
+class ConsensusBase:
+    pos: int
+    base: int  # ASCII byte
+
+
+@dataclass
+class LqRegion:
+    """An LQ interval (LqSeqs coordinates): start <= end genome positions."""
+
+    start: int
+    end: int
+    label: int = 0
+    sudoseed: bytes = b""
+    seqs: list = None  # List[LqSeq], filled by allele extraction
+
+    def __post_init__(self):
+        if self.seqs is None:
+            self.seqs = []
+
+
+def consensus_dp(msas: Msas) -> tuple[List[np.ndarray], List[np.ndarray], Tuple[int, int]]:
+    """Forward Viterbi over the 3-mer graph (get_cns_from_align_tags, main.rs:1645-1687).
+
+    Returns (scores per position, besti per position, global best (pos, kmer_idx)).
+    """
+    n = msas.n_pos
+    scores: List[np.ndarray] = [None] * n  # type: ignore[list-item]
+    bestis: List[np.ndarray] = [None] * n  # type: ignore[list-item]
+    gb_score = 0  # Default Kmer has score 0 (main.rs:1651)
+    gb = (-1, -1)
+    for p in range(n):
+        kd = msas.deltas[p]
+        kf = msas.flags[p]
+        k1 = msas.q1[p]
+        k2 = msas.q2[p]
+        k3 = msas.q3[p]
+        kc = msas.counts[p]
+        m = len(kd)
+        sc = np.empty(m, dtype=np.int64)
+        bi = np.zeros(m, dtype=np.int64)
+        # publish before filling: in-position predecessors (insertion chains) read
+        # scores of earlier-sorted kmers at this same position (Cell in reference)
+        scores[p] = sc
+        bestis[p] = bi
+        cov = msas.coverage[p]
+        for i in range(m):
+            b1, b2, _b3 = _decode(int(kf[i]), int(kd[i]), int(k1[i]), int(k2[i]), int(k3[i]), p)
+            gain = 10 * int(kc[i]) - 4 * int(cov)
+            if b2[2] == HEAD_Q:
+                s = gain
+            else:
+                s = NEG_INF
+                besti = 0
+                pt = b2[0]
+                pd_, pf_, p1_, p2_, p3_ = (
+                    msas.deltas[pt], msas.flags[pt], msas.q1[pt], msas.q2[pt], msas.q3[pt],
+                )
+                psc = scores[pt]
+                low8 = (b1[2] << 4) | b2[2]
+                d23 = 1 if b1[0] == b2[0] else 0
+                for j in range(len(pd_)):
+                    # prefilter then full check (Msa::get, main.rs:209-225)
+                    if (int(p2_[j]) << 4 | int(p3_[j])) != low8:
+                        continue
+                    if int(pf_[j]) & 1 != d23:
+                        continue
+                    v1, v2, v3 = _decode(
+                        int(pf_[j]), int(pd_[j]), int(p1_[j]), int(p2_[j]), int(p3_[j]), pt
+                    )
+                    if v2 != b1 or v3 != b2:
+                        continue
+                    if pt >= 3 and v1[2] == HEAD_Q:
+                        # prevent backtracking into a read-start head (main.rs:1664-1668)
+                        continue
+                    cand = int(psc[j]) + gain
+                    if cand > s or (cand == s and v1[2] != 4):
+                        s = cand
+                        besti = j
+                bi[i] = besti
+            sc[i] = s
+            if p == n - 1 and s >= gb_score:
+                gb_score = s
+                gb = (p, i)
+    return scores, bestis, gb
+
+
+def backtrack_lq(msas: Msas, bestis: List[np.ndarray], gb: Tuple[int, int],
+                 hq_min_qv: int = 95, lq_min_length: int = 2,
+                 ) -> tuple[List[ConsensusBase], List[LqRegion]]:
+    """Backtrack emitting consensus bases + detect LQ regions
+    (generate_cns_from_best_score_lq, main.rs:1555-1643).
+
+    Returns (consensus bases in genome order, LQ regions in DESCENDING genome order).
+    """
+    from ..utils.seqcodes import CODE2ASCII
+
+    from ..utils.seqcodes import CODE2ASCII as _C2A
+
+    cb: List[ConsensusBase] = []
+    lqseqs: List[LqRegion] = []
+    if gb[0] < 0:
+        return cb, lqseqs
+    cur_pos, ki = gb
+    has_lq = False
+    lq_s = None  # usize::MAX sentinel
+    lq_e = 0
+    p = 0  # index into cb (cb is built in reversed genome order)
+
+    def kmer_fields(pos, i):
+        return (
+            int(msas.flags[pos][i]), int(msas.deltas[pos][i]),
+            int(msas.q1[pos][i]), int(msas.q2[pos][i]), int(msas.q3[pos][i]),
+            int(msas.counts[pos][i]),
+        )
+
+    kf, kd, kq1, kq2, kq3, kc = kmer_fields(cur_pos, ki)
+    _, base2, base3 = _decode(kf, kd, kq1, kq2, kq3, cur_pos)
+    while True:
+        if base3[2] != 4:
+            cov = int(msas.coverage[base3[0]])
+            qv = (kc * 100) // cov if cov else 0
+            cb.append(ConsensusBase(pos=base3[0], base=int(_C2A[base3[2]])))
+            if cov < 2:
+                has_lq = False
+                lq_s = None
+            elif qv < hq_min_qv:
+                if lq_s is None:
+                    lq_s = p
+                lq_e = p
+                has_lq = True
+            elif (
+                has_lq
+                and p - lq_e > 2 * lq_min_length
+                and cb[p - 1].pos != cb[p - 2].pos
+                and cb[p - 1].base != cb[p - 2].base
+            ):
+                lq_e = p - 2
+                lq_s = lq_s - lq_min_length if lq_s > lq_min_length else 1
+                while lq_s > 1 and (
+                    cb[lq_s - 1].pos == cb[lq_s].pos or cb[lq_s - 1].base == cb[lq_s].base
+                ):
+                    lq_s -= 1
+                # regions accumulate in descending genome order; overlapping ones
+                # merge into the previous entry (main.rs:1612-1622)
+                if lqseqs and cb[lq_s].pos >= lqseqs[-1].start:
+                    lqseqs[-1].start = cb[lq_e].pos
+                else:
+                    lqseqs.append(LqRegion(start=cb[lq_e].pos, end=cb[lq_s].pos))
+                has_lq = False
+                lq_s = None
+            p += 1
+
+        if base2[2] == HEAD_Q:
+            break
+        # step to best predecessor: besti indexes msas[base2.t_pos] (main.rs:1632-1633)
+        nxt_pos = base2[0]
+        nxt_ki = int(bestis[cur_pos][ki])
+        kf, kd, kq1, kq2, kq3, kc = kmer_fields(nxt_pos, nxt_ki)
+        _, base2, base3 = _decode(kf, kd, kq1, kq2, kq3, nxt_pos)
+        cur_pos, ki = nxt_pos, nxt_ki
+
+    cb.reverse()
+    return cb, lqseqs
