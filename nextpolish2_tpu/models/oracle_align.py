@@ -115,57 +115,48 @@ def trim(aln: Expanded, length: int) -> None:
     """Trim so the alignment starts/ends with `length` exactly-matched columns
     (reference Alignment::trim, main.rs:446-513). Sets aln.shift; truncates arrays.
 
+    Vectorized: shift = start of the first length-run of matches; end truncated to
+    the end of the last length-run; aln_{t,q}_{s,e} adjusted by the count of
+    target/query-consuming columns outside [shift, new_len) — identical net effect
+    to the reference's per-column bookkeeping.
+
     NOTE reference compares raw ASCII; we compare codes. Identical except exotic
     bases (e.g. 'R' vs 'Y' both code 4 and would compare equal here but unequal as
     ASCII) — both appear only in malformed input.
     """
     t, q = aln.t_codes, aln.q_codes
     n = len(t)
+    if n == 0:
+        aln.shift = 0
+        return
     match = t == q
-    j = 0
-    start_found = False
-    for i in range(n):
-        if match[i]:
-            j += 1
-            aln.aln_t_s += 1
-            aln.aln_q_s += 1
-        else:
-            if t[i] != 4:
-                aln.aln_t_s += 1
-            if q[i] != 4:
-                aln.aln_q_s += 1
-            j = 0
-        if j == length:
-            aln.aln_t_s -= length
-            aln.aln_q_s -= length
-            aln.shift = i + 1 - length
-            start_found = True
-            break
-    if start_found:
-        j = 0
-        for i in range(n - 1, -1, -1):
-            if match[i]:
-                j += 1
-                aln.aln_t_e -= 1
-                aln.aln_q_e -= 1
-            else:
-                if t[i] != 4:
-                    aln.aln_t_e -= 1
-                if q[i] != 4:
-                    aln.aln_q_e -= 1
-                j = 0
-            if j == length:
-                aln.aln_t_e += length
-                aln.aln_q_e += length
-                new_len = i + length
-                if new_len < n:
-                    aln.t_codes = aln.t_codes[:new_len]
-                    aln.q_codes = aln.q_codes[:new_len]
-                    aln.t_gap = aln.t_gap[:new_len]
-                    aln.q_gap = aln.q_gap[:new_len]
-                break
-    else:
+    idx = np.arange(n, dtype=np.int64)
+    lastbad = np.maximum.accumulate(np.where(~match, idx, -1))
+    run = idx - lastbad
+    complete = run >= length
+    if not complete.any():
+        # reference walks the whole alignment before giving up, accumulating
+        # start offsets (main.rs:453-476); the record is filtered later anyway
+        aln.aln_t_s += int((t != 4).sum())
+        aln.aln_q_s += int((q != 4).sum())
         aln.shift = n
+        return
+    i0 = int(np.argmax(complete))          # first column completing a run
+    shift = i0 + 1 - length
+    tcons = np.concatenate([[0], np.cumsum(t != 4)])
+    qcons = np.concatenate([[0], np.cumsum(q != 4)])
+    aln.aln_t_s += int(tcons[shift])
+    aln.aln_q_s += int(qcons[shift])
+    aln.shift = shift
+    i1 = n - 1 - int(np.argmax(complete[::-1]))  # last column completing a run
+    new_len = i1 + 1
+    aln.aln_t_e -= int(tcons[n] - tcons[new_len])
+    aln.aln_q_e -= int(qcons[n] - qcons[new_len])
+    if new_len < n:
+        aln.t_codes = aln.t_codes[:new_len]
+        aln.q_codes = aln.q_codes[:new_len]
+        aln.t_gap = aln.t_gap[:new_len]
+        aln.q_gap = aln.q_gap[:new_len]
 
 
 def to_tags(aln: Expanded, clip_label: bool = False) -> AlignTags:

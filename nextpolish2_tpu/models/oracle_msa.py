@@ -59,6 +59,49 @@ class Msas:
     coverage: np.ndarray  # int64 per position (Msa::coverage, main.rs:232-241)
 
 
+def kmer_stream(a: AlignTags) -> tuple[np.ndarray, np.ndarray]:
+    """One alignment -> its (t_pos, key) 3-mer observation stream.
+
+    key packs (b1.delta:u16 | flags:4 | q1:4 | q2:4 | q3:4) exactly like Kmer::new
+    (main.rs:84-101); the stream is what update_msas pushes (main.rs:576-589).
+    Shared by the oracle MSA builder and the TPU window planner.
+    """
+    n = len(a)
+    t = a.t_pos
+    d = a.delta
+    q = a.q_base.astype(np.uint32)
+    head_t = a.aln_t_s - 1
+    # b1/b2 shifted streams with two virtual heads (update_msas, main.rs:579-581)
+    b1_t = np.empty(n, dtype=np.int64)
+    b1_d = np.empty(n, dtype=np.int64)
+    b1_q = np.empty(n, dtype=np.uint32)
+    b2_t = np.empty(n, dtype=np.int64)
+    b2_q = np.empty(n, dtype=np.uint32)
+    b1_t[2:] = t[:-2]
+    b1_d[2:] = d[:-2]
+    b1_q[2:] = q[:-2]
+    b2_t[1:] = t[:-1]
+    b2_q[1:] = q[:-1]
+    b1_t[0] = head_t
+    b1_d[0] = 0
+    b1_q[0] = HEAD_Q
+    if n > 1:
+        b1_t[1] = head_t
+        b1_d[1] = 1
+        b1_q[1] = HEAD_Q
+    b2_t[0] = head_t
+    b2_q[0] = HEAD_Q
+    flag = ((b2_t == b1_t).astype(np.uint32) << 2) | (b2_t == t).astype(np.uint32)
+    key = (
+        (b1_d.astype(np.uint64) << np.uint64(16))
+        | (flag.astype(np.uint64) << np.uint64(12))
+        | (b1_q.astype(np.uint64) << np.uint64(8))
+        | (b2_q.astype(np.uint64) << np.uint64(4))
+        | q.astype(np.uint64)
+    )
+    return t, key
+
+
 def build_msas(alignseqs: List[AlignTags], n_pos: int) -> Msas:
     """update_msas over all non-dropped alignments (main.rs:576-589), vectorized.
 
@@ -70,43 +113,7 @@ def build_msas(alignseqs: List[AlignTags], n_pos: int) -> Msas:
     for a in alignseqs:
         if a.dropped or len(a) == 0:
             continue
-        n = len(a)
-        t = a.t_pos
-        d = a.delta
-        q = a.q_base.astype(np.uint32)
-        head_t = a.aln_t_s - 1
-        # b1/b2 shifted streams with two virtual heads (update_msas, main.rs:579-581)
-        b1_t = np.empty(n, dtype=np.int64)
-        b1_d = np.empty(n, dtype=np.int64)
-        b1_q = np.empty(n, dtype=np.uint32)
-        b2_t = np.empty(n, dtype=np.int64)
-        b2_d = np.empty(n, dtype=np.int64)
-        b2_q = np.empty(n, dtype=np.uint32)
-        b1_t[2:] = t[:-2]
-        b1_d[2:] = d[:-2]
-        b1_q[2:] = q[:-2]
-        b2_t[1:] = t[:-1]
-        b2_d[1:] = d[:-1]
-        b2_q[1:] = q[:-1]
-        b1_t[0] = head_t
-        b1_d[0] = 0
-        b1_q[0] = HEAD_Q
-        if n > 1:
-            b1_t[1] = head_t
-            b1_d[1] = 1
-            b1_q[1] = HEAD_Q
-        b2_t[0] = head_t
-        b2_d[0] = 1
-        b2_q[0] = HEAD_Q
-        flag = ((b2_t == b1_t).astype(np.uint32) << 2) | (b2_t == t).astype(np.uint32)
-        # key packs (b1.delta:u16 | flags:4 | q1:4 | q2:4 | q3:4) like Kmer::new
-        key = (
-            (b1_d.astype(np.uint64) << np.uint64(16))
-            | (flag.astype(np.uint64) << np.uint64(12))
-            | (b1_q.astype(np.uint64) << np.uint64(8))
-            | (b2_q.astype(np.uint64) << np.uint64(4))
-            | q.astype(np.uint64)
-        )
+        t, key = kmer_stream(a)
         pos_chunks.append(t)
         key_chunks.append(key)
 

@@ -1,0 +1,294 @@
+"""Device consensus engine: batched window pileup aggregation + Viterbi DP +
+backtrack (XLA/jnp implementation; the Pallas fast path lives in ops/consensus_pallas).
+
+Replaces the reference's two hottest loops (SURVEY §3 hot loops 1-2: update_msas
+main.rs:576-589 and the consensus DP main.rs:1645-1687) with batched device compute
+over anchor-bounded windows:
+
+  1. aggregate: sort-based dedup of (col, key) 3-mer observations into [B, W, K]
+     slot tables with counts, preserving the reference's exact slot ordering
+     (stable by (b3-delta, first occurrence)) — the order is load-bearing for DP
+     tie-breaks.
+  2. dp: per column, masked max-plus over candidate predecessors with the
+     reference's tie rule (score strictly greater, or equal and predecessor's
+     first base is a non-gap — main.rs:1670).
+  3. backtrack: batched pointer walk emitting (col, base, count, coverage).
+
+Scores are int32 (window-local sums fit comfortably; the reference uses i64 only
+because its sums span whole contigs).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -(1 << 30)
+HEAD_Q = 15
+
+
+class SlotTables(NamedTuple):
+    key: jnp.ndarray        # i32 [B, W, K] packed kmer key (-1 = empty slot)
+    count: jnp.ndarray      # i32 [B, W, K]
+    coverage: jnp.ndarray   # i32 [B, W]
+    n_slots: jnp.ndarray    # i32 [B, W]
+    overflow: jnp.ndarray   # bool [B]  (slot overflow or delta-level overflow)
+
+
+def _b3d_from_key(key):
+    flags = (key >> 12) & 0xF
+    delta = (key >> 16) & 0xFFFF
+    return jnp.where((flags & 0b0101) == 0b0101, delta + 2,
+                     jnp.where((flags & 1) == 1, 1, 0))
+
+
+@functools.partial(jax.jit, static_argnames=("width", "K"))
+def aggregate_windows(cols: jnp.ndarray, keys: jnp.ndarray, width: int, K: int
+                      ) -> SlotTables:
+    """[B, T] (col, key) streams -> per-column slot tables.
+
+    Padding convention: col == width marks padded stream entries.
+    """
+    B, T = cols.shape
+    idx = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+    scol, skey, sidx = jax.lax.sort((cols, keys, idx), num_keys=2, is_stable=True)
+
+    prev_col = jnp.concatenate([jnp.full((B, 1), -1, jnp.int32), scol[:, :-1]], axis=1)
+    prev_key = jnp.concatenate([jnp.full((B, 1), -1, jnp.int32), skey[:, :-1]], axis=1)
+    head = (scol != prev_col) | (skey != prev_key)
+    head = head & (scol < width)  # padded tail is not a segment
+    seg_id = jnp.cumsum(head.astype(jnp.int32), axis=1) - 1  # -1 for pre-first pad
+
+    ones = (scol < width).astype(jnp.int32)
+    seg_ok = seg_id >= 0
+    seg_idx = jnp.where(seg_ok, seg_id, T - 1)
+
+    seg_count = jnp.zeros((B, T), jnp.int32).at[
+        jnp.arange(B)[:, None], seg_idx].add(jnp.where(seg_ok, ones, 0))
+    # first occurrence: stable sort kept original order; head rows carry it
+    seg_col = jnp.full((B, T), width, jnp.int32).at[
+        jnp.arange(B)[:, None], seg_idx].min(jnp.where(seg_ok & head, scol, width))
+    seg_key = jnp.zeros((B, T), jnp.int32).at[
+        jnp.arange(B)[:, None], seg_idx].max(jnp.where(seg_ok & head, skey, 0))
+    seg_first = jnp.full((B, T), T, jnp.int32).at[
+        jnp.arange(B)[:, None], seg_idx].min(jnp.where(seg_ok & head, sidx, T))
+
+    seg_b3d = _b3d_from_key(seg_key)
+    # order segments by (col, b3d, first occurrence)
+    ocol, ob3d, ofirst, okey, ocount = jax.lax.sort(
+        (seg_col, seg_b3d, seg_first, seg_key, seg_count), num_keys=3)
+    # rank within column
+    t_iota = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+    col_change = jnp.concatenate(
+        [jnp.ones((B, 1), bool), ocol[:, 1:] != ocol[:, :-1]], axis=1)
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(col_change, t_iota, -1), axis=1)
+    rank = t_iota - run_start
+
+    valid = ocol < width
+    overflow_slots = jnp.any(valid & (rank >= K), axis=1)
+
+    bidx = jnp.arange(B)[:, None]
+    ccol = jnp.where(valid & (rank < K), ocol, width)      # drop via clamp-free scatter
+    crank = jnp.where(valid & (rank < K), rank, K - 1)
+    key_tab = jnp.full((B, width, K), -1, jnp.int32).at[
+        bidx, ccol, crank].max(jnp.where(ccol < width, okey, -1), mode="drop")
+    cnt_tab = jnp.zeros((B, width, K), jnp.int32).at[
+        bidx, ccol, crank].max(jnp.where(ccol < width, ocount, 0), mode="drop")
+    coverage = jnp.zeros((B, width), jnp.int32).at[bidx, ccol].add(
+        jnp.where((ccol < width) & (ob3d == 0), ocount, 0), mode="drop")
+    n_slots = jnp.zeros((B, width), jnp.int32).at[bidx, ccol].add(
+        jnp.where(ccol < width, 1, 0), mode="drop")
+    return SlotTables(key=key_tab, count=cnt_tab, coverage=coverage,
+                      n_slots=n_slots, overflow=overflow_slots)
+
+
+def _decode_keys(key, col):
+    """Vectorized Kmer::bases: packed key + its column -> decoded base triples.
+
+    Returns (b1key, b2key, b3q, b2q, b1q, b2_col_same) where bNkey packs
+    (t<<24 | delta<<4 | q) with t relative to the window, and b2_col_same is True
+    when the predecessor column equals the kmer's own column (flags bit 0).
+    """
+    flags = (key >> 12) & 0xF
+    delta = (key >> 16) & 0xFFFF
+    q1 = (key >> 8) & 0xF
+    q2 = (key >> 4) & 0xF
+    q3 = key & 0xF
+    both = (flags & 0b0101) == 0b0101
+    f23 = (flags & 0b0001) != 0
+    f12 = (flags & 0b0100) != 0
+    # b1
+    b1_t = jnp.where(both, col, jnp.where(f23 | f12, col - 1, col - 2))
+    b1_d = delta
+    # b2
+    b2_t = jnp.where(both | f23, col, col - 1)
+    b2_d = jnp.where(both, delta + 1, jnp.where(f23, 0, jnp.where(f12, delta + 1, 0)))
+
+    def pack(t, d, q):
+        # t < 2^13 (window width cap), d < 2^14 (host-validated), q 4 bits
+        return (t << 18) | (d << 4) | q
+
+    b1key = pack(b1_t, b1_d, q1)
+    b2key = pack(b2_t, b2_d, q2)
+    b3key = pack(col, _b3d_from_key(key), q3)
+    return b1key, b2key, b3key, q1, q2, q3, f23
+
+
+@functools.partial(jax.jit, static_argnames=("max_lvl",))
+def consensus_dp(tables: SlotTables, lead_abs: jnp.ndarray,
+                 seed_anchor: jnp.ndarray, max_lvl: int = 6):
+    """Batched windowed Viterbi (reference main.rs:1645-1687).
+
+    lead_abs: [B] absolute contig position of relative column 0 (for the
+    `base2.t_pos >= 3` head-backtrack guard, main.rs:1666).
+    seed_anchor: [B] bool — windows starting at an interior anchor get their
+    (single) anchor slot at relative column 2 seeded with score 0: the global
+    path is forced through it, so window-local scores become true partial sums
+    from the anchor (whole-contig best = sum of window maxima).
+    Returns (scores [B,W,K] i32, besti [B,W,K] i8, lvl_overflow [B] bool).
+    """
+    key = tables.key
+    B, W, K = key.shape
+    col = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :, None], (B, W, K))
+    b1key, b2key, b3key, q1, q2, q3, f23 = _decode_keys(key, col)
+    valid = key >= 0
+    # invalid slots: poison keys so they never match as predecessors
+    b2key_m = jnp.where(valid, b2key, -7)
+    b3key_m = jnp.where(valid, b3key, -8)
+    b1_is_head = q1 == HEAD_Q
+    b2_is_head = q2 == HEAD_Q
+    b1_nongap = q1 != 4
+    gains = 10 * tables.count - 4 * tables.coverage[:, :, None]
+    b3d = _b3d_from_key(jnp.where(valid, key, 0))
+    lvl_overflow = jnp.any(valid & (b3d > max_lvl), axis=(1, 2))
+
+    guard_abs = lead_abs[:, None]  # [B,1]
+
+    def match_and_pick(i_b1key, i_b2key, p_b2key, p_b3key, p_scores, p_b1head,
+                       p_b1nongap, p_col_abs_ge3):
+        """For each i: best predecessor among pool j (reference tie rule)."""
+        # [B, K_i, K_j]
+        m = (p_b2key[:, None, :] == i_b1key[:, :, None]) & (
+            p_b3key[:, None, :] == i_b2key[:, :, None])
+        m = m & ~(p_b1head[:, None, :] & p_col_abs_ge3[:, None, None])
+        cand = jnp.where(m, p_scores[:, None, :], NEG_INF - 1)
+        maxv = jnp.max(cand, axis=2)
+        ismax = cand == maxv[:, :, None]
+        nongapmax = ismax & p_b1nongap[:, None, :]
+        anynon = jnp.any(nongapmax, axis=2)
+        jfirst = jnp.argmax(ismax, axis=2)
+        jlast = (K - 1) - jnp.argmax(nongapmax[:, :, ::-1], axis=2)
+        j = jnp.where(anynon, jlast, jfirst)
+        has = jnp.any(m, axis=2)
+        return jnp.where(has, maxv, NEG_INF), j.astype(jnp.int8), has
+
+    def step(prev, xs):
+        (p_scores, p_b2key, p_b3key, p_b1head, p_b1nongap, p_colge3) = prev
+        (c_key, c_gain, c_b1key, c_b2key, c_b2keym, c_b3keym, c_b1head,
+         c_b1nongap, c_b2head, c_b3d, c_colge3, c_valid, c_is_anchor) = xs
+        # level 0: predecessors in the previous column
+        best0, j0, has0 = match_and_pick(
+            c_b1key, c_b2key, p_b2key, p_b3key, p_scores, p_b1head, p_b1nongap,
+            p_colge3)
+        sc = jnp.where(c_b2head, c_gain,
+                       jnp.where(has0, best0 + c_gain, NEG_INF))
+        bi = j0
+        sc = jnp.where(c_valid & (c_b3d == 0), sc, NEG_INF)
+        # levels 1..max_lvl: predecessors in this column at the previous level
+        cur_colge3 = c_colge3
+        for lvl in range(1, max_lvl + 1):
+            bestl, jl, hasl = match_and_pick(
+                c_b1key, c_b2key, c_b2keym, c_b3keym, sc, c_b1head, c_b1nongap,
+                cur_colge3)
+            sl = jnp.where(c_b2head, c_gain,
+                           jnp.where(hasl, bestl + c_gain, NEG_INF))
+            is_lvl = c_valid & (c_b3d == lvl)
+            sc = jnp.where(is_lvl, sl, sc)
+            bi = jnp.where(is_lvl, jl, bi)
+        # anchor seeding: score 0 for the forced single slot at relative col 2
+        sc = jnp.where(c_is_anchor[:, None] & c_valid, 0, sc)
+        carry = (sc, c_b2keym, c_b3keym, c_b1head, c_b1nongap, c_colge3)
+        return carry, (sc, bi)
+
+    colge3 = (jnp.arange(W, dtype=jnp.int32)[None, :] + guard_abs) >= 3  # [B, W]
+    is_anchor = seed_anchor[:, None] & (
+        jnp.arange(W, dtype=jnp.int32)[None, :] == 2)  # [B, W]
+    xs = (
+        jnp.moveaxis(key, 1, 0), jnp.moveaxis(gains, 1, 0),
+        jnp.moveaxis(b1key, 1, 0), jnp.moveaxis(b2key, 1, 0),
+        jnp.moveaxis(b2key_m, 1, 0), jnp.moveaxis(b3key_m, 1, 0),
+        jnp.moveaxis(b1_is_head, 1, 0), jnp.moveaxis(b1_nongap, 1, 0),
+        jnp.moveaxis(b2_is_head, 1, 0), jnp.moveaxis(b3d, 1, 0),
+        jnp.moveaxis(colge3, 1, 0), jnp.moveaxis(valid, 1, 0),
+        jnp.moveaxis(is_anchor, 1, 0),
+    )
+    init = (
+        jnp.full((B, K), NEG_INF, jnp.int32),
+        jnp.full((B, K), -7, jnp.int32),
+        jnp.full((B, K), -8, jnp.int32),
+        jnp.zeros((B, K), bool),
+        jnp.zeros((B, K), bool),
+        jnp.zeros((B,), bool),
+    )
+    _, (sc_all, bi_all) = jax.lax.scan(step, init, xs)
+    return (jnp.moveaxis(sc_all, 0, 1), jnp.moveaxis(bi_all, 0, 1), lvl_overflow)
+
+
+@functools.partial(jax.jit, static_argnames=("max_steps",))
+def backtrack(tables: SlotTables, scores: jnp.ndarray, besti: jnp.ndarray,
+              last_col: jnp.ndarray, seed_anchor: jnp.ndarray, max_steps: int):
+    """Batched backtrack (generate_cns_from_best_score_lq walk, main.rs:1573-1634).
+
+    last_col: [B] relative column of each window's final position.
+    seed_anchor: [B] — anchor-seeded windows stop the walk after emitting the
+    anchor column (relative col 2); the previous window emits everything below.
+    Emits per step (col, base_code, count, coverage, valid) in REVERSE genome
+    order; also returns best_score [B] (window-local max at the final column;
+    the host sums these for the reference's whole-contig `>= 0` default-kmer
+    check, main.rs:1651,1680), n_steps, and a truncation flag.
+    """
+    key = tables.key
+    B, W, K = key.shape
+    bidx = jnp.arange(B)
+
+    # start: last-max slot at the final column (reference >= scan, main.rs:1680)
+    sc_last = scores[bidx, last_col]  # [B, K]
+    maxv = jnp.max(sc_last, axis=1)
+    ismax = sc_last == maxv[:, None]
+    start_slot = (K - 1) - jnp.argmax(ismax[:, ::-1], axis=1)
+
+    def step(state, _):
+        c, s, alive = state
+        k = key[bidx, c, s]
+        flags = (k >> 12) & 0xF
+        q2 = (k >> 4) & 0xF
+        q3 = k & 0xF
+        cnt = tables.count[bidx, c, s]
+        cov = tables.coverage[bidx, c]
+        emit_valid = alive & (q3 != 4)
+        out = (c, q3, cnt, cov, emit_valid, alive)
+        # b2 column: same col if flags bit0 or both-bits, else col-1
+        both = (flags & 0b0101) == 0b0101
+        f23 = (flags & 1) != 0
+        b2_same = both | f23
+        is_head = q2 == HEAD_Q
+        at_anchor = seed_anchor & (c == 2)
+        nxt_c = jnp.where(b2_same, c, c - 1)
+        nxt_s = besti[bidx, c, s].astype(jnp.int32)
+        alive = alive & ~is_head & ~at_anchor & (nxt_c >= 0)
+        return (jnp.where(alive, nxt_c, c), jnp.where(alive, nxt_s, s), alive), out
+
+    init = (last_col.astype(jnp.int32), start_slot.astype(jnp.int32),
+            jnp.ones(B, bool))
+    (fc, fs, still_alive), outs = jax.lax.scan(step, init, None, length=max_steps)
+    cols_r, base_r, cnt_r, cov_r, ok_r, alive_r = outs
+    # [steps, B] -> [B, steps]
+    tr = lambda x: jnp.moveaxis(x, 0, 1)  # noqa: E731
+    n_steps = jnp.sum(tr(alive_r), axis=1)
+    return (tr(cols_r), tr(base_r), tr(cnt_r), tr(cov_r), tr(ok_r),
+            maxv, n_steps, still_alive)

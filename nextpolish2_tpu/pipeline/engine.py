@@ -1,0 +1,221 @@
+"""TPU polishing engine: device windowed consensus + shared host LQ machinery.
+
+Per contig: host builds alignment tag streams and plans anchor-bounded windows
+(pipeline/windows.py); the device aggregates pileups and runs the batched Viterbi
+(ops/consensus.py); the host stitches window emissions into the exact global
+backtrack stream, runs the reference LQ state machine over it, then the shared
+allele-extraction/phasing/recheck path (models/oracle_lq.py).
+
+Exactness: anchor-forced windowing makes windowed DP equal to the reference's
+whole-contig DP (see pipeline/windows.py); every device result is bit-compared
+against oracle semantics in tests. Windows that overflow static bounds (slots,
+delta levels, path steps) trigger a whole-contig oracle fallback.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import PolishConfig
+from ..io.bam import BamRecord
+from ..io.yak import KmerTable
+from ..models.oracle import build_alignseqs, passthrough_consensus
+from ..models.oracle_align import AlignTags
+from ..models.oracle_lq import (
+    L_SUCC,
+    extract_alleles,
+    fill_seed_lqseqs,
+    mark_hete_lqseqs,
+    phase_reads_by_lqseqs,
+    retrieve_kmer_count,
+    reupdate_consensus_with_lqseqs,
+    update_consensus_with_lqseqs,
+)
+from ..models.oracle_msa import ConsensusBase, LqRegion
+from ..utils.seqcodes import ASCII2CODE, CODE2ASCII
+from .host_fallback import host_window_dp
+from .windows import WindowOverflow, aggregate_host, build_window_batch
+
+
+def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
+                            ref_codes: np.ndarray, cfg: PolishConfig,
+                            ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Run the device engine; return the global REVERSED backtrack stream as
+    (pos, base_ascii, count, coverage) arrays — the exact stream the reference
+    walk produces (genome-descending)."""
+    import jax.numpy as jnp
+
+    from ..ops.consensus import SlotTables, backtrack, consensus_dp
+    from ..utils.jaxcfg import bucket, configure_jax
+
+    configure_jax()
+    wb = build_window_batch(alignseqs, n_pos, ref_codes, target=cfg.window_len)
+    if wb.n_windows == 0:
+        raise WindowOverflow("no windows")
+    if wb.width >= (1 << 13):
+        raise WindowOverflow(f"window width {wb.width} exceeds 2^13")
+    K = cfg.max_kmers_per_col
+    nw = wb.n_windows
+
+    # shape bucketing: compiles on the tunneled TPU cost 60s+ per unique shape,
+    # so pad (B, width) to standard sizes and slice results back
+    width = bucket(wb.width, 128)
+    B = bucket(nw, 8)
+    lead = np.zeros(B, dtype=np.int64)
+    lead[:nw] = np.maximum(wb.window_start - 2, 0)
+    seed = np.zeros(B, dtype=bool)
+    seed[:nw] = wb.window_start > 0
+    last_col = np.zeros(B, dtype=np.int32)
+    last_col[:nw] = (wb.window_start + wb.window_len - 1 - lead[:nw]).astype(np.int32)
+
+    key_tab, cnt_tab, coverage, n_slots, overflow = aggregate_host(
+        wb, K, width=width, n_windows=B)
+    tables = SlotTables(
+        key=jnp.asarray(key_tab), count=jnp.asarray(cnt_tab),
+        coverage=jnp.asarray(coverage), n_slots=jnp.asarray(n_slots),
+        overflow=jnp.asarray(overflow))
+    scores, besti, lvl_over = consensus_dp(tables, jnp.asarray(lead),
+                                           jnp.asarray(seed))
+    max_steps = int(width * 2)
+    cols_r, base_r, cnt_r, cov_r, ok_r, best_sc, n_steps, truncated = backtrack(
+        tables, scores, besti, jnp.asarray(last_col), jnp.asarray(seed),
+        max_steps)
+
+    cols_r = np.asarray(cols_r)
+    base_r = np.asarray(base_r)
+    cnt_r = np.asarray(cnt_r)
+    cov_r = np.asarray(cov_r)
+    ok_r = np.asarray(ok_r)
+    best_sc = np.asarray(best_sc).astype(np.int64)
+    # windows exceeding device static bounds re-run on the host with identical
+    # semantics and no caps (pathological pileup columns; see host_fallback.py)
+    needs_host = (overflow[:nw] | np.asarray(lvl_over)[:nw]
+                  | np.asarray(truncated)[:nw])
+    host_results = {}
+    for w in np.nonzero(needs_host)[0]:
+        valid = wb.cols[w] < wb.width
+        hcol, hq3, hcnt, hcov, hbest = host_window_dp(
+            wb.cols[w][valid], wb.keys[w][valid], wb.width,
+            int(lead[w]), int(last_col[w]), bool(seed[w]))
+        host_results[int(w)] = (hcol, hq3, hcnt, hcov)
+        best_sc[w] = hbest
+
+    # whole-contig default-kmer check (main.rs:1651): window-local maxima are
+    # partial sums from each anchor, so their sum is the true global best score
+    if int(best_sc[:nw].sum()) < 0:
+        raise WindowOverflow("global best score < 0 (degenerate default kmer)")
+
+    # stitch in global reverse order: last window first; window w keeps
+    # emissions with abs pos > window_start (w>0) / >= 0 (w==0)
+    pos_parts, base_parts, cnt_parts, cov_parts = [], [], [], []
+    for w in range(wb.n_windows - 1, -1, -1):
+        if w in host_results:
+            hcol, hq3, hcnt, hcov = host_results[w]
+            abs_pos = hcol + lead[w]
+            emit_base = CODE2ASCII[hq3 & 0x7]
+            emit_cnt, emit_cov = hcnt, hcov
+            keep = np.ones(len(abs_pos), dtype=bool)
+        else:
+            keep = ok_r[w]
+            abs_pos = cols_r[w].astype(np.int64) + lead[w]
+            emit_base = CODE2ASCII[base_r[w] & 0x7]
+            emit_cnt, emit_cov = cnt_r[w], cov_r[w]
+        if w > 0:
+            keep = keep & (abs_pos > wb.window_start[w])
+        else:
+            keep = keep & (abs_pos >= 0)
+        pos_parts.append(abs_pos[keep])
+        base_parts.append(emit_base[keep])
+        cnt_parts.append(emit_cnt[keep])
+        cov_parts.append(emit_cov[keep])
+    return (np.concatenate(pos_parts), np.concatenate(base_parts),
+            np.concatenate(cnt_parts), np.concatenate(cov_parts))
+
+
+def lq_state_machine(pos: np.ndarray, base: np.ndarray, cnt: np.ndarray,
+                     cov: np.ndarray, hq_min_qv: int = 95, lq_min_length: int = 2,
+                     ) -> Tuple[List[ConsensusBase], List[LqRegion]]:
+    """The reference LQ-region detector over the reversed backtrack stream
+    (main.rs:1573-1637), identical to oracle_msa.backtrack_lq's inline version."""
+    n = len(pos)
+    cb: List[ConsensusBase] = [ConsensusBase(int(pos[i]), int(base[i]))
+                               for i in range(n)]
+    lqseqs: List[LqRegion] = []
+    has_lq = False
+    lq_s = None
+    lq_e = 0
+    qv = np.where(cov > 0, cnt.astype(np.int64) * 100 // np.maximum(cov, 1), 0)
+    for p in range(n):
+        c = int(cov[p])
+        if c < 2:
+            has_lq = False
+            lq_s = None
+        elif qv[p] < hq_min_qv:
+            if lq_s is None:
+                lq_s = p
+            lq_e = p
+            has_lq = True
+        elif (has_lq and p - lq_e > 2 * lq_min_length
+              and cb[p - 1].pos != cb[p - 2].pos
+              and cb[p - 1].base != cb[p - 2].base):
+            lq_e = p - 2
+            lq_s = lq_s - lq_min_length if lq_s > lq_min_length else 1
+            while lq_s > 1 and (cb[lq_s - 1].pos == cb[lq_s].pos
+                                or cb[lq_s - 1].base == cb[lq_s].base):
+                lq_s -= 1
+            if lqseqs and cb[lq_s].pos >= lqseqs[-1].start:
+                lqseqs[-1].start = cb[lq_e].pos
+            else:
+                lqseqs.append(LqRegion(start=cb[lq_e].pos, end=cb[lq_s].pos))
+            has_lq = False
+            lq_s = None
+    cb.reverse()
+    return cb, lqseqs
+
+
+def polish_contig_tpu(tseq: bytes, records: Sequence[BamRecord],
+                      tables: Sequence[KmerTable],
+                      cfg: Optional[PolishConfig] = None,
+                      fallback: bool = True) -> List[ConsensusBase]:
+    """TPU-path per-contig polish; output matches models.oracle.polish_contig."""
+    cfg = cfg or PolishConfig()
+    if len(tseq) < cfg.min_ctg_len:
+        return passthrough_consensus(tseq)
+    tables = sorted(tables, key=lambda t: t.ksize)
+    ref_codes = ASCII2CODE[np.frombuffer(tseq, dtype=np.uint8)]
+    alignseqs = build_alignseqs(tseq, records, cfg)
+
+    try:
+        for i in range(cfg.iter_count):
+            out_cns = i + 1 == cfg.iter_count
+            pos, base, cnt, cov = device_consensus_stream(
+                alignseqs, len(tseq), ref_codes, cfg)
+            cb, lqseqs = lq_state_machine(pos, base, cnt, cov,
+                                          cfg.hq_min_qv, cfg.lq_min_length)
+            if not lqseqs:
+                if out_cns:
+                    return cb
+                continue
+            extract_alleles(alignseqs, lqseqs, tables[0], cfg.lqseq_max_can_count)
+            retrieve_kmer_count(lqseqs, tables[0], cfg.min_kmer_count)
+            if out_cns:
+                fill_seed_lqseqs(lqseqs, cfg.max_indel_len, cfg.lqseq_max_can_count)
+                consensus = update_consensus_with_lqseqs(lqseqs, cb, L_SUCC)
+                for p, table in enumerate(tables):
+                    consensus = reupdate_consensus_with_lqseqs(
+                        lqseqs, consensus, table, cfg.min_kmer_count, p + 1,
+                        cfg.lqseq_max_can_count)
+                return consensus
+            mark_hete_lqseqs(lqseqs, cfg.lqseq_max_can_count)
+            invalid = phase_reads_by_lqseqs(lqseqs, cfg.model == "ref",
+                                            cfg.use_all_reads)
+            for order in invalid:
+                alignseqs[order].dropped = True
+        raise AssertionError("unreachable")
+    except WindowOverflow:
+        if not fallback:
+            raise
+        from ..models.oracle import polish_contig
+        return polish_contig(tseq, records, tables, cfg)

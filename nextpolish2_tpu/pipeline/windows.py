@@ -1,0 +1,227 @@
+"""Window planner: split a contig into anchor-bounded windows for device DP.
+
+The reference runs one global Viterbi per contig (main.rs:1645-1687). We split at
+ANCHOR columns — positions where every covering read agrees exactly with zero
+insertions over a 3-column context and no read starts nearby — so the optimal path
+is forced through the single surviving 3-mer and the DP decomposes exactly:
+window-local DP + anchor-pinned boundary == whole-contig DP (additive scores).
+
+This windowing is the TPU-native replacement for one-thread-per-contig parallelism
+(SURVEY §2 'Intra-contig parallelism: none'): windows are the batched device unit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..models.oracle_align import AlignTags
+from ..models.oracle_msa import kmer_stream
+
+
+class WindowOverflow(Exception):
+    """A window exceeded static device bounds; caller falls back to the oracle."""
+
+
+@dataclass
+class WindowPlan:
+    starts: np.ndarray        # absolute first column of each window (anchor or 0)
+    ends: np.ndarray          # absolute last column (inclusive; anchor or n-1)
+    anchors: np.ndarray       # bool per column
+
+
+@dataclass
+class WindowBatch:
+    """Padded per-window kmer streams ready for device aggregation."""
+
+    plan: WindowPlan
+    n_windows: int
+    width: int                       # max columns per window (incl. 2 lead cols)
+    stream_len: int                  # T: padded stream length
+    cols: np.ndarray                 # int32 [n_windows, T], relative col (0-based
+                                     # at window_start-2), pad = width (out of range)
+    keys: np.ndarray                 # int32 [n_windows, T] packed kmer key
+    n_tags: np.ndarray               # int32 [n_windows]
+    window_start: np.ndarray         # int64 [n_windows] absolute start col
+    window_len: np.ndarray           # int32 [n_windows] = end - start + 1
+    anchor_key: np.ndarray           # int32 [n_windows] synthesized anchor kmer key
+    anchor_count: np.ndarray         # int32 [n_windows]
+
+
+def find_anchors(alignseqs: List[AlignTags], n_pos: int,
+                 ref_codes: np.ndarray) -> np.ndarray:
+    """Anchor mask: columns t where cols t-2..t are pure (all tags match ref with
+    delta 0, coverage >= 2) and no alignment starts at t-1 or t."""
+    colcnt = np.zeros(n_pos, dtype=np.int64)
+    matchcnt = np.zeros(n_pos, dtype=np.int64)
+    startcnt = np.zeros(n_pos, dtype=np.int64)
+    for a in alignseqs:
+        if a.dropped or len(a) == 0:
+            continue
+        np.add.at(colcnt, a.t_pos, 1)
+        ok = (a.delta == 0) & (a.q_base == ref_codes[a.t_pos])
+        np.add.at(matchcnt, a.t_pos[ok], 1)
+        startcnt[a.aln_t_s] += 1
+    pure = (colcnt >= 2) & (matchcnt == colcnt)
+    anchors = np.zeros(n_pos, dtype=bool)
+    if n_pos >= 3:
+        anchors[2:] = pure[2:] & pure[1:-1] & pure[:-2]
+        anchors[2:] &= (startcnt[2:] == 0) & (startcnt[1:-1] == 0)
+    return anchors
+
+
+def plan_windows(anchors: np.ndarray, n_pos: int, target: int = 1024) -> WindowPlan:
+    """Greedy split: each window ends at the last anchor within `target` columns
+    of its start (or stretches to the next anchor / contig end)."""
+    starts = [0]
+    ends: List[int] = []
+    anchor_idx = np.nonzero(anchors)[0]
+    while True:
+        s = starts[-1]
+        if s + target >= n_pos:
+            ends.append(n_pos - 1)
+            break
+        # last anchor <= s + target, but > s
+        j = np.searchsorted(anchor_idx, s + target, side="right") - 1
+        if j >= 0 and anchor_idx[j] > s:
+            e = int(anchor_idx[j])
+        else:
+            # no anchor in range: take the next anchor beyond, else contig end
+            j2 = np.searchsorted(anchor_idx, s + 1, side="left")
+            e = int(anchor_idx[j2]) if j2 < len(anchor_idx) else n_pos - 1
+        ends.append(e)
+        if e >= n_pos - 1:
+            break
+        starts.append(e)
+    return WindowPlan(
+        starts=np.array(starts, dtype=np.int64),
+        ends=np.array(ends, dtype=np.int64),
+        anchors=anchors,
+    )
+
+
+def aggregate_host(wb: "WindowBatch", K: int, width: int | None = None,
+                   n_windows: int | None = None):
+    """Host (numpy) pileup aggregation: per-window (col, key) streams ->
+    [B, width, K] slot tables + coverage, in the reference's slot order
+    (stable by (b3-delta, first occurrence); Msa::push + Msa::sort semantics).
+
+    Same result as ops.consensus.aggregate_windows; exists because XLA's TPU sort
+    compile blows up for streams >~100k entries, while this is a single numpy
+    sort over the concatenated streams. Also the template for the future C++
+    pileup extractor. Returns (key_tab, cnt_tab, coverage, n_slots, overflow).
+    """
+    B = n_windows if n_windows is not None else wb.n_windows
+    W = width if width is not None else wb.width
+    nw = wb.n_windows
+    T = wb.stream_len
+    win_id = np.repeat(np.arange(nw, dtype=np.int64), T).reshape(nw, T)
+    valid = wb.cols < wb.width
+    w_flat = win_id[valid]
+    c_flat = wb.cols[valid].astype(np.int64)
+    k_flat = wb.keys[valid].astype(np.int64)
+    # pack (win, col, key): win<2^16, col<2^13, key<2^32
+    packed = (w_flat << 45) | (c_flat << 32) | k_flat
+    uniq, first_idx, counts = np.unique(packed, return_index=True,
+                                        return_counts=True)
+    uw = uniq >> 45
+    uc = (uniq >> 32) & 0x1FFF
+    uk = uniq & 0xFFFFFFFF
+    uflag = (uk >> 12) & 0xF
+    udelta = (uk >> 16) & 0xFFFF
+    ub3d = np.where(uflag & 0b0101 == 0b0101, udelta + 2,
+                    np.where(uflag & 1 == 1, 1, 0))
+    order = np.lexsort((first_idx, ub3d, uc, uw))
+    uw, uc, uk, ub3d, counts = uw[order], uc[order], uk[order], ub3d[order], counts[order]
+    # rank within (win, col)
+    grp = (uw << 13) | uc
+    new_grp = np.concatenate([[True], grp[1:] != grp[:-1]])
+    gidx = np.arange(len(grp))
+    gstart = np.maximum.accumulate(np.where(new_grp, gidx, -1))
+    rank = gidx - gstart
+
+    overflow = np.zeros(B, dtype=bool)
+    over = rank >= K
+    if over.any():
+        overflow[np.unique(uw[over])] = True
+    keep = ~over
+    kw, kc, kr = uw[keep], uc[keep], rank[keep]
+    key_tab = np.full((B, W, K), -1, dtype=np.int32)
+    cnt_tab = np.zeros((B, W, K), dtype=np.int32)
+    key_tab[kw, kc, kr] = uk[keep].astype(np.int32)
+    cnt_tab[kw, kc, kr] = counts[keep].astype(np.int32)
+    coverage = np.zeros((B, W), dtype=np.int32)
+    d0 = keep & (ub3d == 0)
+    np.add.at(coverage, (uw[d0], uc[d0]), counts[d0].astype(np.int32))
+    n_slots = np.zeros((B, W), dtype=np.int32)
+    np.add.at(n_slots, (kw, kc), 1)
+    return key_tab, cnt_tab, coverage, n_slots, overflow
+
+
+def build_window_batch(alignseqs: List[AlignTags], n_pos: int,
+                       ref_codes: np.ndarray,
+                       target: int = 1024) -> WindowBatch:
+    """Plan windows and extract padded per-window (col, key) streams.
+
+    Window w's stream holds observations with t_pos in [start-2, end]; kmers at
+    relative cols 0,1 (= start-2, start-1) exist only to be discarded on device,
+    col 2 (= the anchor) is replaced by the synthesized anchor kmer.
+    """
+    anchors = find_anchors(alignseqs, n_pos, ref_codes)
+    plan = plan_windows(anchors, n_pos, target)
+    nw = len(plan.starts)
+
+    # full streams once; windows slice them
+    t_all_parts = []
+    k_all_parts = []
+    for a in alignseqs:
+        if a.dropped or len(a) == 0:
+            continue
+        t, k = kmer_stream(a)
+        t_all_parts.append(t)
+        k_all_parts.append(k)
+    t_all = np.concatenate(t_all_parts) if t_all_parts else np.zeros(0, np.int64)
+    k_all = np.concatenate(k_all_parts) if k_all_parts else np.zeros(0, np.uint64)
+    if len(k_all) and int((k_all >> np.uint64(16)).max()) >= (1 << 14):
+        # insertion runs >= 2^14 columns would overflow the i32 key packing;
+        # absurd input — let the engine fall back to the oracle
+        raise WindowOverflow("delta overflow: insertion run >= 16384 columns")
+    order = np.argsort(t_all, kind="stable")  # stable: keeps stream order per col
+    t_sorted = t_all[order]
+    k_sorted = k_all[order].astype(np.int64)
+
+    starts = plan.starts
+    ends = plan.ends
+    lead = np.maximum(starts - 2, 0)
+    lo = np.searchsorted(t_sorted, lead)
+    hi = np.searchsorted(t_sorted, ends + 1)
+    counts = hi - lo
+    T = int(counts.max()) if nw else 0
+    width = int((ends - starts).max()) + 3 if nw else 0  # +2 lead +1 inclusive
+
+    cols = np.full((nw, T), width, dtype=np.int32)  # pad = width (out of range)
+    keys = np.zeros((nw, T), dtype=np.int32)
+    # anchor kmer: (ref[t-2], ref[t-1], ref[t]) with deltas 0 -> flags 0,
+    # b1.delta 0; count = column coverage at the anchor
+    colcnt = np.zeros(n_pos, dtype=np.int64)
+    np.add.at(colcnt, t_all, 1)
+    anchor_key = np.zeros(nw, dtype=np.int32)
+    anchor_count = np.zeros(nw, dtype=np.int32)
+    for w in range(nw):
+        n = counts[w]
+        cols[w, :n] = (t_sorted[lo[w] : hi[w]] - lead[w]).astype(np.int32)
+        keys[w, :n] = k_sorted[lo[w] : hi[w]].astype(np.int32)
+        s = int(starts[w])
+        if s > 0:
+            r1, r2, r3 = int(ref_codes[s - 2]), int(ref_codes[s - 1]), int(ref_codes[s])
+            anchor_key[w] = (r1 << 8) | (r2 << 4) | r3
+            anchor_count[w] = colcnt[s]
+    return WindowBatch(
+        plan=plan, n_windows=nw, width=width, stream_len=T,
+        cols=cols, keys=keys, n_tags=counts.astype(np.int32),
+        window_start=starts.astype(np.int64),
+        window_len=(ends - starts + 1).astype(np.int32),
+        anchor_key=anchor_key, anchor_count=anchor_count,
+    )

@@ -1,0 +1,40 @@
+"""Host (numpy) vs device (XLA sort) pileup aggregation consistency."""
+
+import numpy as np
+
+from nextpolish2_tpu.config import PolishConfig
+from nextpolish2_tpu.io.bam import BamRecord
+from nextpolish2_tpu.models.oracle import build_alignseqs
+from nextpolish2_tpu.pipeline.windows import aggregate_host, build_window_batch
+from nextpolish2_tpu.utils.seqcodes import ASCII2CODE
+
+
+def test_host_vs_device_aggregation():
+    import jax.numpy as jnp
+
+    from nextpolish2_tpu.ops.consensus import aggregate_windows
+
+    rng = np.random.default_rng(50)
+    t = bytes(rng.choice(list(b"ACGT"), size=2000).astype(np.uint8))
+    reads = []
+    for s in range(0, 1500, 150):
+        seq = bytearray(t[s : s + 600])
+        for _ in range(3):  # sprinkle errors to create slot diversity
+            i = int(rng.integers(len(seq)))
+            seq[i] = int(rng.choice(list(b"ACGT")))
+        reads.append(BamRecord(qname=f"r{s}".encode(), flag=0, tid=0, pos=s,
+                               mapq=60, cigar=[(0, 600)], seq=bytes(seq)))
+    cfg = PolishConfig(min_ctg_len=0, min_read_len=100, min_map_len=50)
+    aligns = build_alignseqs(t, reads, cfg)
+    ref_codes = ASCII2CODE[np.frombuffer(t, dtype=np.uint8)]
+    wb = build_window_batch(aligns, len(t), ref_codes, target=512)
+    K = 32
+
+    hkey, hcnt, hcov, hns, hover = aggregate_host(wb, K)
+    dev = aggregate_windows(jnp.asarray(wb.cols), jnp.asarray(wb.keys),
+                            wb.width, K)
+    np.testing.assert_array_equal(hkey, np.asarray(dev.key))
+    np.testing.assert_array_equal(hcnt, np.asarray(dev.count))
+    np.testing.assert_array_equal(hcov, np.asarray(dev.coverage))
+    np.testing.assert_array_equal(hns, np.asarray(dev.n_slots))
+    np.testing.assert_array_equal(hover, np.asarray(dev.overflow))

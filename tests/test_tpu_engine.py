@@ -1,0 +1,128 @@
+"""TPU engine vs oracle: bit-exact consensus equality on synthetic data."""
+
+import numpy as np
+import pytest
+
+from nextpolish2_tpu.config import PolishConfig
+from nextpolish2_tpu.io.bam import BamRecord
+from nextpolish2_tpu.io.yak import count_kmers, load_yak, write_yak
+from nextpolish2_tpu.models.oracle import consensus_to_bytes, polish_contig
+from nextpolish2_tpu.pipeline.engine import polish_contig_tpu
+
+
+def rand_seq(rng, n):
+    return bytes(rng.choice(list(b"ACGT"), size=n).astype(np.uint8))
+
+
+def mutate(rng, seq, sub=0.002, ins=0.001, dele=0.001):
+    out = bytearray()
+    bases = b"ACGT"
+    for ch in seq:
+        r = rng.random()
+        if r < sub:
+            out.append(bases[rng.integers(4)])
+        elif r < sub + ins:
+            out.append(ch)
+            out.append(bases[rng.integers(4)])
+        elif r < sub + ins + dele:
+            continue
+        else:
+            out.append(ch)
+    return bytes(out)
+
+
+def cfg_small(**kw):
+    d = dict(min_ctg_len=0, min_read_len=100, min_map_len=50, min_map_fra=0.5,
+             window_len=512)
+    d.update(kw)
+    return PolishConfig(**d)
+
+
+def make_table(tmp_path, seqs, k=21, copies=6, name="t"):
+    h, c = count_kmers(list(seqs) * copies, k)
+    path = str(tmp_path / f"{name}{k}.yak")
+    write_yak(path, k, h, c)
+    return load_yak(path)
+
+
+def tiled(seq, length=800, step=300):
+    return [(s, seq[s : s + length])
+            for s in range(0, max(1, len(seq) - length + 1), step)]
+
+
+def rec(pos, cigar, seq, qname=b"r"):
+    return BamRecord(qname=qname, flag=0, tid=0, pos=pos, mapq=60,
+                     cigar=cigar, seq=seq)
+
+
+def _assert_same(cb_a, cb_b):
+    assert len(cb_a) == len(cb_b), f"lengths differ: {len(cb_a)} vs {len(cb_b)}"
+    for i, (a, b) in enumerate(zip(cb_a, cb_b)):
+        assert (a.pos, a.base) == (b.pos, b.base), \
+            f"mismatch at {i}: {(a.pos, chr(a.base))} vs {(b.pos, chr(b.base))}"
+
+
+def test_tpu_equals_oracle_clean(tmp_path):
+    rng = np.random.default_rng(30)
+    t = rand_seq(rng, 4000)
+    table = make_table(tmp_path, [t])
+    reads = [rec(s, [(0, len(r))], r, qname=f"r{s}".encode()) for s, r in tiled(t)]
+    cfg = cfg_small()
+    a = polish_contig(t, reads, [table], cfg)
+    b = polish_contig_tpu(t, reads, [table], cfg, fallback=False)
+    _assert_same(a, b)
+    assert consensus_to_bytes(b) == t
+
+
+def test_tpu_equals_oracle_with_errors(tmp_path):
+    """Assembly has sub+indel errors; noisy reads; full LQ/recheck path."""
+    rng = np.random.default_rng(31)
+    t = rand_seq(rng, 4000)
+    asm = bytearray(t)
+    asm[1001] = ord("A") if t[1001] != ord("A") else ord("C")
+    asm = bytes(asm[:2000]) + bytes(asm[2001:])  # deletion at 2000
+    table = make_table(tmp_path, [t])
+    reads = []
+    for s, r in tiled(t, length=900, step=180):
+        rr = mutate(rng, r)
+        # align read to asm via the aligner (exact cigar not needed: use hifi_align)
+        reads.append((s, rr))
+    from nextpolish2_tpu.pipeline.hifi_align import TargetIndex, align_read
+    idx = TargetIndex.build(asm)
+    recs = []
+    for s, rr in reads:
+        res = align_read(idx, asm, rr)
+        if res is None:
+            continue
+        recs.append(rec(res.pos, res.cigar, rr, qname=f"r{s}".encode()))
+    recs.sort(key=lambda r: r.pos)
+    cfg = cfg_small()
+    a = polish_contig(asm, recs, [table], cfg)
+    b = polish_contig_tpu(asm, recs, [table], cfg, fallback=False)
+    _assert_same(a, b)
+    assert consensus_to_bytes(b) == t
+
+
+def test_tpu_equals_oracle_het_phasing(tmp_path):
+    rng = np.random.default_rng(32)
+    hap1 = bytearray(rand_seq(rng, 4000))
+    hap2 = bytearray(hap1)
+    for sp in (1400, 1450, 1500, 1550, 1600, 2500, 2550):
+        old = hap2[sp]
+        for nb in b"ACGT":
+            if nb != old:
+                hap2[sp] = nb
+                break
+    hap1, hap2 = bytes(hap1), bytes(hap2)
+    table = make_table(tmp_path, [hap1, hap2])
+    recs = []
+    for s, r in tiled(hap1, length=900, step=450):
+        recs.append(rec(s, [(0, len(r))], r, qname=f"h1_{s}".encode()))
+    for s, r in tiled(hap2, length=900, step=450):
+        recs.append(rec(s, [(0, len(r))], r, qname=f"h2_{s}".encode()))
+    recs.sort(key=lambda r: r.pos)
+    cfg = cfg_small()
+    a = polish_contig(hap1, recs, [table], cfg)
+    b = polish_contig_tpu(hap1, recs, [table], cfg, fallback=False)
+    _assert_same(a, b)
+    assert consensus_to_bytes(b) == hap1
