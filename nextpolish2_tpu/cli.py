@@ -1,0 +1,124 @@
+"""CLI mirroring the reference nextPolish2 interface (src/utils/option.rs:43-228).
+
+    nextpolish2 [-o FILE] [options] HiFi.map.bam genome.fa[.gz] short.read.yak...
+
+All reference flags are supported plus TPU-engine knobs (--engine, --window-len).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from . import __version__
+from .config import PolishConfig, parse_min_map_len
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="nextpolish2",
+        description="Repeat-aware polishing genomes assembled using HiFi long reads "
+                    "(TPU-native reimplementation)",
+    )
+    p.add_argument("bam", help="HiFi-to-ref mapping file in sorted BAM format.")
+    p.add_argument("fa", help="genome assembly file in [GZIP] FASTA format.")
+    p.add_argument("yak", nargs="+",
+                   help="one or more k-mer dataset in yak format.")
+    p.add_argument("-o", "--out", default="stdout", help="output file.")
+    p.add_argument("-u", "--uppercase", action="store_true",
+                   help="output in uppercase sequences.")
+    p.add_argument("--out_pos", action="store_true",
+                   help="output each base and its position.")
+    p.add_argument("-k", "--min_kmer_count", type=int, default=5,
+                   help="filter kmers in k-mer dataset with count <= INT.")
+    p.add_argument("-t", "--thread", type=int, default=1, help="number of threads.")
+    p.add_argument("-i", "--iter_count", type=int, default=2,
+                   help="number of iterations to attempt phasing.")
+    p.add_argument("-m", "--model", choices=["ref", "len"], default="ref",
+                   type=str.lower, help="phasing model.")
+    p.add_argument("-l", "--min_read_len", type=int, default=1000,
+                   help="filter reads with length <= INT.")
+    p.add_argument("-L", "--min_ctg_len", type=int, default=1_000_000,
+                   help="don't correct reference sequences with length <= INT.")
+    p.add_argument("-n", "--max_indel_len", type=int, default=20,
+                   help="ignore indel errors with length > INT.")
+    p.add_argument("-s", "--use_supplementary", action="store_true",
+                   help="use supplementary alignments.")
+    p.add_argument("-S", "--use_secondary", action="store_true",
+                   help="use secondary alignments, consider setting "
+                        "`min_map_qual` to -1 when using this option.")
+    p.add_argument("-a", "--min_map_len", type=float, default=500.5,
+                   help="filter alignments with alignment length <= "
+                        "min(INT, FLOAT * read_length).")
+    p.add_argument("-q", "--min_map_qual", type=int, default=1,
+                   help="filter alignments with mapping quality <= INT.")
+    p.add_argument("-c", "--max_clip_len", type=int, default=100,
+                   help="filter alignments with unaligned length >= INT.")
+    p.add_argument("-r", "--use_all_reads", action="store_true",
+                   help="use all unfiltered reads, reads with different haplotypes "
+                        "from the reference assembly are discarded by default.")
+    p.add_argument("--min_base_cov", type=int, default=1, help=argparse.SUPPRESS)
+    p.add_argument("--engine", choices=["tpu", "oracle"], default="tpu",
+                   help="compute engine: TPU windowed (default) or host oracle.")
+    p.add_argument("--window-len", type=int, default=1024,
+                   help="device window target length (columns).")
+    p.add_argument("--version", action="version", version=__version__)
+    return p
+
+
+def args_to_config(a: argparse.Namespace) -> PolishConfig:
+    mml, mmf = parse_min_map_len(a.min_map_len)
+    return PolishConfig(
+        min_kmer_count=a.min_kmer_count,
+        iter_count=a.iter_count,
+        min_read_len=a.min_read_len,
+        min_ctg_len=a.min_ctg_len,
+        max_indel_len=a.max_indel_len,
+        use_supplementary=a.use_supplementary,
+        use_secondary=a.use_secondary,
+        use_all_reads=a.use_all_reads,
+        min_map_qual=a.min_map_qual,
+        min_map_len=mml,
+        min_map_fra=mmf,
+        max_clip_len=a.max_clip_len,
+        model=a.model,
+        uppercase=a.uppercase,
+        out_pos=a.out_pos,
+        min_base_cov=a.min_base_cov,
+        window_len=a.window_len,
+        threads=a.thread,
+    )
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    for path in [args.bam, args.fa] + args.yak:
+        if not os.path.exists(path):
+            print(f"{path!r} does not exist!", file=sys.stderr)
+            return 2
+    if args.out != "stdout" and os.path.exists(args.out):
+        print(f"{args.out!r} already exists!", file=sys.stderr)  # option.rs:312-316
+        return 2
+    cfg = args_to_config(args)
+
+    from .pipeline.orchestrator import PolishStats, polish
+    from .utils.resource import resource_str
+
+    out = sys.stdout.buffer if args.out == "stdout" else open(args.out, "wb")
+    stats = PolishStats()
+    try:
+        polish(args.fa, args.bam, args.yak, cfg, engine=args.engine, out=out,
+               stats=stats)
+    finally:
+        if out is not sys.stdout.buffer:
+            out.close()
+    print(resource_str(__version__), file=sys.stderr)
+    print(f"Contigs: {stats.contigs} ({stats.polished} polished, "
+          f"{stats.passthrough} passthrough); bases {stats.in_bases} -> "
+          f"{stats.out_bases}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

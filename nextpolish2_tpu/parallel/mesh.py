@@ -1,0 +1,42 @@
+"""Device mesh setup and sharding helpers.
+
+The polishing workload shards two ways (SURVEY §2 parallelism table):
+  - 'win'  axis: window batches stream data-parallel (contig windows are the
+    intra-contig parallel unit, replacing the reference's one-thread-per-contig);
+  - 'kmer' axis: large yak tables shard across devices; lookups combine with a
+    psum (small tables replicate instead).
+Multi-host extends the same mesh over jax.distributed; ICI carries the psum.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_win: Optional[int] = None, n_kmer: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n_win is None:
+        n_win = n // n_kmer
+    assert n_win * n_kmer == n, f"mesh {n_win}x{n_kmer} != {n} devices"
+    arr = np.array(devices).reshape(n_win, n_kmer)
+    return Mesh(arr, axis_names=("win", "kmer"))
+
+
+def window_sharding(mesh: Mesh) -> NamedSharding:
+    """Window-batch tensors: leading (batch) dim over the 'win' axis."""
+    return NamedSharding(mesh, P("win"))
+
+
+def kmer_sharding(mesh: Mesh) -> NamedSharding:
+    """Stacked k-mer table shards: leading (shard) dim over the 'kmer' axis."""
+    return NamedSharding(mesh, P("kmer"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -79,25 +79,23 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
     scores, besti, lvl_over = consensus_dp(tables, jnp.asarray(lead),
                                            jnp.asarray(seed))
     max_steps = int(width * 2)
-    cols_r, base_r, cnt_r, cov_r, ok_r, best_sc, n_steps, truncated = backtrack(
-        tables, scores, besti, jnp.asarray(last_col), jnp.asarray(seed),
-        max_steps)
+    out = backtrack(tables, scores, besti, jnp.asarray(last_col),
+                    jnp.asarray(seed), max_steps)
+    # ONE device->host transfer: each pull over the tunneled TPU costs ~10s of
+    # round-trip latency regardless of size
+    import jax
 
-    cols_r = np.asarray(cols_r)
-    base_r = np.asarray(base_r)
-    cnt_r = np.asarray(cnt_r)
-    cov_r = np.asarray(cov_r)
-    ok_r = np.asarray(ok_r)
-    best_sc = np.asarray(best_sc).astype(np.int64)
+    (cols_r, base_r, cnt_r, cov_r, ok_r, best_sc, _n_steps,
+     truncated), lvl_over = jax.device_get((out, lvl_over))
+    best_sc = best_sc.astype(np.int64)
     # windows exceeding device static bounds re-run on the host with identical
     # semantics and no caps (pathological pileup columns; see host_fallback.py)
-    needs_host = (overflow[:nw] | np.asarray(lvl_over)[:nw]
-                  | np.asarray(truncated)[:nw])
+    needs_host = overflow[:nw] | lvl_over[:nw] | truncated[:nw]
     host_results = {}
     for w in np.nonzero(needs_host)[0]:
-        valid = wb.cols[w] < wb.width
+        hcols, hkeys = wb.window_stream(int(w))
         hcol, hq3, hcnt, hcov, hbest = host_window_dp(
-            wb.cols[w][valid], wb.keys[w][valid], wb.width,
+            hcols, hkeys, wb.width,
             int(lead[w]), int(last_col[w]), bool(seed[w]))
         host_results[int(w)] = (hcol, hq3, hcnt, hcov)
         best_sc[w] = hbest

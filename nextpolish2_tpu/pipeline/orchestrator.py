@@ -1,0 +1,106 @@
+"""Multi-contig streaming orchestrator + top-level polish() API.
+
+Replaces the reference's thread pipeline (input thread / N workers / output
+thread over bounded channels, main.rs:1689-1856). Here the sorted BAM is streamed
+sequentially and grouped per contig (no random access needed), each contig runs
+through the TPU engine (windows are the intra-contig parallel unit — the device
+batch), and output is written in INPUT ORDER (deterministic, unlike the
+reference's worker-completion order for t>1; SURVEY §2 C17).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+from ..config import PolishConfig
+from ..io.bam import BamReader
+from ..io.fastx import read_fastx, write_fasta_record, write_pos_records
+from ..io.yak import KmerTable, load_yak
+from ..models.oracle import consensus_to_bytes, passthrough_consensus, polish_contig
+from ..models.oracle_msa import ConsensusBase
+from ..utils.resource import resource_str
+
+
+@dataclass
+class PolishedContig:
+    name: str
+    seq: bytes
+    start: int
+    end: int
+
+
+@dataclass
+class PolishStats:
+    contigs: int = 0
+    polished: int = 0
+    passthrough: int = 0
+    in_bases: int = 0
+    out_bases: int = 0
+    seconds: float = 0.0
+
+
+def polish(fa_path: str, bam_path: str, yak_paths: Sequence[str],
+           cfg: Optional[PolishConfig] = None, engine: str = "tpu",
+           out=None, stats: Optional[PolishStats] = None) -> List[PolishedContig]:
+    """Polish all contigs of `fa_path` using `bam_path` alignments and yak tables.
+
+    engine: 'tpu' (device windowed engine) or 'oracle' (reference-faithful host).
+    If `out` is a binary file object, FASTA records are written as completed and
+    sequences are not retained (returns empty list).
+    """
+    cfg = cfg or PolishConfig()
+    t_start = time.time()
+    tables = [load_yak(p) for p in yak_paths]
+    tables.sort(key=lambda t: t.ksize)  # option.rs:238
+
+    reader = BamReader(bam_path)
+    ref_names = [n for n, _ in reader.references]
+    name_to_tid = {n: i for i, n in enumerate(ref_names)}
+    contig_records: Dict[int, list] = {}
+    for tid, recs in reader.by_contig():
+        contig_records[tid] = recs
+
+    results: List[PolishedContig] = []
+    stats = stats if stats is not None else PolishStats()
+    for name, seq in read_fastx(fa_path):
+        stats.contigs += 1
+        stats.in_bases += len(seq)
+        if len(seq) >= (1 << 32):
+            raise ValueError(f"{name} is too long!")  # main.rs:1707-1711
+        if len(seq) < cfg.min_ctg_len:
+            cb = passthrough_consensus(seq)
+            stats.passthrough += 1
+        else:
+            tid = name_to_tid.get(name)
+            recs = contig_records.get(tid, []) if tid is not None else []
+            if engine == "tpu":
+                from .engine import polish_contig_tpu
+                cb = polish_contig_tpu(seq, recs, tables, cfg)
+            else:
+                cb = polish_contig(seq, recs, tables, cfg)
+            stats.polished += 1
+        out_seq = consensus_to_bytes(cb)
+        stats.out_bases += len(out_seq)
+        pc = PolishedContig(name=name, seq=out_seq,
+                            start=cb[0].pos if cb else 0,
+                            end=cb[-1].pos if cb else 0)
+        if out is not None:
+            _emit(out, pc, cb, cfg)
+        else:
+            results.append(pc)
+    stats.seconds = time.time() - t_start
+    return results
+
+
+def _emit(out, pc: PolishedContig, cb: List[ConsensusBase],
+          cfg: PolishConfig) -> None:
+    if cfg.out_pos:
+        write_pos_records(out, pc.name, pc.seq, [c.pos for c in cb],
+                          uppercase=cfg.uppercase)
+    else:
+        write_fasta_record(out, pc.name, pc.seq, pc.start, pc.end,
+                           uppercase=cfg.uppercase)
+    out.flush()

@@ -34,20 +34,42 @@ class WindowPlan:
 
 @dataclass
 class WindowBatch:
-    """Padded per-window kmer streams ready for device aggregation."""
+    """Per-window kmer streams: flat (win, col, key) arrays + window metadata.
+
+    Flat layout avoids materializing [n_windows, T_max] padded copies on the
+    throttled host; the padded view (needed by the device-sort aggregation path)
+    is built lazily via `padded()`.
+    """
 
     plan: WindowPlan
     n_windows: int
     width: int                       # max columns per window (incl. 2 lead cols)
-    stream_len: int                  # T: padded stream length
-    cols: np.ndarray                 # int32 [n_windows, T], relative col (0-based
-                                     # at window_start-2), pad = width (out of range)
-    keys: np.ndarray                 # int32 [n_windows, T] packed kmer key
-    n_tags: np.ndarray               # int32 [n_windows]
+    stream_len: int                  # T: max per-window stream length
+    flat_win: np.ndarray             # int32 [N] window id per stream entry
+    flat_col: np.ndarray             # int32 [N] relative col (0 = window_start-2)
+    flat_key: np.ndarray             # int32 [N] packed kmer key
+    n_tags: np.ndarray               # int64 [n_windows]
     window_start: np.ndarray         # int64 [n_windows] absolute start col
     window_len: np.ndarray           # int32 [n_windows] = end - start + 1
     anchor_key: np.ndarray           # int32 [n_windows] synthesized anchor kmer key
     anchor_count: np.ndarray         # int32 [n_windows]
+
+    def padded(self) -> tuple[np.ndarray, np.ndarray]:
+        """[n_windows, T] (cols, keys) with pad col == width (device-agg path)."""
+        nw, T = self.n_windows, self.stream_len
+        cols = np.full((nw, T), self.width, dtype=np.int32)
+        keys = np.zeros((nw, T), dtype=np.int32)
+        off = np.concatenate([[0], np.cumsum(self.n_tags)])
+        for w in range(nw):
+            n = int(self.n_tags[w])
+            cols[w, :n] = self.flat_col[off[w] : off[w] + n]
+            keys[w, :n] = self.flat_key[off[w] : off[w] + n]
+        return cols, keys
+
+    def window_stream(self, w: int) -> tuple[np.ndarray, np.ndarray]:
+        off = int(np.sum(self.n_tags[:w]))
+        n = int(self.n_tags[w])
+        return self.flat_col[off : off + n], self.flat_key[off : off + n]
 
 
 def find_anchors(alignseqs: List[AlignTags], n_pos: int,
@@ -115,14 +137,10 @@ def aggregate_host(wb: "WindowBatch", K: int, width: int | None = None,
     """
     B = n_windows if n_windows is not None else wb.n_windows
     W = width if width is not None else wb.width
-    nw = wb.n_windows
-    T = wb.stream_len
-    win_id = np.repeat(np.arange(nw, dtype=np.int64), T).reshape(nw, T)
-    valid = wb.cols < wb.width
-    w_flat = win_id[valid]
-    c_flat = wb.cols[valid].astype(np.int64)
-    k_flat = wb.keys[valid].astype(np.int64)
-    # pack (win, col, key): win<2^16, col<2^13, key<2^32
+    w_flat = wb.flat_win.astype(np.int64)
+    c_flat = wb.flat_col.astype(np.int64)
+    k_flat = wb.flat_key.astype(np.int64)
+    # pack (win, col, key): win<2^19, col<2^13, key<2^32
     packed = (w_flat << 45) | (c_flat << 32) | k_flat
     uniq, first_idx, counts = np.unique(packed, return_index=True,
                                         return_counts=True)
@@ -197,30 +215,35 @@ def build_window_batch(alignseqs: List[AlignTags], n_pos: int,
     lead = np.maximum(starts - 2, 0)
     lo = np.searchsorted(t_sorted, lead)
     hi = np.searchsorted(t_sorted, ends + 1)
-    counts = hi - lo
+    counts = (hi - lo).astype(np.int64)
     T = int(counts.max()) if nw else 0
     width = int((ends - starts).max()) + 3 if nw else 0  # +2 lead +1 inclusive
 
-    cols = np.full((nw, T), width, dtype=np.int32)  # pad = width (out of range)
-    keys = np.zeros((nw, T), dtype=np.int32)
+    # flat (win, col, key) arrays; adjacent windows duplicate their 3 shared
+    # columns' entries (different relative cols), a negligible overhead
+    idx = np.concatenate([np.arange(lo[w], hi[w]) for w in range(nw)]) if nw \
+        else np.zeros(0, dtype=np.int64)
+    flat_win = np.repeat(np.arange(nw, dtype=np.int32), counts)
+    flat_col = (t_sorted[idx] - lead[flat_win]).astype(np.int32)
+    flat_key = k_sorted[idx].astype(np.int32)
+
     # anchor kmer: (ref[t-2], ref[t-1], ref[t]) with deltas 0 -> flags 0,
     # b1.delta 0; count = column coverage at the anchor
     colcnt = np.zeros(n_pos, dtype=np.int64)
     np.add.at(colcnt, t_all, 1)
     anchor_key = np.zeros(nw, dtype=np.int32)
     anchor_count = np.zeros(nw, dtype=np.int32)
-    for w in range(nw):
-        n = counts[w]
-        cols[w, :n] = (t_sorted[lo[w] : hi[w]] - lead[w]).astype(np.int32)
-        keys[w, :n] = k_sorted[lo[w] : hi[w]].astype(np.int32)
-        s = int(starts[w])
-        if s > 0:
-            r1, r2, r3 = int(ref_codes[s - 2]), int(ref_codes[s - 1]), int(ref_codes[s])
-            anchor_key[w] = (r1 << 8) | (r2 << 4) | r3
-            anchor_count[w] = colcnt[s]
+    interior = starts > 0
+    sidx = starts[interior]
+    anchor_key[interior] = (
+        (ref_codes[sidx - 2].astype(np.int32) << 8)
+        | (ref_codes[sidx - 1].astype(np.int32) << 4)
+        | ref_codes[sidx].astype(np.int32))
+    anchor_count[interior] = colcnt[sidx]
     return WindowBatch(
         plan=plan, n_windows=nw, width=width, stream_len=T,
-        cols=cols, keys=keys, n_tags=counts.astype(np.int32),
+        flat_win=flat_win, flat_col=flat_col, flat_key=flat_key,
+        n_tags=counts,
         window_start=starts.astype(np.int64),
         window_len=(ends - starts + 1).astype(np.int32),
         anchor_key=anchor_key, anchor_count=anchor_count,

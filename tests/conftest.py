@@ -2,12 +2,18 @@
 
 Multi-chip sharding paths are validated here without TPU hardware (the driver
 separately dry-runs dryrun_multichip); bench.py uses the real chip.
+
+NOTE: the axon TPU plugin force-sets jax_platforms="axon,cpu" at registration,
+overriding the JAX_PLATFORMS env var — jax.config.update after import is the only
+way to pin CPU here.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the outer env may pin a TPU platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -31,7 +31,8 @@ def test_host_vs_device_aggregation():
     K = 32
 
     hkey, hcnt, hcov, hns, hover = aggregate_host(wb, K)
-    dev = aggregate_windows(jnp.asarray(wb.cols), jnp.asarray(wb.keys),
+    pcols, pkeys = wb.padded()
+    dev = aggregate_windows(jnp.asarray(pcols), jnp.asarray(pkeys),
                             wb.width, K)
     np.testing.assert_array_equal(hkey, np.asarray(dev.key))
     np.testing.assert_array_equal(hcnt, np.asarray(dev.count))

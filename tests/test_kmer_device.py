@@ -1,0 +1,63 @@
+"""Device k-mer table (single-chip + sharded over virtual 8-CPU mesh) vs host."""
+
+import numpy as np
+
+from nextpolish2_tpu.io.yak import yak_hash64
+
+
+def _mk_data(n=5000, seed=60, ksize=21):
+    rng = np.random.default_rng(seed)
+    mask = (1 << (2 * ksize)) - 1
+    kmers = rng.integers(0, mask, size=n, dtype=np.uint64)
+    hashes = np.unique(yak_hash64(kmers, mask))
+    counts = rng.integers(1, 900, size=len(hashes)).astype(np.int64)
+    return hashes, counts, mask
+
+
+def test_device_table_lookup():
+    import jax.numpy as jnp
+
+    from nextpolish2_tpu.ops.kmer_table import DeviceKmerTable, lookup_jit
+
+    hashes, counts, mask = _mk_data()
+    tab = DeviceKmerTable.build(hashes, counts, 21)
+    q_hi, q_lo, q_slot = tab.query_host_arrays(hashes)
+    got = np.asarray(lookup_jit(jnp.asarray(tab.key_hi), jnp.asarray(tab.key_lo),
+                                jnp.asarray(tab.counts), jnp.asarray(q_hi),
+                                jnp.asarray(q_lo), jnp.asarray(q_slot), 0))
+    np.testing.assert_array_equal(got, counts)
+    # absent keys -> 0; min_count filtering
+    rng = np.random.default_rng(61)
+    absent = rng.integers(0, mask, size=1000, dtype=np.uint64)
+    absent = np.setdiff1d(absent, hashes)
+    a_hi, a_lo, a_slot = tab.query_host_arrays(absent)
+    got = np.asarray(lookup_jit(jnp.asarray(tab.key_hi), jnp.asarray(tab.key_lo),
+                                jnp.asarray(tab.counts), jnp.asarray(a_hi),
+                                jnp.asarray(a_lo), jnp.asarray(a_slot), 0))
+    assert (got == 0).all()
+    q_hi, q_lo, q_slot = tab.query_host_arrays(hashes)
+    got5 = np.asarray(lookup_jit(jnp.asarray(tab.key_hi), jnp.asarray(tab.key_lo),
+                                 jnp.asarray(tab.counts), jnp.asarray(q_hi),
+                                 jnp.asarray(q_lo), jnp.asarray(q_slot), 100))
+    np.testing.assert_array_equal(got5, np.where(counts >= 100, counts, 0))
+
+
+def test_sharded_table_lookup_8dev():
+    import jax
+    import jax.numpy as jnp
+
+    from nextpolish2_tpu.parallel.mesh import make_mesh
+    from nextpolish2_tpu.parallel.sharded_kmer import (
+        ShardedKmerTable, make_sharded_lookup)
+
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    mesh = make_mesh(n_win=1, n_kmer=8)
+    hashes, counts, mask = _mk_data(n=8000, seed=62)
+    tab = ShardedKmerTable.build(hashes, counts, 21, n_shards=8)
+    fn = make_sharded_lookup(mesh, min_count=0)
+    q_hi, q_lo, q_slot, q_shard = tab.query_host_arrays(hashes)
+    got = np.asarray(fn(jnp.asarray(tab.key_hi), jnp.asarray(tab.key_lo),
+                        jnp.asarray(tab.counts), jnp.asarray(q_hi),
+                        jnp.asarray(q_lo), jnp.asarray(q_slot),
+                        jnp.asarray(q_shard)))
+    np.testing.assert_array_equal(got, counts)
