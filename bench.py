@@ -77,17 +77,22 @@ def main() -> int:
     jlead, jseed, jlast = jnp.asarray(lead), jnp.asarray(seed), jnp.asarray(last_col)
     max_steps = int(width * 2)
 
-    def step():
+    @jax.jit
+    def step(tables, jlead, jseed, jlast):
         scores, besti, lvl = consensus_dp(tables, jlead, jseed)
         out = backtrack(tables, scores, besti, jlast, jseed, max_steps)
-        jax.block_until_ready(out)
-        return out
+        # device-side checksum: forces full execution; only a scalar crosses the
+        # tunnel (block_until_ready does NOT block on the axon backend)
+        chk = (scores.sum(dtype=jnp.int64) + out[1].sum(dtype=jnp.int64)
+               + out[5].sum(dtype=jnp.int64))
+        return chk
 
-    step()  # warmup/compile
+    float(step(tables, jlead, jseed, jlast))  # warmup/compile
     n_iter = 10
     t0 = time.time()
     for _ in range(n_iter):
-        step()
+        c = step(tables, jlead, jseed, jlast)
+    c = int(c)  # materialize the last checksum (chain is sequential on device)
     dt = time.time() - t0
     windows_per_s = B * n_iter / dt
     bases_per_s = windows_per_s * float(np.mean(wb.window_len))
