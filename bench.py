@@ -75,11 +75,19 @@ def main() -> int:
         coverage=jnp.asarray(coverage), n_slots=jnp.asarray(n_slots),
         overflow=jnp.asarray(overflow))
     jlead, jseed, jlast = jnp.asarray(lead), jnp.asarray(seed), jnp.asarray(last_col)
-    max_steps = int(width * 2)
+    max_steps = int(width + 128)
+    use_pallas = jax.default_backend() not in ("cpu",)
 
     @jax.jit
     def step(tables, jlead, jseed, jlast):
-        scores, besti, lvl = consensus_dp(tables, jlead, jseed)
+        if use_pallas:
+            from nextpolish2_tpu.ops.consensus_pallas import consensus_dp_pallas
+
+            scores, besti, lvl = consensus_dp_pallas(
+                tables.key, tables.count, tables.coverage, jlead, jseed)
+            besti = besti.astype(jnp.int8)
+        else:
+            scores, besti, lvl = consensus_dp(tables, jlead, jseed)
         out = backtrack(tables, scores, besti, jlast, jseed, max_steps)
         # device-side checksum: forces full execution; only a scalar crosses the
         # tunnel (block_until_ready does NOT block on the axon backend)

@@ -185,6 +185,7 @@ def consensus_dp(tables: SlotTables, lead_abs: jnp.ndarray,
         jlast = (K - 1) - jnp.argmax(nongapmax[:, :, ::-1], axis=2)
         j = jnp.where(anynon, jlast, jfirst)
         has = jnp.any(m, axis=2)
+        j = jnp.where(has, j, 0)  # reference besti init (main.rs:1657)
         return jnp.where(has, maxv, NEG_INF), j.astype(jnp.int8), has
 
     def step(prev, xs):

@@ -39,6 +39,17 @@ from .host_fallback import host_window_dp
 from .windows import WindowOverflow, aggregate_host, build_window_batch
 
 
+def _use_pallas() -> bool:
+    """Pallas DP on real TPU; XLA scan elsewhere (CPU tests lack Mosaic)."""
+    import os
+
+    if os.environ.get("NP2_NO_PALLAS"):
+        return False
+    import jax
+
+    return jax.default_backend() not in ("cpu",)
+
+
 def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
                             ref_codes: np.ndarray, cfg: PolishConfig,
                             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -76,9 +87,19 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
         key=jnp.asarray(key_tab), count=jnp.asarray(cnt_tab),
         coverage=jnp.asarray(coverage), n_slots=jnp.asarray(n_slots),
         overflow=jnp.asarray(overflow))
-    scores, besti, lvl_over = consensus_dp(tables, jnp.asarray(lead),
-                                           jnp.asarray(seed))
-    max_steps = int(width * 2)
+    if _use_pallas():
+        from ..ops.consensus_pallas import consensus_dp_pallas
+
+        scores, besti, lvl_over = consensus_dp_pallas(
+            tables.key, tables.count, tables.coverage,
+            jnp.asarray(lead), jnp.asarray(seed))
+        besti = besti.astype(jnp.int8)
+    else:
+        scores, besti, lvl_over = consensus_dp(tables, jnp.asarray(lead),
+                                               jnp.asarray(seed))
+    # paths are ~window_len + a few insertion steps; longer ones flag truncated
+    # and take the host fallback (rare pathological windows)
+    max_steps = int(width + 128)
     out = backtrack(tables, scores, besti, jnp.asarray(last_col),
                     jnp.asarray(seed), max_steps)
     # ONE device->host transfer: each pull over the tunneled TPU costs ~10s of

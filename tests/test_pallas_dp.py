@@ -1,0 +1,78 @@
+"""Pallas DP kernel vs XLA consensus_dp: bit-exact (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from nextpolish2_tpu.config import PolishConfig
+from nextpolish2_tpu.io.bam import BamRecord
+from nextpolish2_tpu.models.oracle import build_alignseqs
+from nextpolish2_tpu.pipeline.windows import aggregate_host, build_window_batch
+from nextpolish2_tpu.utils.seqcodes import ASCII2CODE
+
+
+def build_tables(seed=70, n=3000, n_reads=12, err=0.01):
+    rng = np.random.default_rng(seed)
+    t = bytes(rng.choice(list(b"ACGT"), size=n).astype(np.uint8))
+    recs = []
+    for s in range(0, n - 800, (n - 800) // n_reads):
+        seq = bytearray(t[s : s + 800])
+        out = bytearray()
+        for ch in seq:  # subs + indels to exercise insertion levels
+            r = rng.random()
+            if r < err / 3:
+                out.append(int(rng.choice(list(b"ACGT"))))
+            elif r < 2 * err / 3:
+                out.append(ch)
+                out.append(int(rng.choice(list(b"ACGT"))))
+            elif r < err:
+                continue
+            else:
+                out.append(ch)
+        from nextpolish2_tpu.pipeline.hifi_align import TargetIndex, align_read
+        idx = TargetIndex.build(t)
+        res = align_read(idx, t, bytes(out))
+        if res:
+            recs.append(BamRecord(qname=f"r{s}".encode(), flag=0, tid=0,
+                                  pos=res.pos, mapq=60, cigar=res.cigar,
+                                  seq=bytes(out)))
+    recs.sort(key=lambda r: r.pos)
+    cfg = PolishConfig(min_ctg_len=0, min_read_len=100, min_map_len=50)
+    aligns = build_alignseqs(t, recs, cfg)
+    ref_codes = ASCII2CODE[np.frombuffer(t, dtype=np.uint8)]
+    wb = build_window_batch(aligns, n, ref_codes, target=512)
+    K = 16
+    key, cnt, cov, ns, over = aggregate_host(wb, K)
+    assert not over.any()
+    lead = np.maximum(wb.window_start - 2, 0)
+    seed_anchor = wb.window_start > 0
+    return key, cnt, cov, lead, seed_anchor
+
+
+def test_pallas_dp_matches_xla():
+    import jax.numpy as jnp
+
+    from nextpolish2_tpu.ops.consensus import SlotTables, consensus_dp
+    from nextpolish2_tpu.ops.consensus_pallas import consensus_dp_pallas
+
+    key, cnt, cov, lead, seed_anchor = build_tables()
+    B, W, K = key.shape
+    tables = SlotTables(jnp.asarray(key), jnp.asarray(cnt), jnp.asarray(cov),
+                        jnp.asarray((key >= 0).sum(2).astype(np.int32)),
+                        jnp.asarray(np.zeros(B, bool)))
+    sc_x, bi_x, lvl_x = consensus_dp(tables, jnp.asarray(lead),
+                                     jnp.asarray(seed_anchor))
+    sc_p, bi_p, lvl_p = consensus_dp_pallas(
+        jnp.asarray(key), jnp.asarray(cnt), jnp.asarray(cov),
+        jnp.asarray(lead), jnp.asarray(seed_anchor), interpret=True)
+
+    sc_x, bi_x = np.asarray(sc_x), np.asarray(bi_x)
+    sc_p, bi_p = np.asarray(sc_p), np.asarray(bi_p)
+    # compare only windows within the XLA path's level cap (the Pallas kernel
+    # has no cap and is correct beyond it; XLA flags those windows instead)
+    ok = ~np.asarray(lvl_x)
+    assert ok.any()
+    valid = (key >= 0) & ok[:, None, None]
+    np.testing.assert_array_equal(np.where(valid, sc_x, 0),
+                                  np.where(valid, sc_p, 0))
+    np.testing.assert_array_equal(np.where(valid, bi_x, 0),
+                                  np.where(valid, bi_p.astype(np.int64), 0))
