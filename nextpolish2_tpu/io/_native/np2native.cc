@@ -1,0 +1,360 @@
+// Native IO + alignment-ingest hot path for nextpolish2_tpu.
+//
+// Covers the reference's native layer (rust-htslib/htslib BAM decode, Cargo.toml:21)
+// plus its per-read CPU hot loops (fill_with_cigar main.rs:386-440, trim
+// main.rs:446-513, AlignSeq packing main.rs:278-338, update_msas kmer stream
+// main.rs:576-589) in one pass: BGZF -> BAM records -> filter -> expand -> trim ->
+// (t_pos, packed 3-mer key) stream per alignment.
+//
+// C ABI (ctypes); caller provides output buffers. No global state; thread-safe
+// per-call. Build: build.sh -> libnp2native.so (requires zlib).
+
+#include <cstdint>
+#include <cstring>
+#include <cstdio>
+#include <cstdlib>
+#include <vector>
+#include <string>
+#include <zlib.h>
+
+namespace {
+
+// ---------- BGZF / BAM reading ----------
+
+struct Bytes {
+  std::vector<uint8_t> d;
+};
+
+// Inflate an entire BGZF (or plain gzip) file into memory.
+static bool inflate_file(const char* path, Bytes& out) {
+  gzFile f = gzopen(path, "rb");
+  if (!f) return false;
+  gzbuffer(f, 1 << 20);
+  size_t cap = 1 << 22;
+  out.d.resize(cap);
+  size_t n = 0;
+  for (;;) {
+    if (n + (1 << 20) > out.d.size()) out.d.resize(out.d.size() * 2);
+    int got = gzread(f, out.d.data() + n, 1 << 20);
+    if (got < 0) { gzclose(f); return false; }
+    if (got == 0) break;
+    n += (size_t)got;
+  }
+  gzclose(f);
+  out.d.resize(n);
+  return true;
+}
+
+static inline uint32_t rd_u32(const uint8_t* p) {
+  uint32_t v; memcpy(&v, p, 4); return v;
+}
+static inline int32_t rd_i32(const uint8_t* p) {
+  int32_t v; memcpy(&v, p, 4); return v;
+}
+static inline uint16_t rd_u16(const uint8_t* p) {
+  uint16_t v; memcpy(&v, p, 2); return v;
+}
+
+// ASCII -> code (A0 C1 G2 T3 -4 N5 M6; else 4), mirrors SEQ_NUM (kmer.rs:11-22)
+static uint8_t kAscii2Code[256];
+// BAM 4-bit seq code -> our base code
+static uint8_t kSeq4ToCode[16];
+static bool kTablesInit = false;
+
+static void init_tables() {
+  if (kTablesInit) return;
+  for (int i = 0; i < 256; i++) kAscii2Code[i] = 4;
+  kAscii2Code['A'] = kAscii2Code['a'] = 0;
+  kAscii2Code['C'] = kAscii2Code['c'] = 1;
+  kAscii2Code['G'] = kAscii2Code['g'] = 2;
+  kAscii2Code['T'] = kAscii2Code['t'] = 3;
+  kAscii2Code['U'] = kAscii2Code['u'] = 3;
+  kAscii2Code['N'] = kAscii2Code['n'] = 5;
+  kAscii2Code['M'] = kAscii2Code['m'] = 6;
+  kAscii2Code['-'] = 4;
+  const char* seq4 = "=ACMGRSVTWYHKDBN";
+  for (int i = 0; i < 16; i++) kSeq4ToCode[i] = kAscii2Code[(uint8_t)seq4[i]];
+  kTablesInit = true;
+}
+
+struct BamRec {
+  int32_t tid, pos;
+  uint16_t flag;
+  uint8_t mapq;
+  const uint8_t* cigar;  // n_cigar u32 entries
+  uint32_t n_cigar;
+  const uint8_t* seq4;   // packed 4-bit
+  int32_t l_seq;
+};
+
+struct BamFile {
+  Bytes raw;
+  std::vector<std::pair<std::string, int64_t>> refs;
+  size_t rec_off = 0;  // offset of first record
+};
+
+static bool parse_bam_header(BamFile& bf) {
+  const uint8_t* p = bf.raw.d.data();
+  size_t n = bf.raw.d.size();
+  if (n < 12 || memcmp(p, "BAM\x01", 4) != 0) return false;
+  uint32_t l_text = rd_u32(p + 4);
+  size_t off = 8 + l_text;
+  if (off + 4 > n) return false;
+  int32_t n_ref = rd_i32(p + off); off += 4;
+  for (int32_t i = 0; i < n_ref; i++) {
+    uint32_t l_name = rd_u32(p + off); off += 4;
+    std::string name((const char*)p + off, l_name - 1); off += l_name;
+    int32_t l_ref = rd_i32(p + off); off += 4;
+    bf.refs.emplace_back(name, l_ref);
+  }
+  bf.rec_off = off;
+  return true;
+}
+
+// ---------- alignment expansion ----------
+
+// CIGAR ops: MIDNSHP=X
+static inline bool consumes_ref(int op) {
+  return op == 0 || op == 2 || op == 3 || op == 7 || op == 8;
+}
+static inline bool consumes_qry(int op) {
+  return op == 0 || op == 1 || op == 4 || op == 7 || op == 8;
+}
+
+struct TagStream {
+  // outputs appended here
+  std::vector<int64_t>* t_pos;
+  std::vector<int32_t>* key;
+  std::vector<int32_t>* read_start;  // index into t_pos where each read starts
+  std::vector<int64_t>* aln_bounds;  // aln_t_s, aln_t_e per emitted read
+};
+
+// Expand + trim + emit the 3-mer key stream for one record.
+// Returns true if the record survived all filters. `clip_flag_out` set when the
+// alignment is clip-labeled (filter_alignseqs_by_clip input, main.rs:1796-1812).
+static bool process_record(const BamRec& r, const uint8_t* tseq_codes,
+                           int64_t tlen, int64_t min_map_qual,
+                           int64_t min_read_len, int64_t min_map_len,
+                           double min_map_fra, int64_t max_clip_len,
+                           int64_t use_secondary, int64_t use_supplementary,
+                           int trim_len, TagStream& out, bool* clip_flag_out) {
+  if (r.flag & 0x404) return false;
+  if ((int64_t)r.mapq <= min_map_qual) return false;
+  bool secondary = r.flag & 0x100, supplementary = r.flag & 0x800;
+  if (secondary && !use_secondary) return false;
+  if (supplementary && !use_supplementary) return false;
+
+  // read length from cigar incl hard clips (main.rs:1758)
+  int64_t rlen = 0, ref_span = 0;
+  for (uint32_t i = 0; i < r.n_cigar; i++) {
+    uint32_t c = rd_u32(r.cigar + 4 * i);
+    int op = c & 0xF; int64_t l = c >> 4;
+    if (consumes_qry(op) || op == 5) rlen += l;
+    if (consumes_ref(op)) ref_span += l;
+  }
+  if (rlen <= min_read_len) return false;
+  int64_t mml = min_map_len;
+  int64_t frac = (int64_t)((float)rlen * (float)min_map_fra);
+  if (ref_span < (mml > frac ? mml : frac)) return false;
+
+  // expand cigar into gapped code arrays (fill_with_cigar, main.rs:386-440)
+  std::vector<uint8_t> q_codes, t_codes;
+  q_codes.reserve(rlen + 64);
+  t_codes.reserve(rlen + 64);
+  int64_t qs = 0, ts = r.pos;
+  int64_t aln_q_s = 0, aln_q_e = 0;
+  bool first = true;
+  auto qcode = [&](int64_t i) {
+    uint8_t b = r.seq4[i >> 1];
+    return kSeq4ToCode[(i & 1) ? (b & 0xF) : (b >> 4)];
+  };
+  for (uint32_t i = 0; i < r.n_cigar; i++) {
+    uint32_t c = rd_u32(r.cigar + 4 * i);
+    int op = c & 0xF; int64_t l = c >> 4;
+    if (op == 4) {  // soft clip
+      qs += l;
+      if (first) aln_q_s = qs; else aln_q_e = qs - l;
+    } else if (op == 0 || op == 7 || op == 8) {
+      for (int64_t k = 0; k < l; k++) { q_codes.push_back(qcode(qs + k)); }
+      for (int64_t k = 0; k < l; k++) { t_codes.push_back(tseq_codes[ts + k]); }
+      qs += l; ts += l;
+    } else if (op == 1) {
+      for (int64_t k = 0; k < l; k++) { q_codes.push_back(qcode(qs + k)); }
+      t_codes.insert(t_codes.end(), l, 4);
+      qs += l;
+    } else if (op == 2) {
+      q_codes.insert(q_codes.end(), l, 4);
+      for (int64_t k = 0; k < l; k++) { t_codes.push_back(tseq_codes[ts + k]); }
+      ts += l;
+    } else if (op == 5) {
+      // hard clip: ignored
+    } else {
+      return false;  // N/P unsupported (reference panics, main.rs:430-432)
+    }
+    first = false;
+  }
+  if (aln_q_e == 0) aln_q_e = qs;
+  int64_t aln_t_s = r.pos;
+
+  bool is_clip = aln_q_e - aln_q_s + max_clip_len < rlen;
+
+  // trim to trim_len-match boundaries (main.rs:446-513)
+  int64_t n = (int64_t)t_codes.size();
+  int64_t shift = n, new_len = n;
+  {
+    int64_t j = 0;
+    for (int64_t i = 0; i < n; i++) {
+      if (t_codes[i] == q_codes[i]) { j++; if (j == trim_len) { shift = i + 1 - trim_len; break; } }
+      else j = 0;
+    }
+    if (shift < n) {
+      j = 0;
+      for (int64_t i = n - 1; i >= 0; i--) {
+        if (t_codes[i] == q_codes[i]) { j++; if (j == trim_len) { new_len = i + trim_len; break; } }
+        else j = 0;
+      }
+      // aln_t_s advance = # t-consuming columns before shift
+      for (int64_t i = 0; i < shift; i++) if (t_codes[i] != 4) aln_t_s++;
+    }
+  }
+  if (shift >= n) return false;
+  // aln_len uses the truncated length (reference truncates before the check)
+  if ((new_len - shift) <= min_map_len) return false;
+
+  *clip_flag_out = is_clip;
+
+  // emit tag stream + 3-mer keys (get_align_tag + update_msas semantics,
+  // main.rs:314-338, 576-589). Virtual heads: b1=(s-1,0,15), b2=(s-1,1,15).
+  out.read_start->push_back((int32_t)out.t_pos->size());
+  int64_t t_cur = aln_t_s, delta = 0;
+  int64_t b1_t = aln_t_s - 1, b1_d = 0; uint32_t b1_q = 15;
+  int64_t b2_t = aln_t_s - 1, b2_d = 1; uint32_t b2_q = 15;
+  bool first_col = true;
+  int64_t aln_t_e = aln_t_s;
+  for (int64_t i = shift; i < new_len; i++) {
+    uint8_t tb = t_codes[i], qb = q_codes[i];
+    if (first_col) { t_cur = aln_t_s; delta = 0; first_col = false; }
+    else if (tb == 4) { delta++; }
+    else { delta = 0; t_cur++; }
+    // kmer key: (b1.delta<<16)|(flags<<12)|(b1.q<<8)|(b2.q<<4)|b3.q
+    uint32_t flags = ((b2_t == b1_t) ? 4u : 0u) | ((b2_t == t_cur) ? 1u : 0u);
+    uint32_t key = ((uint32_t)b1_d << 16) | (flags << 12) | (b1_q << 8) |
+                   (b2_q << 4) | (uint32_t)qb;
+    out.t_pos->push_back(t_cur);
+    out.key->push_back((int32_t)key);
+    b1_t = b2_t; b1_d = b2_d; b1_q = b2_q;
+    b2_t = t_cur; b2_d = delta; b2_q = qb;
+    aln_t_e = t_cur;
+  }
+  out.aln_bounds->push_back(aln_t_s);
+  out.aln_bounds->push_back(aln_t_e);
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse BAM, filter + expand + trim + stream one contig's records.
+// Inputs: bam path, tid to extract, contig codes (uint8[tlen]).
+// Outputs written into caller buffers (sizes via *_cap, actual via *_n).
+// Returns 0 on success, negative on error, 1 if a buffer was too small.
+int np2_extract_contig(const char* bam_path, int32_t want_tid,
+                       const uint8_t* tseq_codes, int64_t tlen,
+                       int64_t min_map_qual, int64_t min_read_len,
+                       int64_t min_map_len, double min_map_fra,
+                       int64_t max_clip_len, int64_t use_secondary,
+                       int64_t use_supplementary, int64_t trim_len,
+                       int64_t short_ref_len,
+                       int64_t* t_pos_out, int32_t* key_out, int64_t stream_cap,
+                       int64_t* stream_n,
+                       int32_t* read_start_out, int64_t* aln_bounds_out,
+                       uint8_t* clip_flag_out, int64_t reads_cap,
+                       int64_t* reads_n) {
+  init_tables();
+  BamFile bf;
+  if (!inflate_file(bam_path, bf.raw)) return -1;
+  if (!parse_bam_header(bf)) return -2;
+
+  std::vector<int64_t> t_pos;
+  std::vector<int32_t> key;
+  std::vector<int32_t> read_start;
+  std::vector<int64_t> aln_bounds;
+  std::vector<uint8_t> clip_flags;
+  TagStream ts{&t_pos, &key, &read_start, &aln_bounds};
+
+  const uint8_t* p = bf.raw.d.data();
+  size_t n = bf.raw.d.size();
+  size_t off = bf.rec_off;
+  int64_t prev_pos = -1;
+  while (off + 4 <= n) {
+    int32_t block = rd_i32(p + off); off += 4;
+    if (off + (size_t)block > n) return -3;
+    const uint8_t* q = p + off;
+    off += block;
+    BamRec r;
+    r.tid = rd_i32(q);
+    if (r.tid > want_tid) break;          // sorted: past our contig
+    r.pos = rd_i32(q + 4);
+    uint8_t l_rn = q[8];
+    r.mapq = q[9];
+    r.n_cigar = rd_u16(q + 12);
+    r.flag = rd_u16(q + 14);
+    r.l_seq = rd_i32(q + 16);
+    r.cigar = q + 32 + l_rn;
+    r.seq4 = r.cigar + 4 * r.n_cigar;
+    if (r.tid != want_tid) continue;
+    if (r.pos < prev_pos) return -4;      // unsorted (main.rs:1753-1756)
+    prev_pos = r.pos;
+    bool clip = false;
+    bool kept = process_record(r, tseq_codes, tlen, min_map_qual, min_read_len,
+                               min_map_len, min_map_fra, max_clip_len,
+                               use_secondary, use_supplementary, (int)trim_len,
+                               ts, &clip);
+    if (kept) {
+      if (clip && tlen < short_ref_len) {
+        // short refs drop clipped alignments outright (main.rs:1806-1810):
+        // roll back this read's emissions
+        int64_t start = read_start.back();
+        t_pos.resize(start);
+        key.resize(start);
+        read_start.pop_back();
+        aln_bounds.resize(aln_bounds.size() - 2);
+      } else {
+        clip_flags.push_back(clip ? 1 : 0);
+      }
+    }
+  }
+
+  if ((int64_t)t_pos.size() > stream_cap) return 1;
+  if ((int64_t)read_start.size() > reads_cap) return 1;
+  memcpy(t_pos_out, t_pos.data(), t_pos.size() * 8);
+  memcpy(key_out, key.data(), key.size() * 4);
+  *stream_n = (int64_t)t_pos.size();
+  memcpy(read_start_out, read_start.data(), read_start.size() * 4);
+  memcpy(aln_bounds_out, aln_bounds.data(), aln_bounds.size() * 8);
+  memcpy(clip_flag_out, clip_flags.data(), clip_flags.size());
+  *reads_n = (int64_t)read_start.size();
+  return 0;
+}
+
+// Number of references and their lengths (for contig lookup without pysam).
+int np2_bam_refs(const char* bam_path, char* names_out, int64_t names_cap,
+                 int64_t* lens_out, int64_t lens_cap, int64_t* n_refs) {
+  BamFile bf;
+  if (!inflate_file(bam_path, bf.raw)) return -1;
+  if (!parse_bam_header(bf)) return -2;
+  if ((int64_t)bf.refs.size() > lens_cap) return 1;
+  int64_t pos = 0;
+  for (size_t i = 0; i < bf.refs.size(); i++) {
+    int64_t l = (int64_t)bf.refs[i].first.size();
+    if (pos + l + 1 > names_cap) return 1;
+    memcpy(names_out + pos, bf.refs[i].first.c_str(), l + 1);
+    pos += l + 1;
+    lens_out[i] = bf.refs[i].second;
+  }
+  *n_refs = (int64_t)bf.refs.size();
+  return 0;
+}
+
+}  // extern "C"

@@ -51,6 +51,39 @@ def build_alignseqs(tseq: bytes, records: Iterable[BamRecord],
     return alignseqs
 
 
+def build_alignseqs_native(bam_path: str, tid: int, tseq: bytes,
+                           cfg: PolishConfig) -> Optional[List[AlignTags]]:
+    """Native fast path: fused BAM decode + filter + expand + trim + 3-mer
+    streams (io/_native/np2native.cc); returns None if the library is missing.
+    Produces the same AlignTags as build_alignseqs, with kmer keys cached."""
+    from ..io.native import extract_contig_native
+
+    tseq_codes = ASCII2CODE[np.frombuffer(tseq, dtype=np.uint8)]
+    res = extract_contig_native(bam_path, tid, tseq_codes, cfg)
+    if res is None:
+        return None
+    t_pos, key, read_start, bounds, clips = res
+    # delta per tag: run position within consecutive equal t_pos (per read)
+    n = len(t_pos)
+    idx = np.arange(n, dtype=np.int64)
+    change = np.ones(n, dtype=bool)
+    change[1:] = t_pos[1:] != t_pos[:-1]
+    change[read_start[read_start < n]] = True  # reads restart the run
+    delta = idx - np.maximum.accumulate(np.where(change, idx, -1))
+    q_base = (key & 0xF).astype(np.uint8)
+
+    alignseqs: List[AlignTags] = [ref_as_tags(tseq_codes)]
+    ends = np.append(read_start[1:], n)
+    for i in range(len(read_start)):
+        s, e = int(read_start[i]), int(ends[i])
+        alignseqs.append(AlignTags(
+            aln_t_s=int(bounds[i, 0]), aln_t_e=int(bounds[i, 1]),
+            t_pos=t_pos[s:e], delta=delta[s:e], q_base=q_base[s:e],
+            clip_label=bool(clips[i]), kkey=key[s:e]))
+    filter_by_clip(alignseqs, cfg)
+    return alignseqs
+
+
 def polish_contig(tseq: bytes, records: Sequence[BamRecord],
                   tables: Sequence[KmerTable],
                   cfg: Optional[PolishConfig] = None) -> List[ConsensusBase]:

@@ -38,6 +38,7 @@ class AlignTags:
     q_base: np.ndarray
     clip_label: bool = False
     dropped: bool = False  # align_bases cleared (clip filter / phasing)
+    kkey: Optional[np.ndarray] = None  # cached packed 3-mer keys (native path)
 
     def __len__(self) -> int:
         return len(self.t_pos)

@@ -70,35 +70,36 @@ def extract_alleles(alignseqs: List[AlignTags], lqseqs: List[LqRegion],
         stop = int(np.searchsorted(a.t_pos, lqseqs[j].end + ksize, side="right"))
         t_pos = a.t_pos[:stop + 1] if stop < len(a) else a.t_pos
         q_base = a.q_base[: len(t_pos)]
+        # vectorized inner loop: valid (non-gap) tags sorted by t_pos; per region
+        # the allele = valid bases in [start, end], the kmer = first ksize valid
+        # bases from start (may run past end), exactly the reference scan
+        vi = np.nonzero(q_base != 4)[0]
+        vpos = t_pos[vi]
+        vq = q_base[vi]
 
         for lqseq in lqseqs[j : s + 1]:
             if len(lqseq.seqs) >= max_can:
                 continue
-            off = lqseq.start - a.aln_t_s  # lower-bound column skip (main.rs:1482)
-            l = 0
-            k_fwd = 0
-            k_rev = 0
-            chars = bytearray()
-            for i in range(off, len(t_pos)):
-                tp = int(t_pos[i])
-                qb = int(q_base[i])
-                if tp >= lqseq.start and qb != 4:
-                    if tp <= lqseq.end:
-                        chars.append(int(CODE2ASCII[qb]))
-                    if l < ksize:
-                        # raw rolling (q_base used unchecked, incl N/M codes —
-                        # reference main.rs:1488-1492 does the same)
-                        k_fwd = ((k_fwd << 2) | qb) & mask
-                        k_rev = (k_rev >> 2) | ((3 ^ qb) << shift)
-                        l += 1
-                    if tp > lqseq.end and l >= ksize:
-                        break
-            kmer = min(k_fwd, k_rev) if l >= ksize else INVALID
+            i0 = int(np.searchsorted(vpos, lqseq.start, side="left"))
+            i1 = int(np.searchsorted(vpos, lqseq.end, side="right"))
+            chars = CODE2ASCII[vq[i0:i1]].tobytes()
+            kb = vq[i0 : i0 + ksize]
+            if len(kb) >= ksize:
+                k_fwd = 0
+                k_rev = 0
+                for qb in kb.tolist():
+                    # raw rolling (q_base used unchecked, incl N/M codes —
+                    # reference main.rs:1488-1492 does the same)
+                    k_fwd = ((k_fwd << 2) | qb) & mask
+                    k_rev = (k_rev >> 2) | ((3 ^ qb) << shift)
+                kmer = min(k_fwd, k_rev)
+            else:
+                kmer = INVALID
             if chars:
                 lqseq.seqs.append(LqSeq(
                     order=idx, kscore=0,
                     kmer=int(table.to_hash(np.uint64(kmer))) if kmer != INVALID else INVALID,
-                    seq=bytes(chars),
+                    seq=chars,
                 ))
 
 

@@ -66,6 +66,8 @@ def kmer_stream(a: AlignTags) -> tuple[np.ndarray, np.ndarray]:
     (main.rs:84-101); the stream is what update_msas pushes (main.rs:576-589).
     Shared by the oracle MSA builder and the TPU window planner.
     """
+    if a.kkey is not None:  # native extraction cached the keys
+        return a.t_pos, a.kkey.astype(np.uint64) & np.uint64(0xFFFFFFFF)
     n = len(a)
     t = a.t_pos
     d = a.delta

@@ -197,14 +197,25 @@ def lq_state_machine(pos: np.ndarray, base: np.ndarray, cnt: np.ndarray,
 def polish_contig_tpu(tseq: bytes, records: Sequence[BamRecord],
                       tables: Sequence[KmerTable],
                       cfg: Optional[PolishConfig] = None,
-                      fallback: bool = True) -> List[ConsensusBase]:
-    """TPU-path per-contig polish; output matches models.oracle.polish_contig."""
+                      fallback: bool = True,
+                      native: Optional[tuple] = None) -> List[ConsensusBase]:
+    """TPU-path per-contig polish; output matches models.oracle.polish_contig.
+
+    native: optional (bam_path, tid) to ingest via the C++ fast path
+    (io/_native) instead of the `records` list.
+    """
     cfg = cfg or PolishConfig()
     if len(tseq) < cfg.min_ctg_len:
         return passthrough_consensus(tseq)
     tables = sorted(tables, key=lambda t: t.ksize)
     ref_codes = ASCII2CODE[np.frombuffer(tseq, dtype=np.uint8)]
-    alignseqs = build_alignseqs(tseq, records, cfg)
+    alignseqs = None
+    if native is not None:
+        from ..models.oracle import build_alignseqs_native
+
+        alignseqs = build_alignseqs_native(native[0], native[1], tseq, cfg)
+    if alignseqs is None:
+        alignseqs = build_alignseqs(tseq, records, cfg)
 
     try:
         for i in range(cfg.iter_count):

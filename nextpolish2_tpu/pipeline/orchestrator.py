@@ -56,12 +56,16 @@ def polish(fa_path: str, bam_path: str, yak_paths: Sequence[str],
     tables = [load_yak(p) for p in yak_paths]
     tables.sort(key=lambda t: t.ksize)  # option.rs:238
 
+    from ..io.native import available as native_available
+
+    use_native = native_available()
     reader = BamReader(bam_path)
     ref_names = [n for n, _ in reader.references]
     name_to_tid = {n: i for i, n in enumerate(ref_names)}
     contig_records: Dict[int, list] = {}
-    for tid, recs in reader.by_contig():
-        contig_records[tid] = recs
+    if not use_native:
+        for tid, recs in reader.by_contig():
+            contig_records[tid] = recs
 
     results: List[PolishedContig] = []
     stats = stats if stats is not None else PolishStats()
@@ -76,9 +80,10 @@ def polish(fa_path: str, bam_path: str, yak_paths: Sequence[str],
         else:
             tid = name_to_tid.get(name)
             recs = contig_records.get(tid, []) if tid is not None else []
+            native = (bam_path, tid) if (use_native and tid is not None) else None
             if engine == "tpu":
                 from .engine import polish_contig_tpu
-                cb = polish_contig_tpu(seq, recs, tables, cfg)
+                cb = polish_contig_tpu(seq, recs, tables, cfg, native=native)
             else:
                 cb = polish_contig(seq, recs, tables, cfg)
             stats.polished += 1
