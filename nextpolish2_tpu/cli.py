@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="compute engine: TPU windowed (default) or host oracle.")
     p.add_argument("--window-len", type=int, default=1024,
                    help="device window target length (columns).")
+    p.add_argument("--resume", action="store_true",
+                   help="append to an existing -o FILE, skipping contigs "
+                        "already present (crash recovery).")
+    p.add_argument("--verbose", action="store_true",
+                   help="per-contig progress to stderr.")
     p.add_argument("--version", action="version", version=__version__)
     return p
 
@@ -97,19 +102,26 @@ def main(argv=None) -> int:
         if not os.path.exists(path):
             print(f"{path!r} does not exist!", file=sys.stderr)
             return 2
-    if args.out != "stdout" and os.path.exists(args.out):
+    if args.out != "stdout" and os.path.exists(args.out) and not args.resume:
         print(f"{args.out!r} already exists!", file=sys.stderr)  # option.rs:312-316
         return 2
     cfg = args_to_config(args)
 
-    from .pipeline.orchestrator import PolishStats, polish
+    from .pipeline.orchestrator import PolishStats, completed_contigs, polish
     from .utils.resource import resource_str
 
-    out = sys.stdout.buffer if args.out == "stdout" else open(args.out, "wb")
+    skip = None
+    if args.resume and args.out != "stdout":
+        skip = completed_contigs(args.out)
+        if skip:
+            print(f"resume: skipping {len(skip)} completed contigs",
+                  file=sys.stderr)
+    out = sys.stdout.buffer if args.out == "stdout" else open(
+        args.out, "ab" if args.resume else "wb")
     stats = PolishStats()
     try:
         polish(args.fa, args.bam, args.yak, cfg, engine=args.engine, out=out,
-               stats=stats)
+               stats=stats, skip_contigs=skip, verbose=args.verbose)
     finally:
         if out is not sys.stdout.buffer:
             out.close()

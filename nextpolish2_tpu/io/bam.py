@@ -157,6 +157,39 @@ class BamReader:
         self._f.close()
 
 
+def retrieve_secondary_seqs(path: str) -> dict:
+    """Two-pass secondary-sequence prefetch (reference secondary.rs:8-64,82-148):
+    secondary records carry no SEQ, so collect the qnames of secondaries, then
+    their primary records' sequences reverse-complemented to REFERENCE
+    orientation (i.e. stored as the forward-strand read sequence)."""
+    from ..utils.seqcodes import revcomp
+
+    ids = set()
+    for rec in BamReader(path):
+        if rec.is_secondary:
+            ids.add(rec.qname)
+    seqs: dict = {}
+    if not ids:
+        return seqs
+    for rec in BamReader(path):
+        if rec.qname in ids and not (rec.is_secondary or rec.is_supplementary):
+            seq = revcomp(rec.seq) if rec.is_reverse else rec.seq
+            assert rec.qname not in seqs
+            seqs[rec.qname] = seq
+    return seqs
+
+
+def fill_secondary_seq(rec: BamRecord, sec_seqs: dict) -> BamRecord:
+    """Substitute a secondary record's SEQ from the prefetched primary
+    (reference main.rs:1775-1788): always for secondaries, reverse-complemented
+    when the secondary maps reverse."""
+    from ..utils.seqcodes import revcomp
+
+    raw = sec_seqs[rec.qname]
+    rec.seq = revcomp(raw) if rec.is_reverse else raw
+    return rec
+
+
 class BamWriter:
     def __init__(self, path: str, references: List[Tuple[str, int]],
                  header_text: str = ""):

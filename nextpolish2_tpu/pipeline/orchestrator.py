@@ -42,34 +42,62 @@ class PolishStats:
     seconds: float = 0.0
 
 
+def completed_contigs(out_path: str) -> set:
+    """Names already present in a partial output FASTA (crash-resume support;
+    the reference has none — rerun from scratch, SURVEY §5)."""
+    import os
+
+    done = set()
+    if os.path.exists(out_path):
+        try:
+            for name, _ in read_fastx(out_path):
+                done.add(name)
+        except Exception:
+            pass
+    return done
+
+
 def polish(fa_path: str, bam_path: str, yak_paths: Sequence[str],
            cfg: Optional[PolishConfig] = None, engine: str = "tpu",
-           out=None, stats: Optional[PolishStats] = None) -> List[PolishedContig]:
+           out=None, stats: Optional[PolishStats] = None,
+           skip_contigs: Optional[set] = None,
+           verbose: bool = False) -> List[PolishedContig]:
     """Polish all contigs of `fa_path` using `bam_path` alignments and yak tables.
 
     engine: 'tpu' (device windowed engine) or 'oracle' (reference-faithful host).
     If `out` is a binary file object, FASTA records are written as completed and
     sequences are not retained (returns empty list).
+    skip_contigs: names to skip (resume support; see completed_contigs).
     """
     cfg = cfg or PolishConfig()
     t_start = time.time()
     tables = [load_yak(p) for p in yak_paths]
     tables.sort(key=lambda t: t.ksize)  # option.rs:238
 
+    from ..io.bam import fill_secondary_seq, retrieve_secondary_seqs
     from ..io.native import available as native_available
 
-    use_native = native_available()
+    # the native fast path decodes SEQ from the record itself; secondary
+    # records carry none (substituted from primaries), so use the Python path
+    use_native = native_available() and not cfg.use_secondary
     reader = BamReader(bam_path)
     ref_names = [n for n, _ in reader.references]
     name_to_tid = {n: i for i, n in enumerate(ref_names)}
     contig_records: Dict[int, list] = {}
     if not use_native:
+        sec_seqs = retrieve_secondary_seqs(bam_path) if cfg.use_secondary else {}
         for tid, recs in reader.by_contig():
+            if cfg.use_secondary:
+                recs = [fill_secondary_seq(r, sec_seqs) if r.is_secondary else r
+                        for r in recs]
             contig_records[tid] = recs
 
     results: List[PolishedContig] = []
     stats = stats if stats is not None else PolishStats()
     for name, seq in read_fastx(fa_path):
+        if skip_contigs and name in skip_contigs:
+            continue
+        t_contig = time.time()
         stats.contigs += 1
         stats.in_bases += len(seq)
         if len(seq) >= (1 << 32):
@@ -96,6 +124,9 @@ def polish(fa_path: str, bam_path: str, yak_paths: Sequence[str],
             _emit(out, pc, cb, cfg)
         else:
             results.append(pc)
+        if verbose:
+            print(f"[np2] {name}: {len(seq)} -> {len(out_seq)} bases in "
+                  f"{time.time() - t_contig:.1f}s", file=sys.stderr)
     stats.seconds = time.time() - t_start
     return results
 
