@@ -110,18 +110,25 @@ def main(argv=None) -> int:
     from .pipeline.orchestrator import PolishStats, completed_contigs, polish
     from .utils.resource import resource_str
 
+    from .parallel.distributed import init_distributed
+
+    shard = init_distributed()  # no-op unless NP2_COORDINATOR is set
+    out_path = args.out
+    if shard.n_hosts > 1 and args.out != "stdout":
+        out_path = shard.shard_path(args.out)
     skip = None
-    if args.resume and args.out != "stdout":
-        skip = completed_contigs(args.out)
+    if args.resume and out_path != "stdout":
+        skip = completed_contigs(out_path)
         if skip:
             print(f"resume: skipping {len(skip)} completed contigs",
                   file=sys.stderr)
-    out = sys.stdout.buffer if args.out == "stdout" else open(
-        args.out, "ab" if args.resume else "wb")
+    out = sys.stdout.buffer if out_path == "stdout" else open(
+        out_path, "ab" if args.resume else "wb")
     stats = PolishStats()
     try:
         polish(args.fa, args.bam, args.yak, cfg, engine=args.engine, out=out,
-               stats=stats, skip_contigs=skip, verbose=args.verbose)
+               stats=stats, skip_contigs=skip, verbose=args.verbose,
+               host_shard=shard if shard.n_hosts > 1 else None)
     finally:
         if out is not sys.stdout.buffer:
             out.close()

@@ -255,26 +255,38 @@ static bool process_record(const BamRec& r, const uint8_t* tseq_codes,
 
 extern "C" {
 
-// Parse BAM, filter + expand + trim + stream one contig's records.
-// Inputs: bam path, tid to extract, contig codes (uint8[tlen]).
+// Opaque handle: decompressed BAM kept resident across per-contig calls.
+void* np2_open(const char* bam_path) {
+  init_tables();
+  BamFile* bf = new BamFile();
+  if (!inflate_file(bam_path, bf->raw) || !parse_bam_header(*bf)) {
+    delete bf;
+    return nullptr;
+  }
+  return bf;
+}
+
+void np2_close(void* handle) {
+  delete static_cast<BamFile*>(handle);
+}
+
+// Filter + expand + trim + stream one contig's records from an open handle.
 // Outputs written into caller buffers (sizes via *_cap, actual via *_n).
 // Returns 0 on success, negative on error, 1 if a buffer was too small.
-int np2_extract_contig(const char* bam_path, int32_t want_tid,
-                       const uint8_t* tseq_codes, int64_t tlen,
-                       int64_t min_map_qual, int64_t min_read_len,
-                       int64_t min_map_len, double min_map_fra,
-                       int64_t max_clip_len, int64_t use_secondary,
-                       int64_t use_supplementary, int64_t trim_len,
-                       int64_t short_ref_len,
-                       int64_t* t_pos_out, int32_t* key_out, int64_t stream_cap,
-                       int64_t* stream_n,
-                       int32_t* read_start_out, int64_t* aln_bounds_out,
-                       uint8_t* clip_flag_out, int64_t reads_cap,
-                       int64_t* reads_n) {
+int np2_extract_contig_h(void* handle, int32_t want_tid,
+                         const uint8_t* tseq_codes, int64_t tlen,
+                         int64_t min_map_qual, int64_t min_read_len,
+                         int64_t min_map_len, double min_map_fra,
+                         int64_t max_clip_len, int64_t use_secondary,
+                         int64_t use_supplementary, int64_t trim_len,
+                         int64_t short_ref_len,
+                         int64_t* t_pos_out, int32_t* key_out, int64_t stream_cap,
+                         int64_t* stream_n,
+                         int32_t* read_start_out, int64_t* aln_bounds_out,
+                         uint8_t* clip_flag_out, int64_t reads_cap,
+                         int64_t* reads_n) {
   init_tables();
-  BamFile bf;
-  if (!inflate_file(bam_path, bf.raw)) return -1;
-  if (!parse_bam_header(bf)) return -2;
+  BamFile& bf = *static_cast<BamFile*>(handle);
 
   std::vector<int64_t> t_pos;
   std::vector<int32_t> key;
@@ -336,6 +348,30 @@ int np2_extract_contig(const char* bam_path, int32_t want_tid,
   memcpy(clip_flag_out, clip_flags.data(), clip_flags.size());
   *reads_n = (int64_t)read_start.size();
   return 0;
+}
+
+// Path-based convenience wrapper (opens, extracts, closes).
+int np2_extract_contig(const char* bam_path, int32_t want_tid,
+                       const uint8_t* tseq_codes, int64_t tlen,
+                       int64_t min_map_qual, int64_t min_read_len,
+                       int64_t min_map_len, double min_map_fra,
+                       int64_t max_clip_len, int64_t use_secondary,
+                       int64_t use_supplementary, int64_t trim_len,
+                       int64_t short_ref_len,
+                       int64_t* t_pos_out, int32_t* key_out, int64_t stream_cap,
+                       int64_t* stream_n,
+                       int32_t* read_start_out, int64_t* aln_bounds_out,
+                       uint8_t* clip_flag_out, int64_t reads_cap,
+                       int64_t* reads_n) {
+  void* h = np2_open(bam_path);
+  if (!h) return -1;
+  int rc = np2_extract_contig_h(
+      h, want_tid, tseq_codes, tlen, min_map_qual, min_read_len, min_map_len,
+      min_map_fra, max_clip_len, use_secondary, use_supplementary, trim_len,
+      short_ref_len, t_pos_out, key_out, stream_cap, stream_n, read_start_out,
+      aln_bounds_out, clip_flag_out, reads_cap, reads_n);
+  np2_close(h);
+  return rc;
 }
 
 // Number of references and their lengths (for contig lookup without pysam).

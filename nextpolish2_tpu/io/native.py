@@ -37,9 +37,33 @@ def load() -> Optional[ctypes.CDLL]:
         return None
     lib = ctypes.CDLL(_SO)
     lib.np2_extract_contig.restype = ctypes.c_int
+    lib.np2_extract_contig_h.restype = ctypes.c_int
     lib.np2_bam_refs.restype = ctypes.c_int
+    lib.np2_open.restype = ctypes.c_void_p
     _lib = lib
     return lib
+
+
+_handles: dict = {}
+
+
+def _handle_for(bam_path: str):
+    """Cache the decompressed BAM across per-contig calls (one open per path)."""
+    lib = load()
+    h = _handles.get(bam_path)
+    if h is None:
+        h = lib.np2_open(bam_path.encode())
+        if not h:
+            raise RuntimeError(f"np2_open failed for {bam_path}")
+        _handles[bam_path] = h
+    return h
+
+
+def close_handles() -> None:
+    lib = load()
+    for h in _handles.values():
+        lib.np2_close(ctypes.c_void_p(h))
+    _handles.clear()
 
 
 def available() -> bool:
@@ -78,6 +102,7 @@ def extract_contig_native(bam_path: str, tid: int, tseq_codes: np.ndarray,
     lib = load()
     if lib is None:
         return None
+    handle = _handle_for(bam_path)
     size = os.path.getsize(bam_path)
     stream_cap = max(1 << 20, size * 6)  # decompressed ~4x, 1 entry/base
     reads_cap = 1 << 20
@@ -89,8 +114,8 @@ def extract_contig_native(bam_path: str, tid: int, tseq_codes: np.ndarray,
         clip_flags = np.zeros(reads_cap, dtype=np.uint8)
         stream_n = ctypes.c_int64(0)
         reads_n = ctypes.c_int64(0)
-        rc = lib.np2_extract_contig(
-            bam_path.encode(), ctypes.c_int32(tid),
+        rc = lib.np2_extract_contig_h(
+            ctypes.c_void_p(handle), ctypes.c_int32(tid),
             tseq_codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             ctypes.c_int64(len(tseq_codes)),
             ctypes.c_int64(cfg.min_map_qual), ctypes.c_int64(cfg.min_read_len),

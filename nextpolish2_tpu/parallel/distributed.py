@@ -1,0 +1,83 @@
+"""Multi-host scale-out: jax.distributed init + host-sharded contig streaming.
+
+The reference is strictly single-process (SURVEY §2: no distributed backend).
+Here, scale-out has two layers:
+
+1. Within a host/slice: window batches shard over the mesh 'win' axis and large
+   k-mer tables over 'kmer' (parallel/mesh.py, parallel/sharded_kmer.py);
+   collectives ride ICI.
+2. Across hosts: contigs are deterministically assigned round-robin by input
+   order (host h polishes contigs with index % n_hosts == h) and each host
+   writes its own output shard `OUT.shard<h>`; `merge_shards` restores input
+   order. Contig assignment needs no communication — the BAM is read by every
+   host but only assigned contigs are processed.
+
+Initialize from the standard JAX distributed env (COORDINATOR_ADDRESS etc.) or
+explicit arguments; single-host mode is a no-op.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import List, Optional
+
+
+@dataclass
+class HostShard:
+    host_id: int
+    n_hosts: int
+
+    def owns(self, contig_index: int) -> bool:
+        return contig_index % self.n_hosts == self.host_id
+
+    def shard_path(self, out_path: str) -> str:
+        if self.n_hosts == 1:
+            return out_path
+        return f"{out_path}.shard{self.host_id}"
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> HostShard:
+    """Initialize jax.distributed when configured; return this host's shard."""
+    coordinator = coordinator or os.environ.get("NP2_COORDINATOR")
+    if coordinator is None:
+        return HostShard(0, 1)
+    import jax
+
+    num_processes = int(num_processes or os.environ["NP2_NUM_PROCESSES"])
+    process_id = int(process_id if process_id is not None
+                     else os.environ["NP2_PROCESS_ID"])
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return HostShard(process_id, num_processes)
+
+
+def merge_shards(out_path: str, n_hosts: int, contig_names: List[str]) -> None:
+    """Concatenate per-host shard files back into input contig order."""
+    from ..io.fastx import read_fastx
+
+    records = {}
+    for h in range(n_hosts):
+        path = f"{out_path}.shard{h}"
+        if not os.path.exists(path):
+            continue
+        with open(path, "rb") as f:
+            data = f.read()
+        # record boundaries: shard files are our own single-line FASTA
+        name = None
+        header = b""
+        for line in data.split(b"\n"):
+            if line.startswith(b">"):
+                name = line[1:].split()[0].decode()
+                header = line
+            elif name is not None and line:
+                records[name] = (header, line)
+                name = None
+    with open(out_path, "wb") as f:
+        for name in contig_names:
+            if name in records:
+                header, seq = records[name]
+                f.write(header + b"\n" + seq + b"\n")

@@ -61,7 +61,7 @@ def polish(fa_path: str, bam_path: str, yak_paths: Sequence[str],
            cfg: Optional[PolishConfig] = None, engine: str = "tpu",
            out=None, stats: Optional[PolishStats] = None,
            skip_contigs: Optional[set] = None,
-           verbose: bool = False) -> List[PolishedContig]:
+           verbose: bool = False, host_shard=None) -> List[PolishedContig]:
     """Polish all contigs of `fa_path` using `bam_path` alignments and yak tables.
 
     engine: 'tpu' (device windowed engine) or 'oracle' (reference-faithful host).
@@ -94,7 +94,9 @@ def polish(fa_path: str, bam_path: str, yak_paths: Sequence[str],
 
     results: List[PolishedContig] = []
     stats = stats if stats is not None else PolishStats()
-    for name, seq in read_fastx(fa_path):
+    for contig_index, (name, seq) in enumerate(read_fastx(fa_path)):
+        if host_shard is not None and not host_shard.owns(contig_index):
+            continue  # another host polishes this contig (parallel/distributed.py)
         if skip_contigs and name in skip_contigs:
             continue
         t_contig = time.time()
