@@ -94,19 +94,14 @@ def polish(fa_path: str, bam_path: str, yak_paths: Sequence[str],
 
     results: List[PolishedContig] = []
     stats = stats if stats is not None else PolishStats()
-    for contig_index, (name, seq) in enumerate(read_fastx(fa_path)):
-        if host_shard is not None and not host_shard.owns(contig_index):
-            continue  # another host polishes this contig (parallel/distributed.py)
-        if skip_contigs and name in skip_contigs:
-            continue
+
+    def run_one(name: str, seq: bytes):
         t_contig = time.time()
-        stats.contigs += 1
-        stats.in_bases += len(seq)
         if len(seq) >= (1 << 32):
             raise ValueError(f"{name} is too long!")  # main.rs:1707-1711
         if len(seq) < cfg.min_ctg_len:
             cb = passthrough_consensus(seq)
-            stats.passthrough += 1
+            passthrough = True
         else:
             tid = name_to_tid.get(name)
             recs = contig_records.get(tid, []) if tid is not None else []
@@ -116,7 +111,22 @@ def polish(fa_path: str, bam_path: str, yak_paths: Sequence[str],
                 cb = polish_contig_tpu(seq, recs, tables, cfg, native=native)
             else:
                 cb = polish_contig(seq, recs, tables, cfg)
-            stats.polished += 1
+            passthrough = False
+        return cb, passthrough, time.time() - t_contig
+
+    todo = []
+    for contig_index, (name, seq) in enumerate(read_fastx(fa_path)):
+        if host_shard is not None and not host_shard.owns(contig_index):
+            continue  # another host polishes this contig (parallel/distributed.py)
+        if skip_contigs and name in skip_contigs:
+            continue
+        todo.append((name, seq))
+
+    def finish(name, seq, cb, passthrough, dt):
+        stats.contigs += 1
+        stats.in_bases += len(seq)
+        stats.passthrough += int(passthrough)
+        stats.polished += int(not passthrough)
         out_seq = consensus_to_bytes(cb)
         stats.out_bases += len(out_seq)
         pc = PolishedContig(name=name, seq=out_seq,
@@ -128,7 +138,23 @@ def polish(fa_path: str, bam_path: str, yak_paths: Sequence[str],
             results.append(pc)
         if verbose:
             print(f"[np2] {name}: {len(seq)} -> {len(out_seq)} bases in "
-                  f"{time.time() - t_contig:.1f}s", file=sys.stderr)
+                  f"{dt:.1f}s", file=sys.stderr)
+
+    if cfg.threads > 1 and len(todo) > 1:
+        # contig-level thread pool (reference C2's worker parallelism; windows
+        # within a contig are already device-parallel). Output stays input-order.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=cfg.threads) as ex:
+            futs = [(name, seq, ex.submit(run_one, name, seq))
+                    for name, seq in todo]
+            for name, seq, fut in futs:
+                cb, passthrough, dt = fut.result()
+                finish(name, seq, cb, passthrough, dt)
+    else:
+        for name, seq in todo:
+            cb, passthrough, dt = run_one(name, seq)
+            finish(name, seq, cb, passthrough, dt)
     stats.seconds = time.time() - t_start
     return results
 
