@@ -18,7 +18,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from ..config import PolishConfig
-from ..io.yak import INVALID_KMER, KmerTable, seq_kmers
+from ..io.yak import INVALID_KMER, KmerTable
 from ..utils.seqcodes import CODE2ASCII
 from .louvain import assign_data, insert_data, new_data, phase_communities
 from .oracle_align import AlignTags
@@ -103,20 +103,66 @@ def extract_alleles(alignseqs: List[AlignTags], lqseqs: List[LqRegion],
                 ))
 
 
+def batch_min_kscores(seqs: List[bytes], table: KmerTable,
+                      min_kmer_count: int) -> np.ndarray:
+    """min k-mer count per sequence in ONE batched lookup.
+
+    Sequences are joined with an 'N' separator (invalid bases reset the rolling
+    window, so no k-mer crosses a boundary); one rolling pass + one table query
+    covers the whole batch — the batched-gather formulation of the reference's
+    per-allele scans (main.rs:740-778).
+    """
+    if not seqs:
+        return np.zeros(0, dtype=np.int64)
+    from ..io.yak import rolling_kmers
+    from ..utils.seqcodes import seq_to_codes
+
+    joined = b"N".join(seqs)
+    kmers, valid = rolling_kmers(seq_to_codes(joined), table.ksize)
+    out = np.zeros(len(seqs), dtype=np.int64)
+    vidx = np.nonzero(valid)[0]
+    if len(vidx):
+        counts = table.get(table.to_hash(kmers[vidx]), min_kmer_count)
+        # map each valid end position to its sequence id
+        starts = np.zeros(len(seqs), dtype=np.int64)
+        lens = np.fromiter((len(s) for s in seqs), dtype=np.int64,
+                           count=len(seqs))
+        np.cumsum(lens[:-1] + 1, out=starts[1:])
+        sid = np.searchsorted(starts, vidx, side="right") - 1
+        # per-seq min over counts (0 participates; absent k-mer -> score 0)
+        mins = np.full(len(seqs), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mins, sid, counts.astype(np.int64))
+        has = np.zeros(len(seqs), dtype=bool)
+        has[sid] = True
+        out = np.where(has, np.where(mins == np.iinfo(np.int64).max, 0, mins), 0)
+    return out
+
+
 def retrieve_kmer_count(lqseqs: List[LqRegion], table: KmerTable,
                         min_kmer_count: int) -> None:
-    """Score each allele by its min k-mer count (main.rs:740-778)."""
+    """Score each allele by its min k-mer count (main.rs:740-778), batched."""
     ksize = table.ksize
+    long_refs: List[LqSeq] = []
+    long_seqs: List[bytes] = []
+    single_refs: List[LqSeq] = []
+    single_hashes: List[int] = []
     for lqseq in lqseqs:
         for seq in lqseq.seqs:
             if len(seq.seq) > ksize:
-                km = seq_kmers(seq.seq, ksize)
-                if len(km):
-                    seq.kscore = int(table.get(table.to_hash(km), min_kmer_count).min())
-                else:
-                    seq.kscore = 0
+                long_refs.append(seq)
+                long_seqs.append(seq.seq)
             elif seq.kmer != INVALID:
-                seq.kscore = int(table.get(np.uint64(seq.kmer), min_kmer_count)[0])
+                single_refs.append(seq)
+                single_hashes.append(seq.kmer)
+    if long_seqs:
+        scores = batch_min_kscores(long_seqs, table, min_kmer_count)
+        for s, v in zip(long_refs, scores):
+            s.kscore = int(v)
+    if single_hashes:
+        counts = table.get(np.array(single_hashes, dtype=np.uint64),
+                           min_kmer_count)
+        for s, v in zip(single_refs, counts):
+            s.kscore = int(v)
 
 
 def is_valid_snp(seq1: bytes, seq2: bytes) -> bool:
@@ -398,15 +444,13 @@ def reupdate_consensus_with_lqseqs(lqseqs: List[LqRegion],
     stay RECH for the next (longer-k) table.
     """
     ksize = table.ksize
-
-    def chain_score(seq_bytes: bytes) -> int:
-        km = seq_kmers(seq_bytes, ksize)
-        if len(km) == 0:
-            return 0
-        return int(table.get(table.to_hash(km), min_kmer_count).min())
-
     rech_idxs = [i for i in range(len(lqseqs) - 1, -1, -1) if lqseqs[i].label & L_RECH]
 
+    # Pass 1: enumerate all candidate sequences (single-region alleles and
+    # chained cartesian combinations, each spliced with k-1 flank context),
+    # mirroring the reference's candidate-collection pass (main.rs:1193-1265).
+    jobs: List[bytes] = []
+    plan: List[tuple] = []
     idx = [0]
     sj = 0
     while sj < len(rech_idxs):
@@ -425,10 +469,11 @@ def reupdate_consensus_with_lqseqs(lqseqs: List[LqRegion],
 
         if ej == sj + 1:
             for seq in lqseqs[rech_idxs[sj]].seqs:
-                seq.kscore = chain_score(flank_l + seq.seq + flank_r)
+                jobs.append(flank_l + seq.seq + flank_r)
+                plan.append(("single", seq))
         else:
-            # gap sequences between consecutive chained regions (computed once:
-            # the cursor walks are deterministic for fixed (s, e))
+            # gap sequences between consecutive chained regions (cursor walks
+            # are deterministic for fixed (s, e))
             gaps: List[bytes] = []
             for i in range(sj, ej - 1):
                 s = lqseqs[rech_idxs[i]].end
@@ -438,10 +483,11 @@ def reupdate_consensus_with_lqseqs(lqseqs: List[LqRegion],
                 else:
                     gs, ge = _iter_consensus_region(consensus, idx, s, e)
                     gaps.append(bytes(consensus[x].base for x in range(gs, ge)))
-            kscore_buf: List[tuple[int, int, int]] = []
             cand_lists = [
                 list(enumerate(lqseqs[rech_idxs[x]].seqs)) for x in range(sj, ej)
             ]
+            chain_regions = [rech_idxs[x] for x in range(sj, ej)]
+            plan.append(("chain_start", chain_regions))
             for combo in cartesian_product(*cand_lists):
                 parts = [flank_l]
                 for i, (_, seq) in enumerate(combo):
@@ -449,16 +495,38 @@ def reupdate_consensus_with_lqseqs(lqseqs: List[LqRegion],
                     if i < len(combo) - 1:
                         parts.append(gaps[i])
                 parts.append(flank_r)
-                ks = chain_score(b"".join(parts))
-                if ks > 0:
-                    for i, (p, _) in enumerate(combo):
-                        kscore_buf.append((rech_idxs[sj + i], p, ks))
-            for x in range(sj, ej):
-                for seq in lqseqs[rech_idxs[x]].seqs:
-                    seq.kscore = 0
-            for i, p, ks in kscore_buf:
-                lqseqs[i].seqs[p].kscore = ks
+                jobs.append(b"".join(parts))
+                plan.append(("combo", [(chain_regions[i], p)
+                                       for i, (p, _) in enumerate(combo)]))
+            plan.append(("chain_end", chain_regions))
         sj = ej
+
+    # ONE batched scoring pass over every candidate (main.rs:1267 equivalent)
+    scores = batch_min_kscores(jobs, table, min_kmer_count)
+
+    # Pass 2: apply in the reference's order (per-chain zero + buffered writes,
+    # later combos overwriting earlier ones — main.rs:1317-1366)
+    ji = 0
+    kscore_buf: List[tuple[int, int, int]] = []
+    for entry in plan:
+        kind = entry[0]
+        if kind == "single":
+            entry[1].kscore = int(scores[ji])
+            ji += 1
+        elif kind == "chain_start":
+            kscore_buf = []
+        elif kind == "combo":
+            ks = int(scores[ji])
+            ji += 1
+            if ks > 0:
+                for ridx, p in entry[1]:
+                    kscore_buf.append((ridx, p, ks))
+        else:  # chain_end
+            for ridx in entry[1]:
+                for seq in lqseqs[ridx].seqs:
+                    seq.kscore = 0
+            for ridx, p, ks in kscore_buf:
+                lqseqs[ridx].seqs[p].kscore = ks
 
     # choose seeds (main.rs:1371-1406)
     for lqseq in lqseqs:
