@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "already present (crash recovery).")
     p.add_argument("--verbose", action="store_true",
                    help="per-contig progress to stderr.")
+    p.add_argument("--timing", action="store_true",
+                   help="per-stage timing summary to stderr.")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax profiler trace to this directory.")
     p.add_argument("--version", action="version", version=__version__)
     return p
 
@@ -125,13 +129,27 @@ def main(argv=None) -> int:
     out = sys.stdout.buffer if out_path == "stdout" else open(
         out_path, "ab" if args.resume else "wb")
     stats = PolishStats()
+    from .utils import timing
+
+    if args.timing:
+        timing.enable()
+    trace = timing.profiler_trace(args.profile_dir) if args.profile_dir else None
     try:
-        polish(args.fa, args.bam, args.yak, cfg, engine=args.engine, out=out,
-               stats=stats, skip_contigs=skip, verbose=args.verbose,
-               host_shard=shard if shard.n_hosts > 1 else None)
+        if trace is not None:
+            with trace:
+                polish(args.fa, args.bam, args.yak, cfg, engine=args.engine,
+                       out=out, stats=stats, skip_contigs=skip,
+                       verbose=args.verbose,
+                       host_shard=shard if shard.n_hosts > 1 else None)
+        else:
+            polish(args.fa, args.bam, args.yak, cfg, engine=args.engine,
+                   out=out, stats=stats, skip_contigs=skip, verbose=args.verbose,
+                   host_shard=shard if shard.n_hosts > 1 else None)
     finally:
         if out is not sys.stdout.buffer:
             out.close()
+    if args.timing:
+        timing.report()
     print(resource_str(__version__), file=sys.stderr)
     print(f"Contigs: {stats.contigs} ({stats.polished} polished, "
           f"{stats.passthrough} passthrough); bases {stats.in_bases} -> "

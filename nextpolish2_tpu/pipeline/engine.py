@@ -35,6 +35,7 @@ from ..models.oracle_lq import (
 )
 from ..models.oracle_msa import ConsensusBase, LqRegion
 from ..utils.seqcodes import ASCII2CODE, CODE2ASCII
+from ..utils.timing import stage
 from .host_fallback import host_window_dp
 from .windows import WindowOverflow, aggregate_host, build_window_batch
 
@@ -62,7 +63,8 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
     from ..utils.jaxcfg import bucket, configure_jax
 
     configure_jax()
-    wb = build_window_batch(alignseqs, n_pos, ref_codes, target=cfg.window_len)
+    with stage("plan_windows"):
+        wb = build_window_batch(alignseqs, n_pos, ref_codes, target=cfg.window_len)
     if wb.n_windows == 0:
         raise WindowOverflow("no windows")
     if wb.width >= (1 << 13):
@@ -81,8 +83,9 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
     last_col = np.zeros(B, dtype=np.int32)
     last_col[:nw] = (wb.window_start + wb.window_len - 1 - lead[:nw]).astype(np.int32)
 
-    key_tab, cnt_tab, coverage, n_slots, overflow = aggregate_host(
-        wb, K, width=width, n_windows=B)
+    with stage("aggregate_pileup"):
+        key_tab, cnt_tab, coverage, n_slots, overflow = aggregate_host(
+            wb, K, width=width, n_windows=B)
     tables = SlotTables(
         key=jnp.asarray(key_tab), count=jnp.asarray(cnt_tab),
         coverage=jnp.asarray(coverage), n_slots=jnp.asarray(n_slots),
@@ -106,15 +109,16 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
     # round-trip latency regardless of size
     import jax
 
-    (cols_r, base_r, cnt_r, cov_r, ok_r, best_sc, _n_steps,
-     truncated), lvl_over = jax.device_get((out, lvl_over))
+    with stage("device_dp_backtrack"):
+        (cols_r, base_r, cnt_r, cov_r, ok_r, best_sc, _n_steps,
+         truncated), lvl_over = jax.device_get((out, lvl_over))
     best_sc = best_sc.astype(np.int64)
     # windows exceeding device static bounds re-run on the host with identical
     # semantics and no caps (pathological pileup columns; see host_fallback.py)
     needs_host = overflow[:nw] | lvl_over[:nw] | truncated[:nw]
     host_results = {}
     for w in np.nonzero(needs_host)[0]:
-        hcols, hkeys = wb.window_stream(int(w))
+        hcols, hkeys = wb.window_stream(int(w))  # noqa: E501  (timed below)
         hcol, hq3, hcnt, hcov, hbest = host_window_dp(
             hcols, hkeys, wb.width,
             int(lead[w]), int(last_col[w]), bool(seed[w]))
@@ -228,8 +232,10 @@ def polish_contig_tpu(tseq: bytes, records: Sequence[BamRecord],
                 if out_cns:
                     return cb
                 continue
-            extract_alleles(alignseqs, lqseqs, tables[0], cfg.lqseq_max_can_count)
-            retrieve_kmer_count(lqseqs, tables[0], cfg.min_kmer_count)
+            with stage("extract_alleles"):
+                extract_alleles(alignseqs, lqseqs, tables[0], cfg.lqseq_max_can_count)
+            with stage("kmer_scoring"):
+                retrieve_kmer_count(lqseqs, tables[0], cfg.min_kmer_count)
             if out_cns:
                 fill_seed_lqseqs(lqseqs, cfg.max_indel_len, cfg.lqseq_max_can_count)
                 consensus = update_consensus_with_lqseqs(lqseqs, cb, L_SUCC)
