@@ -53,6 +53,7 @@ def _use_pallas() -> bool:
 
 def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
                             ref_codes: np.ndarray, cfg: PolishConfig,
+                            stream_cache: Optional[dict] = None,
                             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Run the device engine; return the global REVERSED backtrack stream as
     (pos, base_ascii, count, coverage) arrays — the exact stream the reference
@@ -64,7 +65,8 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
 
     configure_jax()
     with stage("plan_windows"):
-        wb = build_window_batch(alignseqs, n_pos, ref_codes, target=cfg.window_len)
+        wb = build_window_batch(alignseqs, n_pos, ref_codes, target=cfg.window_len,
+                                stream_cache=stream_cache)
     if wb.n_windows == 0:
         raise WindowOverflow("no windows")
     if wb.width >= (1 << 13):
@@ -222,10 +224,11 @@ def polish_contig_tpu(tseq: bytes, records: Sequence[BamRecord],
         alignseqs = build_alignseqs(tseq, records, cfg)
 
     try:
+        stream_cache: dict = {}
         for i in range(cfg.iter_count):
             out_cns = i + 1 == cfg.iter_count
             pos, base, cnt, cov = device_consensus_stream(
-                alignseqs, len(tseq), ref_codes, cfg)
+                alignseqs, len(tseq), ref_codes, cfg, stream_cache)
             cb, lqseqs = lq_state_machine(pos, base, cnt, cov,
                                           cfg.hq_min_qv, cfg.lq_min_length)
             if not lqseqs:

@@ -180,35 +180,53 @@ def aggregate_host(wb: "WindowBatch", K: int, width: int | None = None,
 
 def build_window_batch(alignseqs: List[AlignTags], n_pos: int,
                        ref_codes: np.ndarray,
-                       target: int = 1024) -> WindowBatch:
+                       target: int = 1024,
+                       stream_cache: Optional[dict] = None) -> WindowBatch:
     """Plan windows and extract padded per-window (col, key) streams.
 
     Window w's stream holds observations with t_pos in [start-2, end]; kmers at
     relative cols 0,1 (= start-2, start-1) exist only to be discarded on device,
     col 2 (= the anchor) is replaced by the synthesized anchor kmer.
+
+    stream_cache: dict persisted across phasing iterations — the sorted global
+    stream is computed once; later iterations mask out dropped reads' entries
+    (stable-sorted order is preserved by filtering).
     """
     anchors = find_anchors(alignseqs, n_pos, ref_codes)
     plan = plan_windows(anchors, n_pos, target)
     nw = len(plan.starts)
 
-    # full streams once; windows slice them
-    t_all_parts = []
-    k_all_parts = []
-    for a in alignseqs:
-        if a.dropped or len(a) == 0:
-            continue
-        t, k = kmer_stream(a)
-        t_all_parts.append(t)
-        k_all_parts.append(k)
-    t_all = np.concatenate(t_all_parts) if t_all_parts else np.zeros(0, np.int64)
-    k_all = np.concatenate(k_all_parts) if k_all_parts else np.zeros(0, np.uint64)
-    if len(k_all) and int((k_all >> np.uint64(16)).max()) >= (1 << 14):
-        # insertion runs >= 2^14 columns would overflow the i32 key packing;
-        # absurd input — let the engine fall back to the oracle
-        raise WindowOverflow("delta overflow: insertion run >= 16384 columns")
-    order = np.argsort(t_all, kind="stable")  # stable: keeps stream order per col
-    t_sorted = t_all[order]
-    k_sorted = k_all[order].astype(np.int64)
+    if stream_cache is not None and "t_sorted" in stream_cache:
+        drop = np.array([a.dropped or len(a) == 0 for a in alignseqs])
+        keep = ~drop[stream_cache["rid_sorted"]]
+        t_sorted = stream_cache["t_sorted"][keep]
+        k_sorted = stream_cache["k_sorted"][keep]
+    else:
+        # full streams once; windows slice them
+        t_all_parts = []
+        k_all_parts = []
+        rid_parts = []
+        for rid, a in enumerate(alignseqs):
+            if a.dropped or len(a) == 0:
+                continue
+            t, k = kmer_stream(a)
+            t_all_parts.append(t)
+            k_all_parts.append(k)
+            rid_parts.append(np.full(len(t), rid, dtype=np.int32))
+        t_all = np.concatenate(t_all_parts) if t_all_parts else np.zeros(0, np.int64)
+        k_all = np.concatenate(k_all_parts) if k_all_parts else np.zeros(0, np.uint64)
+        if len(k_all) and int((k_all >> np.uint64(16)).max()) >= (1 << 14):
+            # insertion runs >= 2^14 columns would overflow the i32 key packing;
+            # absurd input — let the engine fall back to the oracle
+            raise WindowOverflow("delta overflow: insertion run >= 16384 columns")
+        order = np.argsort(t_all, kind="stable")  # stable: keeps per-col order
+        t_sorted = t_all[order]
+        k_sorted = k_all[order].astype(np.int64)
+        if stream_cache is not None:
+            rid_all = np.concatenate(rid_parts) if rid_parts else np.zeros(0, np.int32)
+            stream_cache["t_sorted"] = t_sorted
+            stream_cache["k_sorted"] = k_sorted
+            stream_cache["rid_sorted"] = rid_all[order]
 
     starts = plan.starts
     ends = plan.ends
@@ -230,7 +248,7 @@ def build_window_batch(alignseqs: List[AlignTags], n_pos: int,
     # anchor kmer: (ref[t-2], ref[t-1], ref[t]) with deltas 0 -> flags 0,
     # b1.delta 0; count = column coverage at the anchor
     colcnt = np.zeros(n_pos, dtype=np.int64)
-    np.add.at(colcnt, t_all, 1)
+    np.add.at(colcnt, t_sorted, 1)
     anchor_key = np.zeros(nw, dtype=np.int32)
     anchor_count = np.zeros(nw, dtype=np.int32)
     interior = starts > 0
