@@ -59,10 +59,12 @@ def main() -> int:
     wb, cfg = build_real_windows()
     K = cfg.max_kmers_per_col
     nw = wb.n_windows
-    width = bucket(wb.width, 128)
-    B = bucket(nw, 8)
+    # same fixed shapes as the engine: one width tier, B = 128-window chunks
+    tiers = [bucket(cfg.window_len + 256, 128), bucket(2 * cfg.window_len + 512, 128)]
+    width = tiers[0] if wb.width <= tiers[0] else tiers[1]
+    B = 128
     key_tab, cnt_tab, coverage, n_slots, overflow = aggregate_host(
-        wb, K, width=width, n_windows=B)
+        wb, K, width=width, n_windows=B, win_lo=0, win_hi=min(nw, B))
     lead = np.zeros(B, dtype=np.int64)
     lead[:nw] = np.maximum(wb.window_start - 2, 0)
     seed = np.zeros(B, dtype=bool)
@@ -102,7 +104,8 @@ def main() -> int:
         c = step(tables, jlead, jseed, jlast)
     c = int(c)  # materialize the last checksum (chain is sequential on device)
     dt = time.time() - t0
-    windows_per_s = B * n_iter / dt
+    n_real = min(nw, B)  # count real windows, not chunk padding
+    windows_per_s = n_real * n_iter / dt
     bases_per_s = windows_per_s * float(np.mean(wb.window_len))
 
     # host baseline: same DP semantics, single thread, on a median-size window

@@ -69,84 +69,103 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
                                 stream_cache=stream_cache)
     if wb.n_windows == 0:
         raise WindowOverflow("no windows")
-    if wb.width >= (1 << 13):
-        raise WindowOverflow(f"window width {wb.width} exceeds 2^13")
     K = cfg.max_kmers_per_col
     nw = wb.n_windows
 
-    # shape bucketing: compiles on the tunneled TPU cost 60s+ per unique shape,
-    # so pad (B, width) to standard sizes and slice results back
-    width = bucket(wb.width, 128)
-    B = bucket(nw, 8)
-    lead = np.zeros(B, dtype=np.int64)
-    lead[:nw] = np.maximum(wb.window_start - 2, 0)
-    seed = np.zeros(B, dtype=bool)
-    seed[:nw] = wb.window_start > 0
-    last_col = np.zeros(B, dtype=np.int32)
-    last_col[:nw] = (wb.window_start + wb.window_len - 1 - lead[:nw]).astype(np.int32)
+    # Fixed device shapes: B is always CHUNK_B windows and width one of two
+    # tiers, so a whole multi-contig assembly compiles at most two DP shapes
+    # (compiles on the tunneled TPU cost minutes each). Windows wider than the
+    # chosen tier are flagged by aggregate_host and take the host fallback.
+    CHUNK_B = 16 if nw <= 16 else 128
+    tiers = [bucket(cfg.window_len + 256, 128), bucket(2 * cfg.window_len + 512, 128)]
+    span_max = int(wb.width)
+    width = tiers[0] if span_max <= tiers[0] else tiers[1]
 
-    with stage("aggregate_pileup"):
-        key_tab, cnt_tab, coverage, n_slots, overflow = aggregate_host(
-            wb, K, width=width, n_windows=B)
-    tables = SlotTables(
-        key=jnp.asarray(key_tab), count=jnp.asarray(cnt_tab),
-        coverage=jnp.asarray(coverage), n_slots=jnp.asarray(n_slots),
-        overflow=jnp.asarray(overflow))
-    if _use_pallas():
-        from ..ops.consensus_pallas import consensus_dp_pallas
-
-        scores, besti, lvl_over = consensus_dp_pallas(
-            tables.key, tables.count, tables.coverage,
-            jnp.asarray(lead), jnp.asarray(seed))
-        besti = besti.astype(jnp.int8)
-    else:
-        scores, besti, lvl_over = consensus_dp(tables, jnp.asarray(lead),
-                                               jnp.asarray(seed))
-    # paths are ~window_len + a few insertion steps; longer ones flag truncated
-    # and take the host fallback (rare pathological windows)
+    lead_all = np.maximum(wb.window_start - 2, 0)
+    seed_all = wb.window_start > 0
+    last_all = (wb.window_start + wb.window_len - 1 - lead_all).astype(np.int32)
     max_steps = int(width + 128)
-    out = backtrack(tables, scores, besti, jnp.asarray(last_col),
-                    jnp.asarray(seed), max_steps)
-    # ONE device->host transfer: each pull over the tunneled TPU costs ~10s of
-    # round-trip latency regardless of size
+
     import jax
 
-    with stage("device_dp_backtrack"):
-        (cols_r, base_r, cnt_r, cov_r, ok_r, best_sc, _n_steps,
-         truncated), lvl_over = jax.device_get((out, lvl_over))
-    best_sc = best_sc.astype(np.int64)
-    # windows exceeding device static bounds re-run on the host with identical
-    # semantics and no caps (pathological pileup columns; see host_fallback.py)
-    needs_host = overflow[:nw] | lvl_over[:nw] | truncated[:nw]
     host_results = {}
-    for w in np.nonzero(needs_host)[0]:
-        hcols, hkeys = wb.window_stream(int(w))  # noqa: E501  (timed below)
-        hcol, hq3, hcnt, hcov, hbest = host_window_dp(
-            hcols, hkeys, wb.width,
-            int(lead[w]), int(last_col[w]), bool(seed[w]))
-        host_results[int(w)] = (hcol, hq3, hcnt, hcov)
-        best_sc[w] = hbest
+    best_all = np.zeros(nw, dtype=np.int64)
+    chunk_out = []  # (c0, cols_r, base_r, cnt_r, cov_r, ok_r)
+    for c0 in range(0, nw, CHUNK_B):
+        c1 = min(c0 + CHUNK_B, nw)
+        n = c1 - c0
+        with stage("aggregate_pileup"):
+            key_tab, cnt_tab, coverage, n_slots, overflow = aggregate_host(
+                wb, K, width=width, n_windows=CHUNK_B, win_lo=c0, win_hi=c1)
+        lead = np.zeros(CHUNK_B, dtype=np.int64)
+        lead[:n] = lead_all[c0:c1]
+        seed = np.zeros(CHUNK_B, dtype=bool)
+        seed[:n] = seed_all[c0:c1]
+        last_col = np.zeros(CHUNK_B, dtype=np.int32)
+        last_col[:n] = last_all[c0:c1]
+
+        tables = SlotTables(
+            key=jnp.asarray(key_tab), count=jnp.asarray(cnt_tab),
+            coverage=jnp.asarray(coverage), n_slots=jnp.asarray(n_slots),
+            overflow=jnp.asarray(overflow))
+        if _use_pallas():
+            from ..ops.consensus_pallas import consensus_dp_pallas
+
+            scores, besti, lvl_over = consensus_dp_pallas(
+                tables.key, tables.count, tables.coverage,
+                jnp.asarray(lead), jnp.asarray(seed))
+            besti = besti.astype(jnp.int8)
+        else:
+            scores, besti, lvl_over = consensus_dp(tables, jnp.asarray(lead),
+                                                   jnp.asarray(seed))
+        out = backtrack(tables, scores, besti, jnp.asarray(last_col),
+                        jnp.asarray(seed), max_steps)
+        # ONE device->host transfer per chunk (tunnel round trips are costly)
+        with stage("device_dp_backtrack"):
+            (cols_r, base_r, cnt_r, cov_r, ok_r, best_sc, _n_steps,
+             truncated), lvl_over = jax.device_get((out, lvl_over))
+        best_all[c0:c1] = best_sc[:n].astype(np.int64)
+        chunk_out.append((c0, cols_r, base_r, cnt_r, cov_r, ok_r))
+        # windows exceeding device static bounds re-run on the host with
+        # identical semantics and no caps (pathological pileup columns or
+        # anchor-poor stretches; see host_fallback.py)
+        needs_host = overflow[:n] | lvl_over[:n] | truncated[:n]
+        for wl in np.nonzero(needs_host)[0]:
+            w = c0 + int(wl)
+            with stage("host_fallback"):
+                hcols, hkeys = wb.window_stream(w)
+                hcol, hq3, hcnt, hcov, hbest = host_window_dp(
+                    hcols, hkeys, wb.width,
+                    int(lead_all[w]), int(last_all[w]), bool(seed_all[w]))
+            host_results[w] = (hcol, hq3, hcnt, hcov)
+            best_all[w] = hbest
 
     # whole-contig default-kmer check (main.rs:1651): window-local maxima are
     # partial sums from each anchor, so their sum is the true global best score
-    if int(best_sc[:nw].sum()) < 0:
+    if int(best_all.sum()) < 0:
         raise WindowOverflow("global best score < 0 (degenerate default kmer)")
 
     # stitch in global reverse order: last window first; window w keeps
     # emissions with abs pos > window_start (w>0) / >= 0 (w==0)
+    chunk_of = {}
+    for ci, (c0, *_rest) in enumerate(chunk_out):
+        chunk_of[c0] = ci
     pos_parts, base_parts, cnt_parts, cov_parts = [], [], [], []
     for w in range(wb.n_windows - 1, -1, -1):
         if w in host_results:
             hcol, hq3, hcnt, hcov = host_results[w]
-            abs_pos = hcol + lead[w]
+            abs_pos = hcol + lead_all[w]
             emit_base = CODE2ASCII[hq3 & 0x7]
             emit_cnt, emit_cov = hcnt, hcov
             keep = np.ones(len(abs_pos), dtype=bool)
         else:
-            keep = ok_r[w]
-            abs_pos = cols_r[w].astype(np.int64) + lead[w]
-            emit_base = CODE2ASCII[base_r[w] & 0x7]
-            emit_cnt, emit_cov = cnt_r[w], cov_r[w]
+            c0 = (w // CHUNK_B) * CHUNK_B
+            _, cols_r, base_r, cnt_r, cov_r, ok_r = chunk_out[chunk_of[c0]]
+            wl = w - c0
+            keep = ok_r[wl]
+            abs_pos = cols_r[wl].astype(np.int64) + lead_all[w]
+            emit_base = CODE2ASCII[base_r[wl] & 0x7]
+            emit_cnt, emit_cov = cnt_r[wl], cov_r[wl]
         if w > 0:
             keep = keep & (abs_pos > wb.window_start[w])
         else:

@@ -125,7 +125,8 @@ def plan_windows(anchors: np.ndarray, n_pos: int, target: int = 1024) -> WindowP
 
 
 def aggregate_host(wb: "WindowBatch", K: int, width: int | None = None,
-                   n_windows: int | None = None):
+                   n_windows: int | None = None,
+                   win_lo: int = 0, win_hi: int | None = None):
     """Host (numpy) pileup aggregation: per-window (col, key) streams ->
     [B, width, K] slot tables + coverage, in the reference's slot order
     (stable by (b3-delta, first occurrence); Msa::push + Msa::sort semantics).
@@ -134,12 +135,21 @@ def aggregate_host(wb: "WindowBatch", K: int, width: int | None = None,
     compile blows up for streams >~100k entries, while this is a single numpy
     sort over the concatenated streams. Also the template for the future C++
     pileup extractor. Returns (key_tab, cnt_tab, coverage, n_slots, overflow).
+
+    win_lo/win_hi select a window subrange (fixed-size device chunks); window w
+    maps to row w - win_lo.
     """
-    B = n_windows if n_windows is not None else wb.n_windows
+    if win_hi is None:
+        win_hi = wb.n_windows
+    B = n_windows if n_windows is not None else (win_hi - win_lo)
     W = width if width is not None else wb.width
-    w_flat = wb.flat_win.astype(np.int64)
-    c_flat = wb.flat_col.astype(np.int64)
-    k_flat = wb.flat_key.astype(np.int64)
+    # flat arrays are window-major (build_window_batch concatenates in window
+    # order), so a chunk is a contiguous slice
+    lo = int(np.searchsorted(wb.flat_win, win_lo, side="left"))
+    hi = int(np.searchsorted(wb.flat_win, win_hi - 1, side="right"))
+    w_flat = wb.flat_win[lo:hi].astype(np.int64) - win_lo
+    c_flat = wb.flat_col[lo:hi].astype(np.int64)
+    k_flat = wb.flat_key[lo:hi].astype(np.int64)
     # pack (win, col, key): win<2^19, col<2^13, key<2^32
     packed = (w_flat << 45) | (c_flat << 32) | k_flat
     uniq, first_idx, counts = np.unique(packed, return_index=True,
@@ -162,6 +172,9 @@ def aggregate_host(wb: "WindowBatch", K: int, width: int | None = None,
 
     overflow = np.zeros(B, dtype=bool)
     over = rank >= K
+    # windows wider than the device tensor (anchor-poor stretches) are flagged
+    # for the host fallback; their out-of-range columns are dropped here
+    over |= uc >= W
     if over.any():
         overflow[np.unique(uw[over])] = True
     keep = ~over
