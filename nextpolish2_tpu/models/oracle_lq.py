@@ -50,6 +50,11 @@ def extract_alleles(alignseqs: List[AlignTags], lqseqs: List[LqRegion],
     pseudo-alignment (order 0). Appends LqSeq entries in read order.
     """
     ksize = table.ksize
+    if ksize >= 32:
+        # the reference's per-allele rolling k-mer (main.rs:1488-1492) packs
+        # 2 bits/base into a u64 and cannot represent k >= 32; every documented
+        # config includes a k < 32 table, which sorts first (option.rs:238)
+        raise ValueError("smallest yak table must have k < 32")
     shift = 2 * (ksize - 1)
     mask = (1 << (2 * ksize)) - 1
     s = len(lqseqs) - 1
