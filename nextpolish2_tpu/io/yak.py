@@ -181,6 +181,35 @@ class KmerTable:
             return yak_hash64(kmers, self.kmask)
         return np.asarray(kmers, dtype=_U64)
 
+    # set True (pipeline, on TPU) to route batched lookups through the
+    # device-resident open-addressing table (ops/kmer_table.py)
+    use_device: bool = False
+    _device_tab = None
+
+    def full_hashes(self) -> np.ndarray:
+        """Reconstruct full hash values V from (bin, key) — exact for pre <= 10
+        (the stored identity; kmer.rs:96-124)."""
+        sizes = np.diff(self.bin_off)
+        bins = np.repeat(np.arange(1 << self.pre, dtype=_U64), sizes)
+        return (self.keys << _U64(YAK_COUNTER_BITS)) | bins
+
+    def get_device(self, hashes: np.ndarray, min_count: int) -> np.ndarray:
+        """Batched lookup via the device HBM table (built lazily)."""
+        import jax.numpy as jnp
+
+        from ..ops.kmer_table import DeviceKmerTable, lookup_jit
+
+        if self._device_tab is None:
+            tab = DeviceKmerTable.build(self.full_hashes(),
+                                        self.counts.astype(np.int64), self.ksize)
+            self._device_tab = (tab, jnp.asarray(tab.key_hi),
+                                jnp.asarray(tab.key_lo), jnp.asarray(tab.counts))
+        tab, jhi, jlo, jct = self._device_tab
+        q_hi, q_lo, q_slot = tab.query_host_arrays(hashes)
+        out = lookup_jit(jhi, jlo, jct, jnp.asarray(q_hi), jnp.asarray(q_lo),
+                         jnp.asarray(q_slot), int(min_count))
+        return np.asarray(out).astype(np.uint16)
+
     def get(self, hashes: np.ndarray, min_count: int = 0) -> np.ndarray:
         """Vectorized lookup: hash V -> stored count, 0 if absent or count < min_count.
 
@@ -188,6 +217,10 @@ class KmerTable:
         with the get (kmer.rs:123-125): a present k-mer with count < min_count
         behaves as absent (count 0).
         """
+        if (self.use_device and self.pre <= YAK_COUNTER_BITS
+                and len(np.atleast_1d(hashes)) >= 256):
+            return self.get_device(np.atleast_1d(np.asarray(hashes, dtype=_U64)),
+                                   min_count)
         hashes = np.atleast_1d(np.asarray(hashes, dtype=_U64))
         if len(self.keys) == 0:
             return np.zeros(len(hashes), dtype=np.uint16)

@@ -73,6 +73,12 @@ def polish(fa_path: str, bam_path: str, yak_paths: Sequence[str],
     t_start = time.time()
     tables = [load_yak(p) for p in yak_paths]
     tables.sort(key=lambda t: t.ksize)  # option.rs:238
+    if engine == "tpu":
+        from .engine import _use_pallas
+
+        if _use_pallas():  # real TPU: batched lookups via the device HBM table
+            for t in tables:
+                t.use_device = True
 
     from ..io.bam import fill_secondary_seq, retrieve_secondary_seqs
     from ..io.native import available as native_available

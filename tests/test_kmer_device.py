@@ -61,3 +61,25 @@ def test_sharded_table_lookup_8dev():
                         jnp.asarray(q_lo), jnp.asarray(q_slot),
                         jnp.asarray(q_shard)))
     np.testing.assert_array_equal(got, counts)
+
+
+def test_kmertable_device_path_equals_host(tmp_path):
+    """KmerTable.get with use_device routes through the HBM table, same results."""
+    import numpy as np
+
+    from nextpolish2_tpu.io.yak import load_yak, write_yak, yak_hash64
+
+    rng = np.random.default_rng(63)
+    mask = (1 << 42) - 1
+    hashes = np.unique(yak_hash64(
+        rng.integers(0, mask, size=6000, dtype=np.uint64), mask))
+    counts = rng.integers(1, 200, size=len(hashes))
+    path = str(tmp_path / "d.yak")
+    write_yak(path, 21, hashes, counts)
+    tab = load_yak(path)
+    q = np.concatenate([hashes[:2000],
+                        rng.integers(0, mask, size=500, dtype=np.uint64)])
+    host = tab.get(q, 5)
+    tab.use_device = True
+    dev = tab.get(q, 5)
+    np.testing.assert_array_equal(host, dev)
