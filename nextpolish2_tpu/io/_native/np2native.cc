@@ -394,3 +394,99 @@ int np2_bam_refs(const char* bam_path, char* names_out, int64_t names_cap,
 }
 
 }  // extern "C"
+
+// ---------- pileup aggregation (host hot path) ----------
+// Input: N packed entries (win<<45 | col<<32 | key) — the per-window 3-mer
+// observation stream (window-major). Output: dense slot tables in the
+// reference's slot order (stable by (b3-delta, first occurrence); Msa::push +
+// Msa::sort semantics, main.rs:193-229) + per-column coverage + overflow flags.
+
+#include <algorithm>
+#if defined(_OPENMP)
+#include <parallel/algorithm>
+#endif
+
+namespace {
+static inline int64_t b3d_of_key(int64_t key) {
+  int64_t flags = (key >> 12) & 0xF;
+  if ((flags & 0b0101) == 0b0101) return ((key >> 16) & 0xFFFF) + 2;
+  return (flags & 1) ? 1 : 0;
+}
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success. Caller buffers: key_tab/cnt_tab i32[B*W*K],
+// coverage/n_slots i32[B*W], overflow u8[B]; all zero/minus-one initialized by
+// the callee.
+int np2_aggregate(const uint64_t* packed, int64_t n,
+                  int64_t B, int64_t W, int64_t K,
+                  int32_t* key_tab, int32_t* cnt_tab,
+                  int32_t* coverage, int32_t* n_slots, uint8_t* overflow) {
+  std::fill(key_tab, key_tab + B * W * K, -1);
+  std::fill(cnt_tab, cnt_tab + B * W * K, 0);
+  std::fill(coverage, coverage + B * W, 0);
+  std::fill(n_slots, n_slots + B * W, 0);
+  std::fill(overflow, overflow + B, 0);
+
+  std::vector<int64_t> idx(n);
+  for (int64_t i = 0; i < n; i++) idx[i] = i;
+  auto cmp = [packed](int64_t a, int64_t b) {
+    if (packed[a] != packed[b]) return packed[a] < packed[b];
+    return a < b;  // stable: first occurrence first
+  };
+#if defined(_OPENMP)
+  __gnu_parallel::sort(idx.begin(), idx.end(), cmp);
+#else
+  std::sort(idx.begin(), idx.end(), cmp);
+#endif
+
+  struct Seg { int64_t key; int64_t first; int64_t count; int64_t b3d; };
+  std::vector<Seg> col_segs;
+  col_segs.reserve(64);
+
+  int64_t i = 0;
+  while (i < n) {
+    // one (win, col) group at a time
+    uint64_t wc = packed[idx[i]] >> 32;
+    int64_t win = (int64_t)(wc >> 13);
+    int64_t col = (int64_t)(wc & 0x1FFF);
+    col_segs.clear();
+    while (i < n && (packed[idx[i]] >> 32) == wc) {
+      uint64_t v = packed[idx[i]];
+      int64_t first = idx[i];
+      int64_t cnt = 0;
+      while (i < n && packed[idx[i]] == v) { cnt++; i++; }
+      int64_t key = (int64_t)(v & 0xFFFFFFFFull);
+      col_segs.push_back({key, first, cnt, b3d_of_key(key)});
+    }
+    if (win >= B || col >= W) {  // out-of-tier window -> host fallback
+      if (win < B) overflow[win] = 1;
+      continue;
+    }
+    // slot order: (b3d, first occurrence)
+    std::stable_sort(col_segs.begin(), col_segs.end(),
+                     [](const Seg& a, const Seg& b) {
+                       if (a.b3d != b.b3d) return a.b3d < b.b3d;
+                       return a.first < b.first;
+                     });
+    int64_t base = (win * W + col) * K;
+    int64_t ns = 0;
+    int64_t cov = 0;
+    for (size_t s = 0; s < col_segs.size(); s++) {
+      if (col_segs[s].b3d == 0) cov += col_segs[s].count;
+      if ((int64_t)s < K) {
+        key_tab[base + s] = (int32_t)col_segs[s].key;
+        cnt_tab[base + s] = (int32_t)col_segs[s].count;
+        ns++;
+      } else {
+        overflow[win] = 1;
+      }
+    }
+    coverage[win * W + col] = (int32_t)cov;
+    n_slots[win * W + col] = (int32_t)ns;
+  }
+  return 0;
+}
+
+}  // extern "C"

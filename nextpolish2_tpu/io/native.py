@@ -40,8 +40,38 @@ def load() -> Optional[ctypes.CDLL]:
     lib.np2_extract_contig_h.restype = ctypes.c_int
     lib.np2_bam_refs.restype = ctypes.c_int
     lib.np2_open.restype = ctypes.c_void_p
+    lib.np2_aggregate.restype = ctypes.c_int
     _lib = lib
     return lib
+
+
+def aggregate_native(packed: np.ndarray, B: int, W: int, K: int):
+    """Native pileup aggregation (np2_aggregate): packed (win<<45|col<<32|key)
+    stream -> slot tables; None if the library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    packed = np.ascontiguousarray(packed, dtype=np.uint64)
+    key_tab = np.empty(B * W * K, dtype=np.int32)
+    cnt_tab = np.empty(B * W * K, dtype=np.int32)
+    coverage = np.empty(B * W, dtype=np.int32)
+    n_slots = np.empty(B * W, dtype=np.int32)
+    overflow = np.empty(B, dtype=np.uint8)
+    rc = lib.np2_aggregate(
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.c_int64(len(packed)), ctypes.c_int64(B), ctypes.c_int64(W),
+        ctypes.c_int64(K),
+        key_tab.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cnt_tab.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        coverage.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_slots.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        overflow.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"np2_aggregate failed rc={rc}")
+    return (key_tab.reshape(B, W, K), cnt_tab.reshape(B, W, K),
+            coverage.reshape(B, W), n_slots.reshape(B, W),
+            overflow.astype(bool))
 
 
 _handles: dict = {}

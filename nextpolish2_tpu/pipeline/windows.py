@@ -126,7 +126,8 @@ def plan_windows(anchors: np.ndarray, n_pos: int, target: int = 1024) -> WindowP
 
 def aggregate_host(wb: "WindowBatch", K: int, width: int | None = None,
                    n_windows: int | None = None,
-                   win_lo: int = 0, win_hi: int | None = None):
+                   win_lo: int = 0, win_hi: int | None = None,
+                   use_native: bool = True):
     """Host (numpy) pileup aggregation: per-window (col, key) streams ->
     [B, width, K] slot tables + coverage, in the reference's slot order
     (stable by (b3-delta, first occurrence); Msa::push + Msa::sort semantics).
@@ -152,6 +153,13 @@ def aggregate_host(wb: "WindowBatch", K: int, width: int | None = None,
     k_flat = wb.flat_key[lo:hi].astype(np.int64)
     # pack (win, col, key): win<2^19, col<2^13, key<2^32
     packed = (w_flat << 45) | (c_flat << 32) | k_flat
+
+    if use_native:
+        from ..io.native import aggregate_native
+
+        res = aggregate_native(packed.view(np.uint64), B, W, K)
+        if res is not None:
+            return res
     uniq, first_idx, counts = np.unique(packed, return_index=True,
                                         return_counts=True)
     uw = uniq >> 45

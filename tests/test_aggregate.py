@@ -39,3 +39,30 @@ def test_host_vs_device_aggregation():
     np.testing.assert_array_equal(hcov, np.asarray(dev.coverage))
     np.testing.assert_array_equal(hns, np.asarray(dev.n_slots))
     np.testing.assert_array_equal(hover, np.asarray(dev.overflow))
+
+
+def test_native_vs_numpy_aggregation():
+    from nextpolish2_tpu.io.native import available
+
+    if not available():
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(51)
+    t = bytes(rng.choice(list(b"ACGT"), size=3000).astype(np.uint8))
+    reads = []
+    for s in range(0, 2200, 200):
+        seq = bytearray(t[s : s + 700])
+        for _ in range(6):
+            i = int(rng.integers(len(seq)))
+            seq[i] = int(rng.choice(list(b"ACGT")))
+        reads.append(BamRecord(qname=f"r{s}".encode(), flag=0, tid=0, pos=s,
+                               mapq=60, cigar=[(0, 700)], seq=bytes(seq)))
+    cfg = PolishConfig(min_ctg_len=0, min_read_len=100, min_map_len=50)
+    aligns = build_alignseqs(t, reads, cfg)
+    ref_codes = ASCII2CODE[np.frombuffer(t, dtype=np.uint8)]
+    wb = build_window_batch(aligns, len(t), ref_codes, target=512)
+    for K in (8, 32):  # small K to exercise overflow flags
+        a = aggregate_host(wb, K, use_native=False)
+        b = aggregate_host(wb, K, use_native=True)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
