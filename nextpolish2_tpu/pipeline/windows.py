@@ -76,16 +76,21 @@ def find_anchors(alignseqs: List[AlignTags], n_pos: int,
                  ref_codes: np.ndarray) -> np.ndarray:
     """Anchor mask: columns t where cols t-2..t are pure (all tags match ref with
     delta 0, coverage >= 2) and no alignment starts at t-1 or t."""
-    colcnt = np.zeros(n_pos, dtype=np.int64)
-    matchcnt = np.zeros(n_pos, dtype=np.int64)
     startcnt = np.zeros(n_pos, dtype=np.int64)
+    t_parts = []
+    ok_parts = []
     for a in alignseqs:
         if a.dropped or len(a) == 0:
             continue
-        np.add.at(colcnt, a.t_pos, 1)
-        ok = (a.delta == 0) & (a.q_base == ref_codes[a.t_pos])
-        np.add.at(matchcnt, a.t_pos[ok], 1)
+        t_parts.append(a.t_pos)
+        ok_parts.append((a.delta == 0) & (a.q_base == ref_codes[a.t_pos]))
         startcnt[a.aln_t_s] += 1
+    if not t_parts:
+        return np.zeros(n_pos, dtype=bool)
+    t_all = np.concatenate(t_parts)
+    ok_all = np.concatenate(ok_parts)
+    colcnt = np.bincount(t_all, minlength=n_pos)
+    matchcnt = np.bincount(t_all[ok_all], minlength=n_pos)
     pure = (colcnt >= 2) & (matchcnt == colcnt)
     anchors = np.zeros(n_pos, dtype=bool)
     if n_pos >= 3:
@@ -268,8 +273,7 @@ def build_window_batch(alignseqs: List[AlignTags], n_pos: int,
 
     # anchor kmer: (ref[t-2], ref[t-1], ref[t]) with deltas 0 -> flags 0,
     # b1.delta 0; count = column coverage at the anchor
-    colcnt = np.zeros(n_pos, dtype=np.int64)
-    np.add.at(colcnt, t_sorted, 1)
+    colcnt = np.bincount(t_sorted, minlength=n_pos)
     anchor_key = np.zeros(nw, dtype=np.int32)
     anchor_count = np.zeros(nw, dtype=np.int32)
     interior = starts > 0
