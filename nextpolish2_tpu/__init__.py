@@ -11,3 +11,10 @@ Top-level API:
 __version__ = "0.1.0"
 
 from .config import PolishConfig  # noqa: F401
+
+
+def polish(fa_path, bam_path, yak_paths, cfg=None, **kw):
+    """Top-level API: polish all contigs; see pipeline.orchestrator.polish."""
+    from .pipeline.orchestrator import polish as _polish
+
+    return _polish(fa_path, bam_path, yak_paths, cfg, **kw)

@@ -1,0 +1,70 @@
+"""Unit tests for the intricate LQ helper functions against hand-computed values
+(reference main.rs:780-860 semantics)."""
+
+import numpy as np
+
+from nextpolish2_tpu.models.oracle_lq import (LqSeq, fill_order_stat,
+                                              get_min_count, is_valid_snp,
+                                              no_dupseq_lqseq)
+from nextpolish2_tpu.models.oracle_msa import LqRegion
+
+
+def mk(seqs_scores):
+    r = LqRegion(start=0, end=1)
+    r.seqs = [LqSeq(order=i, kscore=k, kmer=0, seq=s)
+              for i, (s, k) in enumerate(seqs_scores)]
+    return r
+
+
+def test_get_min_count():
+    # coverage-scaled thresholds (main.rs:803-811)
+    assert [get_min_count(c) for c in (1, 5, 6, 8, 9, 100)] == [1, 1, 2, 2, 3, 3]
+
+
+def test_is_valid_snp_homopolymer_compression():
+    # equal after homopolymer compression -> NOT a valid SNP (main.rs:780-801)
+    assert not is_valid_snp(b"AAAG", b"AG")
+    assert not is_valid_snp(b"GAGCTCT", b"GAGCTCT")
+    assert is_valid_snp(b"GAGCTCT", b"GAGTTCT")
+    # prefix relationship after compression -> false (reference comment:
+    # 'such as GAGCTCT vs GAGCTCTCT, so here we always return false')
+    assert not is_valid_snp(b"GAGCTCT", b"GAGCTCTAT"[:7] + b"AT")
+
+
+def test_fill_order_stat_counts_and_maxima():
+    # order 0 = ref allele 'AA'; three reads 'AT', one more 'AA', one 'AT'
+    lq = mk([(b"AA", 5), (b"AT", 5), (b"AT", 5), (b"AA", 5), (b"AT", 5)])
+    stats = [0] * 60
+    order_stat = {}
+    m1c, m1p, m2c, m2p = fill_order_stat(lq, stats, order_stat)
+    # 'AT' count 3 from first occurrence idx1; 'AA' count 2 from idx0
+    assert (m1c, m1p) == (3, 1)
+    assert (m2c, m2p) == (2, 0)
+    assert order_stat == {0: 2, 1: 3}
+    assert stats[:5] == [2, 3, 3, 2, 3]
+
+
+def test_fill_order_stat_ref_tie_preference():
+    # tie between ref allele and another: ref (order 0) wins max1 (main.rs:838)
+    lq = mk([(b"AA", 5), (b"AT", 5), (b"AT", 5), (b"AA", 5)])
+    stats = [0] * 60
+    m1c, m1p, m2c, m2p = fill_order_stat(lq, stats, {})
+    assert (m1c, m1p) == (2, 0)  # ref preferred on equal counts
+    assert (m2c, m2p) == (2, 1)
+
+
+def test_fill_order_stat_skips_zero_kscore():
+    lq = mk([(b"AA", 5), (b"AT", 0), (b"AT", 0), (b"AT", 5)])
+    stats = [0] * 60
+    os_ = {}
+    m1c, m1p, _, _ = fill_order_stat(lq, stats, os_)
+    # kscore==0 seqs are not counted as first occurrences, but counts from a
+    # valid first occurrence include them via seqs[p1..] scan
+    assert m1p in (0, 3)
+    assert 0 in os_
+
+
+def test_no_dupseq_excludes_ref():
+    # duplicate between ref (idx0) and a read does NOT count (main.rs:851-860)
+    assert no_dupseq_lqseq(mk([(b"AA", 1), (b"AA", 1), (b"AT", 1)]))
+    assert not no_dupseq_lqseq(mk([(b"AA", 1), (b"AT", 1), (b"AT", 1)]))
