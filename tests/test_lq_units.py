@@ -68,3 +68,36 @@ def test_no_dupseq_excludes_ref():
     # duplicate between ref (idx0) and a read does NOT count (main.rs:851-860)
     assert no_dupseq_lqseq(mk([(b"AA", 1), (b"AA", 1), (b"AT", 1)]))
     assert not no_dupseq_lqseq(mk([(b"AA", 1), (b"AT", 1), (b"AT", 1)]))
+
+
+def test_phase_communities_len_model():
+    """model=len: communities sorted by weight; conflicting smaller one dropped
+    (louvain.rs:317-339)."""
+    from nextpolish2_tpu.models.louvain import insert_data, new_data, phase_communities
+
+    data = new_data()
+    # clique A {1,2,3} (weight 3), clique B {4,5} (weight 1), conflict A-B
+    for a, b in ((1, 2), (2, 3), (1, 3), (4, 5)):
+        insert_data(data, a, b, 1.0)
+        insert_data(data, b, a, 1.0)
+    insert_data(data, 1, 4, -1.0)
+    insert_data(data, 4, 1, -1.0)
+    dropped = phase_communities(data, None)
+    assert sorted(dropped) == [4, 5]
+
+
+def test_phase_communities_ref_model_overrides_weight():
+    """model=ref: the community agreeing with the reference wins even when the
+    other has more internal weight (louvain.rs:294-316)."""
+    from nextpolish2_tpu.models.louvain import insert_data, new_data, phase_communities
+
+    data = new_data()
+    for a, b in ((1, 2), (2, 3), (1, 3), (4, 5)):
+        insert_data(data, a, b, 1.0)
+        insert_data(data, b, a, 1.0)
+    insert_data(data, 1, 4, -1.0)
+    insert_data(data, 4, 1, -1.0)
+    # reference agrees with the SMALLER clique {4,5}
+    ref_weight = {4: 1.0, 5: 1.0, 1: -1.0, 2: -1.0, 3: -1.0}
+    dropped = phase_communities(data, ref_weight)
+    assert sorted(dropped) == [1, 2, 3]
