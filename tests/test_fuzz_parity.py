@@ -72,3 +72,35 @@ def test_fuzz_tpu_equals_oracle(tmp_path, seed):
     a = polish_contig(asm, recs, [table], cfg)
     b = polish_contig_tpu(asm, recs, [table], cfg, fallback=False)
     assert consensus_to_bytes(a) == consensus_to_bytes(b)
+
+
+@pytest.mark.parametrize("seed", range(200, 204))
+def test_fuzz_het_phasing_parity(tmp_path, seed):
+    """Random heterozygous scenarios: both haplotypes' reads + SR tables."""
+    rng = np.random.default_rng(seed)
+    n = 2500
+    h1 = bytearray(rng.choice(list(b"ACGT"), size=n).astype(np.uint8))
+    h2 = bytearray(h1)
+    base = int(rng.integers(400, n - 1000))
+    for off in sorted(rng.choice(np.arange(0, 800, 25), size=6, replace=False)):
+        p = base + int(off)
+        h2[p] = int(rng.choice([b for b in b"ACGT" if b != h2[p]]))
+    h1, h2 = bytes(h1), bytes(h2)
+    hmm, c = count_kmers([h1, h2] * 6, 21)
+    path = str(tmp_path / "h.yak")
+    write_yak(path, 21, hmm, c)
+    table = load_yak(path)
+    recs = []
+    for hap in (h1, h2):
+        for s in range(0, n - 800, 300):
+            recs.append(BamRecord(qname=f"{id(hap)}_{s}".encode(), flag=0,
+                                  tid=0, pos=s, mapq=60, cigar=[(0, 800)],
+                                  seq=hap[s : s + 800]))
+    recs.sort(key=lambda r: r.pos)
+    cfg = PolishConfig(min_ctg_len=0, min_read_len=100, min_map_len=50,
+                       window_len=512)
+    a = polish_contig(h1, recs, [table], cfg)
+    b = polish_contig_tpu(h1, recs, [table], cfg, fallback=False)
+    assert consensus_to_bytes(a) == consensus_to_bytes(b)
+    # no switch errors: output equals hap1 exactly
+    assert consensus_to_bytes(b) == h1
