@@ -29,12 +29,13 @@ from .oracle_lq import (
     reupdate_consensus_with_lqseqs,
     update_consensus_with_lqseqs,
 )
-from .oracle_msa import ConsensusBase, backtrack_lq, build_msas, consensus_dp
+from .oracle_msa import Consensus, backtrack_lq, build_msas, consensus_dp
 
 
-def passthrough_consensus(tseq: bytes) -> List[ConsensusBase]:
+def passthrough_consensus(tseq: bytes) -> Consensus:
     """seq2consensusbase_vec (main.rs:598-605): identity consensus."""
-    return [ConsensusBase(pos=i, base=b) for i, b in enumerate(tseq)]
+    return Consensus(pos=np.arange(len(tseq), dtype=np.int64),
+                     base=np.frombuffer(tseq, dtype=np.uint8).copy())
 
 
 def build_alignseqs(tseq: bytes, records: Iterable[BamRecord],
@@ -86,7 +87,7 @@ def build_alignseqs_native(bam_path: str, tid: int, tseq: bytes,
 
 def polish_contig(tseq: bytes, records: Sequence[BamRecord],
                   tables: Sequence[KmerTable],
-                  cfg: Optional[PolishConfig] = None) -> List[ConsensusBase]:
+                  cfg: Optional[PolishConfig] = None) -> Consensus:
     """Polish one contig; returns the consensus base list (pos, ascii base)."""
     cfg = cfg or PolishConfig()
     if len(tseq) < cfg.min_ctg_len:
@@ -124,5 +125,5 @@ def polish_contig(tseq: bytes, records: Sequence[BamRecord],
     raise AssertionError("unreachable: iter_count >= 1 required")
 
 
-def consensus_to_bytes(cb: List[ConsensusBase]) -> bytes:
-    return bytes(x.base for x in cb)
+def consensus_to_bytes(cb: Consensus) -> bytes:
+    return cb.to_bytes()

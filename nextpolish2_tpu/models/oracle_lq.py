@@ -22,7 +22,7 @@ from ..io.yak import INVALID_KMER, KmerTable
 from ..utils.seqcodes import CODE2ASCII
 from .louvain import assign_data, insert_data, new_data, phase_communities
 from .oracle_align import AlignTags
-from .oracle_msa import ConsensusBase, LqRegion
+from .oracle_msa import Consensus, LqRegion
 
 # label bits (main.rs:655-658)
 L_TEMP = 0b0000_0001
@@ -369,78 +369,71 @@ def _next_labeled(lqseqs: List[LqRegion], i: int, label: int) -> int:
 
 
 def update_consensus_with_lqseqs(lqseqs: List[LqRegion],
-                                 consensus: List[ConsensusBase],
-                                 label: int) -> List[ConsensusBase]:
+                                 consensus: Consensus,
+                                 label: int) -> Consensus:
     """Splice sudoseeds over labeled intervals (main.rs:1027-1058).
 
     lqseqs are in descending genome order; iterated from the tail (ascending).
+    Array formulation: `pos` is nondecreasing, so the reference's linear scan
+    for `pos == start` is a binary search; the output is a concatenation of
+    kept segments and sudoseed blocks. If a labeled region's start position is
+    absent at/after the cursor the reference's scan never matches again and no
+    further region is spliced — the `break` mirrors that exactly.
     """
-    out: List[ConsensusBase] = []
-    i = 0
+    pos, base = consensus.pos, consensus.base
+    n = len(pos)
+    pos_parts: List[np.ndarray] = []
+    base_parts: List[np.ndarray] = []
+    c = 0
     li = _next_labeled(lqseqs, len(lqseqs), label)
-    n = len(consensus)
-    while i < n:
-        p = consensus[i].pos
-        if li >= 0 and p == lqseqs[li].start:
-            for ch in lqseqs[li].sudoseed:
-                out.append(ConsensusBase(pos=p, base=ch))
-            while i < n and consensus[i].pos <= lqseqs[li].end:
-                i += 1
-            li = _next_labeled(lqseqs, li, label)
-        else:
-            out.append(consensus[i])
-            i += 1
-    return out
+    while li >= 0 and c < n:
+        lq = lqseqs[li]
+        i0 = c + int(np.searchsorted(pos[c:], lq.start, side="left"))
+        if i0 >= n or pos[i0] != lq.start:
+            break  # reference scan would never match again (li stays put)
+        pos_parts.append(pos[c:i0])
+        base_parts.append(base[c:i0])
+        seed = np.frombuffer(lq.sudoseed, dtype=np.uint8)
+        pos_parts.append(np.full(len(seed), lq.start, dtype=np.int64))
+        base_parts.append(seed)
+        c = int(np.searchsorted(pos, lq.end, side="right"))
+        li = _next_labeled(lqseqs, li, label)
+    pos_parts.append(pos[c:])
+    base_parts.append(base[c:])
+    return Consensus(pos=np.concatenate(pos_parts),
+                     base=np.concatenate(base_parts))
 
 
-def _iter_consensus_region(consensus: List[ConsensusBase], idx: List[int],
-                           s: int, e: int) -> tuple[int, int]:
-    """Indices of consensus strictly inside (s, e) (main.rs:1068-1097);
-    idx is a persistent cursor."""
-    i = idx[0]
-    while consensus[i].pos <= s:
-        i += 1
-    while consensus[i].pos > s:
-        i -= 1
-    i += 1
-    si = i
-    while consensus[i].pos >= e:
-        i -= 1
-    while consensus[i].pos < e:
-        i += 1
-    i -= 1
-    idx[0] = i
-    return si, i + 1
+def _iter_consensus_region(consensus: Consensus, s: int, e: int
+                           ) -> tuple[int, int]:
+    """Indices of consensus strictly inside (s, e) (main.rs:1068-1097).
+
+    The reference walks a persistent cursor; on the nondecreasing pos array the
+    walk's fixed point is exactly this binary-search pair, independent of the
+    cursor, so the cursor is dropped."""
+    si = int(np.searchsorted(consensus.pos, s, side="right"))
+    ei = int(np.searchsorted(consensus.pos, e, side="left"))
+    return si, ei
 
 
-def _iter_consensus_extend(consensus: List[ConsensusBase], idx: List[int],
-                           p: int, l: int, toleft: bool) -> tuple[int, int]:
+def _iter_consensus_extend(consensus: Consensus, p: int, l: int,
+                           toleft: bool) -> tuple[int, int]:
     """k-1 flank index range, exclusive of pos p (main.rs:1100-1139)."""
-    i = idx[0]
+    n = len(consensus.pos)
     if toleft:
-        while consensus[i].pos >= p:
-            i -= 1
-        while consensus[i].pos < p:
-            i += 1
-        idx[0] = i
-        ei = i
-        si = i - l if i > l else 0
+        ei = int(np.searchsorted(consensus.pos, p, side="left"))
+        si = max(ei - l, 0)
     else:
-        while consensus[i].pos <= p:
-            i += 1
-        while consensus[i].pos > p:
-            i -= 1
-        idx[0] = i
-        si = i + 1
-        ei = i + l + 1 if i + l < len(consensus) else len(consensus)
+        si = int(np.searchsorted(consensus.pos, p, side="right"))
+        ei = min(si + l, n)
     return si, ei
 
 
 def reupdate_consensus_with_lqseqs(lqseqs: List[LqRegion],
-                                   consensus: List[ConsensusBase],
+                                   consensus: Consensus,
                                    table: KmerTable, min_kmer_count: int,
                                    iter_count: int,
-                                   max_can: int = 60) -> List[ConsensusBase]:
+                                   max_can: int = 60) -> Consensus:
     """One recheck pass with one yak table (main.rs:1060-1420).
 
     Chains of RECH intervals closer than ksize (max 6) are rescored as the
@@ -456,7 +449,6 @@ def reupdate_consensus_with_lqseqs(lqseqs: List[LqRegion],
     # mirroring the reference's candidate-collection pass (main.rs:1193-1265).
     jobs: List[bytes] = []
     plan: List[tuple] = []
-    idx = [0]
     sj = 0
     while sj < len(rech_idxs):
         ej = sj + 1
@@ -466,11 +458,11 @@ def reupdate_consensus_with_lqseqs(lqseqs: List[LqRegion],
             if ej > sj + 5:
                 break
         si_l, ei_l = _iter_consensus_extend(
-            consensus, idx, lqseqs[rech_idxs[sj]].start, ksize - 1, True)
+            consensus, lqseqs[rech_idxs[sj]].start, ksize - 1, True)
         si_r, ei_r = _iter_consensus_extend(
-            consensus, idx, lqseqs[rech_idxs[ej - 1]].end, ksize - 1, False)
-        flank_l = bytes(consensus[i].base for i in range(si_l, ei_l))
-        flank_r = bytes(consensus[i].base for i in range(si_r, ei_r))
+            consensus, lqseqs[rech_idxs[ej - 1]].end, ksize - 1, False)
+        flank_l = consensus.base[si_l:ei_l].tobytes()
+        flank_r = consensus.base[si_r:ei_r].tobytes()
 
         if ej == sj + 1:
             for seq in lqseqs[rech_idxs[sj]].seqs:
@@ -486,8 +478,8 @@ def reupdate_consensus_with_lqseqs(lqseqs: List[LqRegion],
                 if s + 1 == e:
                     gaps.append(b"")
                 else:
-                    gs, ge = _iter_consensus_region(consensus, idx, s, e)
-                    gaps.append(bytes(consensus[x].base for x in range(gs, ge)))
+                    gs, ge = _iter_consensus_region(consensus, s, e)
+                    gaps.append(consensus.base[gs:ge].tobytes())
             cand_lists = [
                 list(enumerate(lqseqs[rech_idxs[x]].seqs)) for x in range(sj, ej)
             ]

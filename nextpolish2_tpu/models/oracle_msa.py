@@ -163,9 +163,23 @@ def build_msas(alignseqs: List[AlignTags], n_pos: int) -> Msas:
 
 
 @dataclass
-class ConsensusBase:
-    pos: int
-    base: int  # ASCII byte
+class Consensus:
+    """Array-based consensus: parallel (pos, base) arrays in genome order.
+
+    Replaces the reference's per-base `Vec<ConsensusBase>` (main.rs:591-596)
+    — the array form makes splicing/flank extraction O(segments) numpy ops
+    instead of per-object Python (the round-1 scale blocker).
+
+    Invariant: pos is nondecreasing (insertions repeat a position)."""
+
+    pos: np.ndarray   # int64 genome positions, nondecreasing
+    base: np.ndarray  # uint8 ASCII bytes
+
+    def __len__(self) -> int:
+        return len(self.pos)
+
+    def to_bytes(self) -> bytes:
+        return self.base.tobytes()
 
 
 @dataclass
@@ -249,27 +263,98 @@ def consensus_dp(msas: Msas) -> tuple[List[np.ndarray], List[np.ndarray], Tuple[
     return scores, bestis, gb
 
 
+def lq_from_stream(pos: np.ndarray, base: np.ndarray, cnt: np.ndarray,
+                   cov: np.ndarray, hq_min_qv: int = 95, lq_min_length: int = 2,
+                   ) -> tuple[Consensus, List[LqRegion]]:
+    """LQ-region detection over the REVERSED backtrack stream
+    (generate_cns_from_best_score_lq inline state machine, main.rs:1573-1637).
+
+    pos/base/cnt/cov are parallel arrays in reverse genome order (the order the
+    backtrack walk emits). Returns (genome-order Consensus, LQ regions in
+    DESCENDING genome order).
+
+    Event-driven equivalent of the reference's per-base scan: state only
+    changes at low-coverage / low-qv positions and at the first qualifying
+    close position after an LQ run, so the loop jumps between those events
+    (all precomputed vectorized) instead of walking every base.
+    """
+    n = len(pos)
+    lqseqs: List[LqRegion] = []
+    if n:
+        L = lq_min_length
+        qv = np.where(cov > 0,
+                      cnt.astype(np.int64) * 100 // np.maximum(cov, 1), 0)
+        lowcov = cov < 2
+        lowqv = ~lowcov & (qv < hq_min_qv)
+        ev_i = np.nonzero(lowcov | lowqv)[0]
+        ev_low = lowqv[ev_i]
+        # diff[i]: entries i and i+1 differ in BOTH pos and base
+        diff = (pos[1:] != pos[:-1]) & (base[1:] != base[:-1])
+        # close candidates: p >= 2 with cb[p-1] != cb[p-2] (both fields)
+        close_idx = np.nonzero(diff)[0] + 2
+        # backscan stop: largest j <= x with j <= 1 or diff[j-1]
+        goodmask = np.empty(n, dtype=bool)
+        goodmask[:2] = True
+        if n > 2:
+            goodmask[2:] = diff[1:]
+        lastgood = np.maximum.accumulate(
+            np.where(goodmask, np.arange(n, dtype=np.int64), 0))
+
+        lq_s: Optional[int] = None
+        lq_e = 0
+        n_ev = len(ev_i)
+        k = 0
+        while k <= n_ev:
+            nxt = int(ev_i[k]) if k < n_ev else n
+            if lq_s is not None:
+                # first HQ position after the run that closes it (main.rs:1586)
+                lo = lq_e + 2 * L + 1
+                j = int(np.searchsorted(close_idx, lo))
+                if j < len(close_idx) and close_idx[j] < nxt:
+                    pc = int(close_idx[j])
+                    ce = pc - 2
+                    cs = lq_s - L if lq_s > L else 1
+                    cs = int(lastgood[cs])
+                    # regions accumulate in descending genome order;
+                    # overlapping ones merge (main.rs:1612-1622)
+                    if lqseqs and pos[cs] >= lqseqs[-1].start:
+                        lqseqs[-1].start = int(pos[ce])
+                    else:
+                        lqseqs.append(LqRegion(start=int(pos[ce]),
+                                               end=int(pos[cs])))
+                    lq_s = None
+            if k == n_ev:
+                break
+            if ev_low[k]:
+                if lq_s is None:
+                    lq_s = int(ev_i[k])
+                lq_e = int(ev_i[k])
+            else:  # coverage < 2 resets the run (main.rs:1578-1580)
+                lq_s = None
+            k += 1
+
+    return Consensus(pos=pos[::-1].copy(),
+                     base=base[::-1].astype(np.uint8)), lqseqs
+
+
 def backtrack_lq(msas: Msas, bestis: List[np.ndarray], gb: Tuple[int, int],
                  hq_min_qv: int = 95, lq_min_length: int = 2,
-                 ) -> tuple[List[ConsensusBase], List[LqRegion]]:
+                 ) -> tuple[Consensus, List[LqRegion]]:
     """Backtrack emitting consensus bases + detect LQ regions
     (generate_cns_from_best_score_lq, main.rs:1555-1643).
 
-    Returns (consensus bases in genome order, LQ regions in DESCENDING genome order).
+    Returns (genome-order Consensus, LQ regions in DESCENDING genome order).
     """
-    from ..utils.seqcodes import CODE2ASCII
-
     from ..utils.seqcodes import CODE2ASCII as _C2A
 
-    cb: List[ConsensusBase] = []
-    lqseqs: List[LqRegion] = []
     if gb[0] < 0:
-        return cb, lqseqs
+        z64 = np.zeros(0, dtype=np.int64)
+        return Consensus(pos=z64, base=np.zeros(0, dtype=np.uint8)), []
     cur_pos, ki = gb
-    has_lq = False
-    lq_s = None  # usize::MAX sentinel
-    lq_e = 0
-    p = 0  # index into cb (cb is built in reversed genome order)
+    s_pos: List[int] = []
+    s_base: List[int] = []
+    s_cnt: List[int] = []
+    s_cov: List[int] = []
 
     def kmer_fields(pos, i):
         return (
@@ -281,39 +366,11 @@ def backtrack_lq(msas: Msas, bestis: List[np.ndarray], gb: Tuple[int, int],
     kf, kd, kq1, kq2, kq3, kc = kmer_fields(cur_pos, ki)
     _, base2, base3 = _decode(kf, kd, kq1, kq2, kq3, cur_pos)
     while True:
-        if base3[2] != 4:
-            cov = int(msas.coverage[base3[0]])
-            qv = (kc * 100) // cov if cov else 0
-            cb.append(ConsensusBase(pos=base3[0], base=int(_C2A[base3[2]])))
-            if cov < 2:
-                has_lq = False
-                lq_s = None
-            elif qv < hq_min_qv:
-                if lq_s is None:
-                    lq_s = p
-                lq_e = p
-                has_lq = True
-            elif (
-                has_lq
-                and p - lq_e > 2 * lq_min_length
-                and cb[p - 1].pos != cb[p - 2].pos
-                and cb[p - 1].base != cb[p - 2].base
-            ):
-                lq_e = p - 2
-                lq_s = lq_s - lq_min_length if lq_s > lq_min_length else 1
-                while lq_s > 1 and (
-                    cb[lq_s - 1].pos == cb[lq_s].pos or cb[lq_s - 1].base == cb[lq_s].base
-                ):
-                    lq_s -= 1
-                # regions accumulate in descending genome order; overlapping ones
-                # merge into the previous entry (main.rs:1612-1622)
-                if lqseqs and cb[lq_s].pos >= lqseqs[-1].start:
-                    lqseqs[-1].start = cb[lq_e].pos
-                else:
-                    lqseqs.append(LqRegion(start=cb[lq_e].pos, end=cb[lq_s].pos))
-                has_lq = False
-                lq_s = None
-            p += 1
+        if base3[2] != 4:  # gaps are skipped (main.rs:1575)
+            s_pos.append(base3[0])
+            s_base.append(int(_C2A[base3[2]]))
+            s_cnt.append(kc)
+            s_cov.append(int(msas.coverage[base3[0]]))
 
         if base2[2] == HEAD_Q:
             break
@@ -324,5 +381,7 @@ def backtrack_lq(msas: Msas, bestis: List[np.ndarray], gb: Tuple[int, int],
         _, base2, base3 = _decode(kf, kd, kq1, kq2, kq3, nxt_pos)
         cur_pos, ki = nxt_pos, nxt_ki
 
-    cb.reverse()
-    return cb, lqseqs
+    return lq_from_stream(
+        np.array(s_pos, dtype=np.int64), np.array(s_base, dtype=np.uint8),
+        np.array(s_cnt, dtype=np.int64), np.array(s_cov, dtype=np.int64),
+        hq_min_qv, lq_min_length)

@@ -33,7 +33,7 @@ from ..models.oracle_lq import (
     reupdate_consensus_with_lqseqs,
     update_consensus_with_lqseqs,
 )
-from ..models.oracle_msa import ConsensusBase, LqRegion
+from ..models.oracle_msa import Consensus, LqRegion, lq_from_stream
 from ..utils.seqcodes import ASCII2CODE, CODE2ASCII
 from ..utils.timing import stage
 from .host_fallback import host_window_dp
@@ -178,52 +178,11 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
             np.concatenate(cnt_parts), np.concatenate(cov_parts))
 
 
-def lq_state_machine(pos: np.ndarray, base: np.ndarray, cnt: np.ndarray,
-                     cov: np.ndarray, hq_min_qv: int = 95, lq_min_length: int = 2,
-                     ) -> Tuple[List[ConsensusBase], List[LqRegion]]:
-    """The reference LQ-region detector over the reversed backtrack stream
-    (main.rs:1573-1637), identical to oracle_msa.backtrack_lq's inline version."""
-    n = len(pos)
-    cb: List[ConsensusBase] = [ConsensusBase(int(pos[i]), int(base[i]))
-                               for i in range(n)]
-    lqseqs: List[LqRegion] = []
-    has_lq = False
-    lq_s = None
-    lq_e = 0
-    qv = np.where(cov > 0, cnt.astype(np.int64) * 100 // np.maximum(cov, 1), 0)
-    for p in range(n):
-        c = int(cov[p])
-        if c < 2:
-            has_lq = False
-            lq_s = None
-        elif qv[p] < hq_min_qv:
-            if lq_s is None:
-                lq_s = p
-            lq_e = p
-            has_lq = True
-        elif (has_lq and p - lq_e > 2 * lq_min_length
-              and cb[p - 1].pos != cb[p - 2].pos
-              and cb[p - 1].base != cb[p - 2].base):
-            lq_e = p - 2
-            lq_s = lq_s - lq_min_length if lq_s > lq_min_length else 1
-            while lq_s > 1 and (cb[lq_s - 1].pos == cb[lq_s].pos
-                                or cb[lq_s - 1].base == cb[lq_s].base):
-                lq_s -= 1
-            if lqseqs and cb[lq_s].pos >= lqseqs[-1].start:
-                lqseqs[-1].start = cb[lq_e].pos
-            else:
-                lqseqs.append(LqRegion(start=cb[lq_e].pos, end=cb[lq_s].pos))
-            has_lq = False
-            lq_s = None
-    cb.reverse()
-    return cb, lqseqs
-
-
 def polish_contig_tpu(tseq: bytes, records: Sequence[BamRecord],
                       tables: Sequence[KmerTable],
                       cfg: Optional[PolishConfig] = None,
                       fallback: bool = True,
-                      native: Optional[tuple] = None) -> List[ConsensusBase]:
+                      native: Optional[tuple] = None) -> Consensus:
     """TPU-path per-contig polish; output matches models.oracle.polish_contig.
 
     native: optional (bam_path, tid) to ingest via the C++ fast path
@@ -248,8 +207,9 @@ def polish_contig_tpu(tseq: bytes, records: Sequence[BamRecord],
             out_cns = i + 1 == cfg.iter_count
             pos, base, cnt, cov = device_consensus_stream(
                 alignseqs, len(tseq), ref_codes, cfg, stream_cache)
-            cb, lqseqs = lq_state_machine(pos, base, cnt, cov,
-                                          cfg.hq_min_qv, cfg.lq_min_length)
+            with stage("lq_detect"):
+                cb, lqseqs = lq_from_stream(pos, base, cnt, cov,
+                                            cfg.hq_min_qv, cfg.lq_min_length)
             if not lqseqs:
                 if out_cns:
                     return cb

@@ -20,7 +20,7 @@ from ..io.bam import BamReader
 from ..io.fastx import read_fastx, write_fasta_record, write_pos_records
 from ..io.yak import KmerTable, load_yak
 from ..models.oracle import consensus_to_bytes, passthrough_consensus, polish_contig
-from ..models.oracle_msa import ConsensusBase
+from ..models.oracle_msa import Consensus
 from ..utils.resource import resource_str
 
 
@@ -136,8 +136,8 @@ def polish(fa_path: str, bam_path: str, yak_paths: Sequence[str],
         out_seq = consensus_to_bytes(cb)
         stats.out_bases += len(out_seq)
         pc = PolishedContig(name=name, seq=out_seq,
-                            start=cb[0].pos if cb else 0,
-                            end=cb[-1].pos if cb else 0)
+                            start=int(cb.pos[0]) if len(cb) else 0,
+                            end=int(cb.pos[-1]) if len(cb) else 0)
         if out is not None:
             _emit(out, pc, cb, cfg)
         else:
@@ -165,10 +165,10 @@ def polish(fa_path: str, bam_path: str, yak_paths: Sequence[str],
     return results
 
 
-def _emit(out, pc: PolishedContig, cb: List[ConsensusBase],
+def _emit(out, pc: PolishedContig, cb: Consensus,
           cfg: PolishConfig) -> None:
     if cfg.out_pos:
-        write_pos_records(out, pc.name, pc.seq, [c.pos for c in cb],
+        write_pos_records(out, pc.name, pc.seq, cb.pos,
                           uppercase=cfg.uppercase)
     else:
         write_fasta_record(out, pc.name, pc.seq, pc.start, pc.end,

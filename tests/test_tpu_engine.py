@@ -57,9 +57,8 @@ def rec(pos, cigar, seq, qname=b"r"):
 
 def _assert_same(cb_a, cb_b):
     assert len(cb_a) == len(cb_b), f"lengths differ: {len(cb_a)} vs {len(cb_b)}"
-    for i, (a, b) in enumerate(zip(cb_a, cb_b)):
-        assert (a.pos, a.base) == (b.pos, b.base), \
-            f"mismatch at {i}: {(a.pos, chr(a.base))} vs {(b.pos, chr(b.base))}"
+    assert np.array_equal(cb_a.pos, cb_b.pos), "positions differ"
+    assert np.array_equal(cb_a.base, cb_b.base), "bases differ"
 
 
 def test_tpu_equals_oracle_clean(tmp_path):
