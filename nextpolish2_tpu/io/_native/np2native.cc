@@ -13,6 +13,7 @@
 #include <cstring>
 #include <cstdio>
 #include <cstdlib>
+#include <thread>
 #include <vector>
 #include <string>
 #include <zlib.h>
@@ -91,6 +92,13 @@ struct BamFile {
   Bytes raw;
   std::vector<std::pair<std::string, int64_t>> refs;
   size_t rec_off = 0;  // offset of first record
+  // v2 staging: np2_extract_begin fills these; np2_extract_fetch drains them.
+  std::vector<int64_t> st_t_pos;
+  std::vector<int32_t> st_key;
+  std::vector<int32_t> st_delta;
+  std::vector<int32_t> st_read_start;
+  std::vector<int64_t> st_aln_bounds;
+  std::vector<uint8_t> st_clip;
 };
 
 static bool parse_bam_header(BamFile& bf) {
@@ -127,6 +135,9 @@ struct TagStream {
   std::vector<int32_t>* key;
   std::vector<int32_t>* read_start;  // index into t_pos where each read starts
   std::vector<int64_t>* aln_bounds;  // aln_t_s, aln_t_e per emitted read
+  std::vector<int32_t>* delta = nullptr;  // b3 delta per tag (v2 API only)
+  // reusable scratch (per-thread) to avoid per-record allocation
+  std::vector<uint8_t> q_scratch, t_scratch;
 };
 
 // Expand + trim + emit the 3-mer key stream for one record.
@@ -158,7 +169,10 @@ static bool process_record(const BamRec& r, const uint8_t* tseq_codes,
   if (ref_span < (mml > frac ? mml : frac)) return false;
 
   // expand cigar into gapped code arrays (fill_with_cigar, main.rs:386-440)
-  std::vector<uint8_t> q_codes, t_codes;
+  std::vector<uint8_t>& q_codes = out.q_scratch;
+  std::vector<uint8_t>& t_codes = out.t_scratch;
+  q_codes.clear();
+  t_codes.clear();
   q_codes.reserve(rlen + 64);
   t_codes.reserve(rlen + 64);
   int64_t qs = 0, ts = r.pos;
@@ -237,11 +251,14 @@ static bool process_record(const BamRec& r, const uint8_t* tseq_codes,
     else if (tb == 4) { delta++; }
     else { delta = 0; t_cur++; }
     // kmer key: (b1.delta<<16)|(flags<<12)|(b1.q<<8)|(b2.q<<4)|b3.q
+    // delta saturates at u16 so the >=2^14 overflow guard still fires
     uint32_t flags = ((b2_t == b1_t) ? 4u : 0u) | ((b2_t == t_cur) ? 1u : 0u);
-    uint32_t key = ((uint32_t)b1_d << 16) | (flags << 12) | (b1_q << 8) |
+    uint32_t b1d_sat = b1_d > 0xFFFF ? 0xFFFFu : (uint32_t)b1_d;
+    uint32_t key = (b1d_sat << 16) | (flags << 12) | (b1_q << 8) |
                    (b2_q << 4) | (uint32_t)qb;
     out.t_pos->push_back(t_cur);
     out.key->push_back((int32_t)key);
+    if (out.delta) out.delta->push_back((int32_t)delta);
     b1_t = b2_t; b1_d = b2_d; b1_q = b2_q;
     b2_t = t_cur; b2_d = delta; b2_q = qb;
     aln_t_e = t_cur;
@@ -486,6 +503,332 @@ int np2_aggregate(const uint64_t* packed, int64_t n,
     coverage[win * W + col] = (int32_t)cov;
     n_slots[win * W + col] = (int32_t)ns;
   }
+  return 0;
+}
+
+}  // extern "C"
+
+// ---------- v2 API: size-query extraction, stream sort, window stream,
+// no-sort aggregation ----------
+//
+// The round-1 wrapper guessed output sizes and retried with doubled buffers on
+// overflow, re-running the whole extraction (2x cost) and zeroing GB-scale
+// numpy buffers each attempt. v2 extracts ONCE into handle-owned staging
+// (np2_extract_begin, multi-threaded over records), then the caller allocates
+// exact-size buffers and drains them (np2_extract_fetch).
+
+namespace {
+
+struct RecRange {
+  const uint8_t* q;  // record payload (past the block-length u32)
+};
+
+// Parse the fixed prefix of a BAM record payload.
+static inline void parse_rec(const uint8_t* q, BamRec& r) {
+  r.tid = rd_i32(q);
+  r.pos = rd_i32(q + 4);
+  uint8_t l_rn = q[8];
+  r.mapq = q[9];
+  r.n_cigar = rd_u16(q + 12);
+  r.flag = rd_u16(q + 14);
+  r.l_seq = rd_i32(q + 16);
+  r.cigar = q + 32 + l_rn;
+  r.seq4 = r.cigar + 4 * r.n_cigar;
+}
+
+struct ThreadOut {
+  std::vector<int64_t> t_pos;
+  std::vector<int32_t> key;
+  std::vector<int32_t> delta;
+  std::vector<int32_t> read_start;
+  std::vector<int64_t> aln_bounds;
+  std::vector<uint8_t> clip;
+};
+
+}  // namespace
+
+extern "C" {
+
+// Extract one contig into handle staging (no output buffers, no retry).
+// Returns 0 and writes sizes; negative on error.
+int np2_extract_begin(void* handle, int32_t want_tid,
+                      const uint8_t* tseq_codes, int64_t tlen,
+                      int64_t min_map_qual, int64_t min_read_len,
+                      int64_t min_map_len, double min_map_fra,
+                      int64_t max_clip_len, int64_t use_secondary,
+                      int64_t use_supplementary, int64_t trim_len,
+                      int64_t short_ref_len, int64_t n_threads,
+                      int64_t* stream_n, int64_t* reads_n) {
+  init_tables();
+  BamFile& bf = *static_cast<BamFile*>(handle);
+
+  // pass A: locate this contig's records (cheap header-only scan)
+  std::vector<const uint8_t*> recs;
+  std::vector<int64_t> est;  // cumulative l_seq for load balancing
+  const uint8_t* p = bf.raw.d.data();
+  size_t n = bf.raw.d.size();
+  size_t off = bf.rec_off;
+  int64_t prev_pos = -1, est_sum = 0;
+  while (off + 4 <= n) {
+    int32_t block = rd_i32(p + off); off += 4;
+    if (off + (size_t)block > n) return -3;
+    const uint8_t* q = p + off;
+    off += block;
+    int32_t tid = rd_i32(q);
+    if (tid > want_tid) break;  // sorted: past our contig
+    if (tid != want_tid) continue;
+    int32_t pos = rd_i32(q + 4);
+    if (pos < prev_pos) return -4;  // unsorted (main.rs:1753-1756)
+    prev_pos = pos;
+    recs.push_back(q);
+    est_sum += rd_i32(q + 16) + 64;
+    est.push_back(est_sum);
+  }
+
+  int T = (int)(n_threads < 1 ? 1 : (n_threads > 16 ? 16 : n_threads));
+  if ((int64_t)recs.size() < 4 * T) T = 1;
+  std::vector<ThreadOut> touts(T);
+  // range split balanced by cumulative l_seq
+  std::vector<size_t> bounds(T + 1, recs.size());
+  bounds[0] = 0;
+  for (int t = 1; t < T; t++) {
+    int64_t want = est_sum / T * t;
+    size_t lo = bounds[t - 1], hi = recs.size();
+    while (lo < hi) { size_t m = (lo + hi) / 2; if (est[m] < want) lo = m + 1; else hi = m; }
+    bounds[t] = lo;
+  }
+
+  auto work = [&](int t) {
+    ThreadOut& o = touts[t];
+    size_t lo = bounds[t], hi = bounds[t + 1];
+    int64_t cap = (lo < hi) ? (est[hi - 1] - (lo ? est[lo - 1] : 0)) : 0;
+    o.t_pos.reserve(cap);
+    o.key.reserve(cap);
+    o.delta.reserve(cap);
+    TagStream ts{&o.t_pos, &o.key, &o.read_start, &o.aln_bounds, &o.delta};
+    for (size_t i = lo; i < hi; i++) {
+      BamRec r;
+      parse_rec(recs[i], r);
+      bool clip = false;
+      bool kept = process_record(r, tseq_codes, tlen, min_map_qual,
+                                 min_read_len, min_map_len, min_map_fra,
+                                 max_clip_len, use_secondary, use_supplementary,
+                                 (int)trim_len, ts, &clip);
+      if (!kept) continue;
+      if (clip && tlen < short_ref_len) {
+        // short refs drop clipped alignments outright (main.rs:1806-1810)
+        int64_t start = o.read_start.back();
+        o.t_pos.resize(start);
+        o.key.resize(start);
+        o.delta.resize(start);
+        o.read_start.pop_back();
+        o.aln_bounds.resize(o.aln_bounds.size() - 2);
+      } else {
+        o.clip.push_back(clip ? 1 : 0);
+      }
+    }
+  };
+  if (T == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < T; t++) threads.emplace_back(work, t);
+    for (auto& th : threads) th.join();
+  }
+
+  // merge in record order (deterministic: same stream as the sequential pass)
+  int64_t total_s = 0, total_r = 0;
+  for (auto& o : touts) { total_s += (int64_t)o.t_pos.size(); total_r += (int64_t)o.read_start.size(); }
+  bf.st_t_pos.resize(total_s);
+  bf.st_key.resize(total_s);
+  bf.st_delta.resize(total_s);
+  bf.st_read_start.resize(total_r);
+  bf.st_aln_bounds.resize(2 * total_r);
+  bf.st_clip.resize(total_r);
+  int64_t so = 0, ro = 0;
+  for (auto& o : touts) {
+    memcpy(bf.st_t_pos.data() + so, o.t_pos.data(), o.t_pos.size() * 8);
+    memcpy(bf.st_key.data() + so, o.key.data(), o.key.size() * 4);
+    memcpy(bf.st_delta.data() + so, o.delta.data(), o.delta.size() * 4);
+    for (size_t i = 0; i < o.read_start.size(); i++)
+      bf.st_read_start[ro + (int64_t)i] = o.read_start[i] + (int32_t)so;
+    memcpy(bf.st_aln_bounds.data() + 2 * ro, o.aln_bounds.data(),
+           o.aln_bounds.size() * 8);
+    memcpy(bf.st_clip.data() + ro, o.clip.data(), o.clip.size());
+    so += (int64_t)o.t_pos.size();
+    ro += (int64_t)o.read_start.size();
+  }
+  *stream_n = total_s;
+  *reads_n = total_r;
+  return 0;
+}
+
+// Drain staged extraction into exact-size caller buffers.
+int np2_extract_fetch(void* handle, int64_t* t_pos_out, int32_t* key_out,
+                      int32_t* delta_out, int32_t* read_start_out,
+                      int64_t* aln_bounds_out, uint8_t* clip_flag_out) {
+  BamFile& bf = *static_cast<BamFile*>(handle);
+  memcpy(t_pos_out, bf.st_t_pos.data(), bf.st_t_pos.size() * 8);
+  memcpy(key_out, bf.st_key.data(), bf.st_key.size() * 4);
+  memcpy(delta_out, bf.st_delta.data(), bf.st_delta.size() * 4);
+  memcpy(read_start_out, bf.st_read_start.data(), bf.st_read_start.size() * 4);
+  memcpy(aln_bounds_out, bf.st_aln_bounds.data(), bf.st_aln_bounds.size() * 8);
+  memcpy(clip_flag_out, bf.st_clip.data(), bf.st_clip.size());
+  std::vector<int64_t>().swap(bf.st_t_pos);
+  std::vector<int32_t>().swap(bf.st_key);
+  std::vector<int32_t>().swap(bf.st_delta);
+  std::vector<int32_t>().swap(bf.st_read_start);
+  std::vector<int64_t>().swap(bf.st_aln_bounds);
+  std::vector<uint8_t>().swap(bf.st_clip);
+  return 0;
+}
+
+// Stable counting-sort of the (t_pos, key, rid) stream by t_pos.
+// O(n + n_pos); replaces numpy's stable argsort (the round-1 plan_windows
+// bottleneck at Mb scale). Also returns max(key>>16) for the delta-overflow
+// guard (build_window_batch).
+int np2_sort_stream(const int64_t* t_pos, const int32_t* key,
+                    const int32_t* rid, int64_t n, int64_t n_pos,
+                    int64_t* t_out, int32_t* k_out, int32_t* rid_out,
+                    int64_t* max_b1d) {
+  std::vector<int64_t> cnt(n_pos + 1, 0);
+  int64_t mb = 0;
+  for (int64_t i = 0; i < n; i++) {
+    int64_t t = t_pos[i];
+    if (t < 0 || t >= n_pos) return -1;
+    cnt[t + 1]++;
+    int64_t d = (int64_t)(((uint32_t)key[i]) >> 16);
+    if (d > mb) mb = d;
+  }
+  for (int64_t t = 0; t < n_pos; t++) cnt[t + 1] += cnt[t];
+  for (int64_t i = 0; i < n; i++) {
+    int64_t p = cnt[t_pos[i]]++;
+    t_out[p] = t_pos[i];
+    k_out[p] = key[i];
+    rid_out[p] = rid[i];
+  }
+  *max_b1d = mb;
+  return 0;
+}
+
+// Build the window-major flat (win, col, key) stream from the t-sorted global
+// stream: window w takes entries [lo[w], hi[w]) with col = t - lead[w].
+// Output offsets are the cumulative (hi - lo); caller sizes buffers to the sum.
+int np2_window_stream(const int64_t* t_sorted, const int32_t* k_sorted,
+                      int64_t n, const int64_t* lo, const int64_t* hi,
+                      const int64_t* lead, int64_t nw,
+                      int32_t* flat_win, int32_t* flat_col, int32_t* flat_key) {
+  std::vector<int64_t> off(nw + 1, 0);
+  for (int64_t w = 0; w < nw; w++) off[w + 1] = off[w] + (hi[w] - lo[w]);
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t w = 0; w < nw; w++) {
+    int64_t o = off[w];
+    int64_t ld = lead[w];
+    for (int64_t i = lo[w]; i < hi[w]; i++, o++) {
+      flat_win[o] = (int32_t)w;
+      flat_col[o] = (int32_t)(t_sorted[i] - ld);
+      flat_key[o] = k_sorted[i];
+    }
+  }
+  return 0;
+}
+
+// No-sort pileup aggregation over the PRE-GROUPED window-major stream
+// (np2_window_stream output: win nondecreasing, col nondecreasing within win,
+// in-column order = first-occurrence order). Each (win, col) group's segments
+// are collected with a small open-address hash, then stable-sorted by b3-delta
+// — the reference slot order (Msa::push + Msa::sort, main.rs:193-229) without
+// the global indirect sort np2_aggregate paid (the per-chunk cost driver).
+int np2_aggregate2(const int32_t* flat_win, const int32_t* flat_col,
+                   const int32_t* flat_key, int64_t n, int64_t win0,
+                   int64_t B, int64_t W, int64_t K,
+                   int32_t* key_tab, int32_t* cnt_tab,
+                   int32_t* coverage, int32_t* n_slots, uint8_t* overflow) {
+  std::fill(key_tab, key_tab + B * W * K, -1);
+  std::fill(cnt_tab, cnt_tab + B * W * K, 0);
+  std::fill(coverage, coverage + B * W, 0);
+  std::fill(n_slots, n_slots + B * W, 0);
+  std::fill(overflow, overflow + B, 0);
+
+  int T = 4;
+  if (n < (int64_t)1 << 16) T = 1;
+  // split on window boundaries: thread t starts at the first entry of the
+  // first window >= its share
+  std::vector<int64_t> tb(T + 1, n);
+  tb[0] = 0;
+  for (int t = 1; t < T; t++) {
+    int64_t i = n / T * t;
+    int32_t wv = flat_win[i];
+    while (i > 0 && flat_win[i - 1] == wv) i--;
+    tb[t] = i;
+  }
+  for (int t = 1; t < T; t++) if (tb[t] < tb[t - 1]) tb[t] = tb[t - 1];
+
+  std::vector<int> err(T, 0);
+  auto work = [&](int t) {
+    struct Seg { int64_t key, first, count, b3d; };
+    std::vector<Seg> segs;
+    segs.reserve(256);
+    // open-address hash: key -> seg index, generation-tagged
+    const int HB = 9, HN = 1 << HB;
+    int32_t hkey[HN];
+    int32_t hseg[HN];
+    uint32_t hgen[HN];
+    memset(hgen, 0, sizeof(hgen));
+    uint32_t gen = 0;
+    int64_t i = tb[t], end = tb[t + 1];
+    while (i < end) {
+      int32_t win = flat_win[i], col = flat_col[i];
+      int64_t wr = (int64_t)win - win0;
+      segs.clear();
+      gen++;
+      int64_t j = i;
+      for (; j < end && flat_win[j] == win && flat_col[j] == col; j++) {
+        int32_t k = flat_key[j];
+        uint32_t h = ((uint32_t)k * 2654435761u) >> (32 - HB);
+        for (;;) {
+          if (hgen[h] != gen) {
+            hgen[h] = gen;
+            hkey[h] = k;
+            hseg[h] = (int32_t)segs.size();
+            segs.push_back({(int64_t)(uint32_t)k, j, 1, b3d_of_key((int64_t)(uint32_t)k)});
+            break;
+          }
+          if (hkey[h] == k) { segs[hseg[h]].count++; break; }
+          h = (h + 1) & (HN - 1);
+        }
+      }
+      i = j;
+      if (wr < 0 || wr >= B) { err[t] = -2; return; }
+      if (col >= (int32_t)W) { overflow[wr] = 1; continue; }
+      std::stable_sort(segs.begin(), segs.end(),
+                       [](const Seg& a, const Seg& b) { return a.b3d < b.b3d; });
+      int64_t base = (wr * W + col) * K;
+      int64_t ns = 0, cov = 0;
+      for (size_t s = 0; s < segs.size(); s++) {
+        if (segs[s].b3d == 0) cov += segs[s].count;
+        if ((int64_t)s < K) {
+          key_tab[base + (int64_t)s] = (int32_t)segs[s].key;
+          cnt_tab[base + (int64_t)s] = (int32_t)segs[s].count;
+          ns++;
+        } else {
+          overflow[wr] = 1;
+        }
+      }
+      coverage[wr * W + col] = (int32_t)cov;
+      n_slots[wr * W + col] = (int32_t)ns;
+    }
+  };
+  if (T == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < T; t++) threads.emplace_back(work, t);
+    for (auto& th : threads) th.join();
+  }
+  for (int t = 0; t < T; t++) if (err[t]) return err[t];
   return 0;
 }
 

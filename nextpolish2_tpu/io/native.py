@@ -41,6 +41,11 @@ def load() -> Optional[ctypes.CDLL]:
     lib.np2_bam_refs.restype = ctypes.c_int
     lib.np2_open.restype = ctypes.c_void_p
     lib.np2_aggregate.restype = ctypes.c_int
+    lib.np2_extract_begin.restype = ctypes.c_int
+    lib.np2_extract_fetch.restype = ctypes.c_int
+    lib.np2_sort_stream.restype = ctypes.c_int
+    lib.np2_window_stream.restype = ctypes.c_int
+    lib.np2_aggregate2.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -122,10 +127,19 @@ def bam_refs_native(bam_path: str) -> List[Tuple[str, int]]:
     return out
 
 
+def _p(a: np.ndarray, ct):
+    return a.ctypes.data_as(ctypes.POINTER(ct))
+
+
 def extract_contig_native(bam_path: str, tid: int, tseq_codes: np.ndarray,
-                          cfg) -> Optional[tuple]:
-    """Native per-contig extraction -> (t_pos, key, read_start, aln_bounds,
-    clip_flags) flat arrays, or None if the library is unavailable.
+                          cfg, n_threads: int = 4) -> Optional[tuple]:
+    """Native per-contig extraction -> (t_pos, key, delta, read_start,
+    aln_bounds, clip_flags) flat arrays, or None if the library is unavailable.
+
+    Size-query protocol: np2_extract_begin runs the (multi-threaded) extraction
+    once into handle staging and reports exact sizes; the fetch copies into
+    exact-size uninitialized buffers. (The round-1 guess-and-retry wrapper
+    re-ran the whole extraction on overflow and zeroed GB-scale buffers.)
 
     Matches build_alignseqs + kmer_stream for the read alignments (the ref
     pseudo-alignment alignseqs[0] is added by the caller)."""
@@ -133,41 +147,118 @@ def extract_contig_native(bam_path: str, tid: int, tseq_codes: np.ndarray,
     if lib is None:
         return None
     handle = _handle_for(bam_path)
-    size = os.path.getsize(bam_path)
-    stream_cap = max(1 << 20, size * 6)  # decompressed ~4x, 1 entry/base
-    reads_cap = 1 << 20
-    while True:
-        t_pos = np.zeros(stream_cap, dtype=np.int64)
-        key = np.zeros(stream_cap, dtype=np.int32)
-        read_start = np.zeros(reads_cap, dtype=np.int32)
-        aln_bounds = np.zeros(2 * reads_cap, dtype=np.int64)
-        clip_flags = np.zeros(reads_cap, dtype=np.uint8)
-        stream_n = ctypes.c_int64(0)
-        reads_n = ctypes.c_int64(0)
-        rc = lib.np2_extract_contig_h(
-            ctypes.c_void_p(handle), ctypes.c_int32(tid),
-            tseq_codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            ctypes.c_int64(len(tseq_codes)),
-            ctypes.c_int64(cfg.min_map_qual), ctypes.c_int64(cfg.min_read_len),
-            ctypes.c_int64(cfg.min_map_len), ctypes.c_double(cfg.min_map_fra),
-            ctypes.c_int64(cfg.max_clip_len),
-            ctypes.c_int64(1 if cfg.use_secondary else 0),
-            ctypes.c_int64(1 if cfg.use_supplementary else 0),
-            ctypes.c_int64(cfg.trim_len), ctypes.c_int64(cfg.short_ref_len),
-            t_pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            key.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            ctypes.c_int64(stream_cap), ctypes.byref(stream_n),
-            read_start.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            aln_bounds.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            clip_flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            ctypes.c_int64(reads_cap), ctypes.byref(reads_n),
-        )
-        if rc == 1:
-            stream_cap *= 2
-            reads_cap *= 2
-            continue
-        if rc != 0:
-            raise RuntimeError(f"np2_extract_contig failed rc={rc}")
-        ns, nr = stream_n.value, reads_n.value
-        return (t_pos[:ns], key[:ns], read_start[:nr],
-                aln_bounds[: 2 * nr].reshape(nr, 2), clip_flags[:nr])
+    stream_n = ctypes.c_int64(0)
+    reads_n = ctypes.c_int64(0)
+    rc = lib.np2_extract_begin(
+        ctypes.c_void_p(handle), ctypes.c_int32(tid),
+        _p(tseq_codes, ctypes.c_uint8), ctypes.c_int64(len(tseq_codes)),
+        ctypes.c_int64(cfg.min_map_qual), ctypes.c_int64(cfg.min_read_len),
+        ctypes.c_int64(cfg.min_map_len), ctypes.c_double(cfg.min_map_fra),
+        ctypes.c_int64(cfg.max_clip_len),
+        ctypes.c_int64(1 if cfg.use_secondary else 0),
+        ctypes.c_int64(1 if cfg.use_supplementary else 0),
+        ctypes.c_int64(cfg.trim_len), ctypes.c_int64(cfg.short_ref_len),
+        ctypes.c_int64(n_threads), ctypes.byref(stream_n), ctypes.byref(reads_n),
+    )
+    if rc != 0:
+        raise RuntimeError(f"np2_extract_begin failed rc={rc}")
+    ns, nr = stream_n.value, reads_n.value
+    t_pos = np.empty(ns, dtype=np.int64)
+    key = np.empty(ns, dtype=np.int32)
+    delta = np.empty(ns, dtype=np.int32)
+    read_start = np.empty(nr, dtype=np.int32)
+    aln_bounds = np.empty(2 * nr, dtype=np.int64)
+    clip_flags = np.empty(nr, dtype=np.uint8)
+    rc = lib.np2_extract_fetch(
+        ctypes.c_void_p(handle),
+        _p(t_pos, ctypes.c_int64), _p(key, ctypes.c_int32),
+        _p(delta, ctypes.c_int32), _p(read_start, ctypes.c_int32),
+        _p(aln_bounds, ctypes.c_int64), _p(clip_flags, ctypes.c_uint8),
+    )
+    if rc != 0:
+        raise RuntimeError(f"np2_extract_fetch failed rc={rc}")
+    return (t_pos, key, delta, read_start, aln_bounds.reshape(nr, 2),
+            clip_flags)
+
+
+def sort_stream_native(t_pos: np.ndarray, key: np.ndarray, rid: np.ndarray,
+                       n_pos: int) -> Optional[tuple]:
+    """Stable counting-sort of the global (t_pos, key, rid) stream by t_pos.
+    Returns (t_sorted, k_sorted, rid_sorted, max_b1_delta) or None."""
+    lib = load()
+    if lib is None:
+        return None
+    n = len(t_pos)
+    t_pos = np.ascontiguousarray(t_pos, dtype=np.int64)
+    key = np.ascontiguousarray(key, dtype=np.int32)
+    rid = np.ascontiguousarray(rid, dtype=np.int32)
+    t_out = np.empty(n, dtype=np.int64)
+    k_out = np.empty(n, dtype=np.int32)
+    rid_out = np.empty(n, dtype=np.int32)
+    max_b1d = ctypes.c_int64(0)
+    rc = lib.np2_sort_stream(
+        _p(t_pos, ctypes.c_int64), _p(key, ctypes.c_int32),
+        _p(rid, ctypes.c_int32), ctypes.c_int64(n), ctypes.c_int64(n_pos),
+        _p(t_out, ctypes.c_int64), _p(k_out, ctypes.c_int32),
+        _p(rid_out, ctypes.c_int32), ctypes.byref(max_b1d))
+    if rc != 0:
+        raise RuntimeError(f"np2_sort_stream failed rc={rc}")
+    return t_out, k_out, rid_out, max_b1d.value
+
+
+def window_stream_native(t_sorted: np.ndarray, k_sorted: np.ndarray,
+                         lo: np.ndarray, hi: np.ndarray, lead: np.ndarray,
+                         ) -> Optional[tuple]:
+    """Window-major flat (win, col, key) stream from the t-sorted stream."""
+    lib = load()
+    if lib is None:
+        return None
+    t_sorted = np.ascontiguousarray(t_sorted, dtype=np.int64)
+    k_sorted = np.ascontiguousarray(k_sorted, dtype=np.int32)
+    lo = np.ascontiguousarray(lo, dtype=np.int64)
+    hi = np.ascontiguousarray(hi, dtype=np.int64)
+    lead = np.ascontiguousarray(lead, dtype=np.int64)
+    nw = len(lo)
+    total = int(np.sum(hi - lo))
+    flat_win = np.empty(total, dtype=np.int32)
+    flat_col = np.empty(total, dtype=np.int32)
+    flat_key = np.empty(total, dtype=np.int32)
+    rc = lib.np2_window_stream(
+        _p(t_sorted, ctypes.c_int64), _p(k_sorted, ctypes.c_int32),
+        ctypes.c_int64(len(t_sorted)), _p(lo, ctypes.c_int64),
+        _p(hi, ctypes.c_int64), _p(lead, ctypes.c_int64), ctypes.c_int64(nw),
+        _p(flat_win, ctypes.c_int32), _p(flat_col, ctypes.c_int32),
+        _p(flat_key, ctypes.c_int32))
+    if rc != 0:
+        raise RuntimeError(f"np2_window_stream failed rc={rc}")
+    return flat_win, flat_col, flat_key
+
+
+def aggregate2_native(flat_win: np.ndarray, flat_col: np.ndarray,
+                      flat_key: np.ndarray, win0: int, B: int, W: int, K: int):
+    """No-sort native aggregation over the pre-grouped window-major stream
+    slice (np2_aggregate2); None if the library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    flat_win = np.ascontiguousarray(flat_win, dtype=np.int32)
+    flat_col = np.ascontiguousarray(flat_col, dtype=np.int32)
+    flat_key = np.ascontiguousarray(flat_key, dtype=np.int32)
+    key_tab = np.empty(B * W * K, dtype=np.int32)
+    cnt_tab = np.empty(B * W * K, dtype=np.int32)
+    coverage = np.empty(B * W, dtype=np.int32)
+    n_slots = np.empty(B * W, dtype=np.int32)
+    overflow = np.empty(B, dtype=np.uint8)
+    rc = lib.np2_aggregate2(
+        _p(flat_win, ctypes.c_int32), _p(flat_col, ctypes.c_int32),
+        _p(flat_key, ctypes.c_int32), ctypes.c_int64(len(flat_win)),
+        ctypes.c_int64(win0), ctypes.c_int64(B), ctypes.c_int64(W),
+        ctypes.c_int64(K),
+        _p(key_tab, ctypes.c_int32), _p(cnt_tab, ctypes.c_int32),
+        _p(coverage, ctypes.c_int32), _p(n_slots, ctypes.c_int32),
+        _p(overflow, ctypes.c_uint8))
+    if rc != 0:
+        raise RuntimeError(f"np2_aggregate2 failed rc={rc}")
+    return (key_tab.reshape(B, W, K), cnt_tab.reshape(B, W, K),
+            coverage.reshape(B, W), n_slots.reshape(B, W),
+            overflow.astype(bool))

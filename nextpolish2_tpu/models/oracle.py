@@ -63,14 +63,8 @@ def build_alignseqs_native(bam_path: str, tid: int, tseq: bytes,
     res = extract_contig_native(bam_path, tid, tseq_codes, cfg)
     if res is None:
         return None
-    t_pos, key, read_start, bounds, clips = res
-    # delta per tag: run position within consecutive equal t_pos (per read)
+    t_pos, key, delta, read_start, bounds, clips = res
     n = len(t_pos)
-    idx = np.arange(n, dtype=np.int64)
-    change = np.ones(n, dtype=bool)
-    change[1:] = t_pos[1:] != t_pos[:-1]
-    change[read_start[read_start < n]] = True  # reads restart the run
-    delta = idx - np.maximum.accumulate(np.where(change, idx, -1))
     q_base = (key & 0xF).astype(np.uint8)
 
     alignseqs: List[AlignTags] = [ref_as_tags(tseq_codes)]

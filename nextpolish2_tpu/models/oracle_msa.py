@@ -59,14 +59,19 @@ class Msas:
     coverage: np.ndarray  # int64 per position (Msa::coverage, main.rs:232-241)
 
 
-def kmer_stream(a: AlignTags) -> tuple[np.ndarray, np.ndarray]:
+def kmer_stream(a: AlignTags, raw: bool = False) -> tuple[np.ndarray, np.ndarray]:
     """One alignment -> its (t_pos, key) 3-mer observation stream.
 
     key packs (b1.delta:u16 | flags:4 | q1:4 | q2:4 | q3:4) exactly like Kmer::new
     (main.rs:84-101); the stream is what update_msas pushes (main.rs:576-589).
     Shared by the oracle MSA builder and the TPU window planner.
+
+    raw=True returns int32 keys (the u32 bit pattern; zero-copy for the
+    native-cached path) instead of uint64.
     """
     if a.kkey is not None:  # native extraction cached the keys
+        if raw:
+            return a.t_pos, a.kkey
         return a.t_pos, a.kkey.astype(np.uint64) & np.uint64(0xFFFFFFFF)
     n = len(a)
     t = a.t_pos
@@ -101,6 +106,12 @@ def kmer_stream(a: AlignTags) -> tuple[np.ndarray, np.ndarray]:
         | (b2_q.astype(np.uint64) << np.uint64(4))
         | q.astype(np.uint64)
     )
+    if raw:
+        # saturate the u16 delta field so the >=2^14 overflow guard still fires
+        # after truncation to 32 bits
+        key = np.where(b1_d > 0xFFFF,
+                       key | np.uint64(0xFFFF0000), key)
+        return t, key.astype(np.uint32).view(np.int32)
     return t, key
 
 

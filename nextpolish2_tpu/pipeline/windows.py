@@ -153,18 +153,20 @@ def aggregate_host(wb: "WindowBatch", K: int, width: int | None = None,
     # order), so a chunk is a contiguous slice
     lo = int(np.searchsorted(wb.flat_win, win_lo, side="left"))
     hi = int(np.searchsorted(wb.flat_win, win_hi - 1, side="right"))
-    w_flat = wb.flat_win[lo:hi].astype(np.int64) - win_lo
-    c_flat = wb.flat_col[lo:hi].astype(np.int64)
-    k_flat = wb.flat_key[lo:hi].astype(np.int64)
-    # pack (win, col, key): win<2^19, col<2^13, key<2^32
-    packed = (w_flat << 45) | (c_flat << 32) | k_flat
-
     if use_native:
-        from ..io.native import aggregate_native
+        from ..io.native import aggregate2_native
 
-        res = aggregate_native(packed.view(np.uint64), B, W, K)
+        # the flat stream is already grouped by (win, col) with in-column
+        # first-occurrence order, so no packing or sorting is needed
+        res = aggregate2_native(wb.flat_win[lo:hi], wb.flat_col[lo:hi],
+                                wb.flat_key[lo:hi], win_lo, B, W, K)
         if res is not None:
             return res
+    w_flat = wb.flat_win[lo:hi].astype(np.int64) - win_lo
+    c_flat = wb.flat_col[lo:hi].astype(np.int64)
+    k_flat = wb.flat_key[lo:hi].astype(np.int64) & 0xFFFFFFFF
+    # pack (win, col, key): win<2^19, col<2^13, key<2^32
+    packed = (w_flat << 45) | (c_flat << 32) | k_flat
     uniq, first_idx, counts = np.unique(packed, return_index=True,
                                         return_counts=True)
     uw = uniq >> 45
@@ -222,6 +224,8 @@ def build_window_batch(alignseqs: List[AlignTags], n_pos: int,
     plan = plan_windows(anchors, n_pos, target)
     nw = len(plan.starts)
 
+    from ..io.native import sort_stream_native, window_stream_native
+
     if stream_cache is not None and "t_sorted" in stream_cache:
         drop = np.array([a.dropped or len(a) == 0 for a in alignseqs])
         keep = ~drop[stream_cache["rid_sorted"]]
@@ -235,24 +239,32 @@ def build_window_batch(alignseqs: List[AlignTags], n_pos: int,
         for rid, a in enumerate(alignseqs):
             if a.dropped or len(a) == 0:
                 continue
-            t, k = kmer_stream(a)
+            t, k = kmer_stream(a, raw=True)
             t_all_parts.append(t)
             k_all_parts.append(k)
             rid_parts.append(np.full(len(t), rid, dtype=np.int32))
         t_all = np.concatenate(t_all_parts) if t_all_parts else np.zeros(0, np.int64)
-        k_all = np.concatenate(k_all_parts) if k_all_parts else np.zeros(0, np.uint64)
-        if len(k_all) and int((k_all >> np.uint64(16)).max()) >= (1 << 14):
+        k_all = np.concatenate(k_all_parts) if k_all_parts else np.zeros(0, np.int32)
+        rid_all = np.concatenate(rid_parts) if rid_parts else np.zeros(0, np.int32)
+        sorted_res = sort_stream_native(t_all, k_all, rid_all, n_pos) \
+            if len(t_all) else None
+        if sorted_res is not None:
+            t_sorted, k_sorted, rid_sorted, max_b1d = sorted_res
+        else:
+            k64 = k_all.view(np.uint32).astype(np.uint64)
+            max_b1d = int((k64 >> np.uint64(16)).max()) if len(k64) else 0
+            order = np.argsort(t_all, kind="stable")  # stable: keeps per-col order
+            t_sorted = t_all[order]
+            k_sorted = k_all[order]
+            rid_sorted = rid_all[order]
+        if max_b1d >= (1 << 14):
             # insertion runs >= 2^14 columns would overflow the i32 key packing;
             # absurd input — let the engine fall back to the oracle
             raise WindowOverflow("delta overflow: insertion run >= 16384 columns")
-        order = np.argsort(t_all, kind="stable")  # stable: keeps per-col order
-        t_sorted = t_all[order]
-        k_sorted = k_all[order].astype(np.int64)
         if stream_cache is not None:
-            rid_all = np.concatenate(rid_parts) if rid_parts else np.zeros(0, np.int32)
             stream_cache["t_sorted"] = t_sorted
             stream_cache["k_sorted"] = k_sorted
-            stream_cache["rid_sorted"] = rid_all[order]
+            stream_cache["rid_sorted"] = rid_sorted
 
     starts = plan.starts
     ends = plan.ends
@@ -265,11 +277,16 @@ def build_window_batch(alignseqs: List[AlignTags], n_pos: int,
 
     # flat (win, col, key) arrays; adjacent windows duplicate their 3 shared
     # columns' entries (different relative cols), a negligible overhead
-    idx = np.concatenate([np.arange(lo[w], hi[w]) for w in range(nw)]) if nw \
-        else np.zeros(0, dtype=np.int64)
-    flat_win = np.repeat(np.arange(nw, dtype=np.int32), counts)
-    flat_col = (t_sorted[idx] - lead[flat_win]).astype(np.int32)
-    flat_key = k_sorted[idx].astype(np.int32)
+    native_ws = window_stream_native(t_sorted, k_sorted, lo, hi, lead) if nw \
+        else None
+    if native_ws is not None:
+        flat_win, flat_col, flat_key = native_ws
+    else:
+        idx = np.concatenate([np.arange(lo[w], hi[w]) for w in range(nw)]) if nw \
+            else np.zeros(0, dtype=np.int64)
+        flat_win = np.repeat(np.arange(nw, dtype=np.int32), counts)
+        flat_col = (t_sorted[idx] - lead[flat_win]).astype(np.int32)
+        flat_key = k_sorted[idx].astype(np.int32)
 
     # anchor kmer: (ref[t-2], ref[t-1], ref[t]) with deltas 0 -> flags 0,
     # b1.delta 0; count = column coverage at the anchor

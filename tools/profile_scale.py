@@ -48,8 +48,8 @@ def main():
     t("np2_open (decompress+header)", native._handle_for, bam)
     res = t("extract_contig_native (post-open)", native.extract_contig_native,
             bam, 0, tseq_codes, cfg)
-    print(f"  stream entries: {len(res[0])}, reads: {len(res[2])}", flush=True)
-    aligns = t("build_alignseqs_native (re-extract+numpy)",
+    print(f"  stream entries: {len(res[0])}, reads: {len(res[3])}", flush=True)
+    aligns = t("build_alignseqs_native (extract+numpy)",
                build_alignseqs_native, bam, 0, tseq, cfg)
     print(f"  alignseqs: {len(aligns)}", flush=True)
 
