@@ -42,11 +42,8 @@ class PolishConfig:
 
     # ----- TPU engine shape knobs (no reference equivalent) -----
     window_len: int = 1024           # columns per device window
-    window_halo: int = 64            # halo columns on each side of a window
     max_kmers_per_col: int = 48      # K: candidate 3-mer slots per MSA column
-    max_ins_run: int = 40            # max insertion columns tracked after one ref column
-    window_batch: int = 256          # windows per device dispatch
-    threads: int = 4                 # host worker threads (-t)
+    threads: int = 1                 # host worker threads (-t; CLI default)
 
     def merged_min_map_len(self, read_len: int) -> int:
         """max(min_map_len, min_map_fra*read_len) — reference main.rs:1764-1768."""

@@ -181,7 +181,7 @@ class Louvain:
                             w += row.get(n2, 0.0)
                 if w != 0.0:
                     assert w < 0.0, (
-                        "the weight of two conflicting community is not less than 0"
+                        "cross-community edge weight must be negative"
                     )
                     insert_data(data, c1.id, c2.id, w)
                     insert_data(data, c2.id, c1.id, w)
