@@ -13,10 +13,27 @@
 #include <cstring>
 #include <cstdio>
 #include <cstdlib>
+#include <chrono>
 #include <thread>
 #include <vector>
 #include <string>
 #include <zlib.h>
+
+// NP2_TIMING=1: per-stage timings on stderr (perf debugging on slow VMs).
+static bool np2_timing() {
+  static int v = -1;
+  if (v < 0) { const char* e = getenv("NP2_TIMING"); v = (e && *e == '1') ? 1 : 0; }
+  return v == 1;
+}
+static double np2_now() {
+  return std::chrono::duration<double>(
+      std::chrono::steady_clock::now().time_since_epoch()).count();
+}
+#define NP2_T(label, t0)                                             \
+  do {                                                               \
+    if (np2_timing())                                                \
+      fprintf(stderr, "[np2 %-28s] %8.2fs\n", label, np2_now() - (t0)); \
+  } while (0)
 
 namespace {
 
@@ -561,6 +578,7 @@ int np2_extract_begin(void* handle, int32_t want_tid,
                       int64_t* stream_n, int64_t* reads_n) {
   init_tables();
   BamFile& bf = *static_cast<BamFile*>(handle);
+  double t0 = np2_now();
 
   // pass A: locate this contig's records (cheap header-only scan)
   std::vector<const uint8_t*> recs;
@@ -585,6 +603,8 @@ int np2_extract_begin(void* handle, int32_t want_tid,
     est.push_back(est_sum);
   }
 
+  NP2_T("begin: pass A (locate)", t0);
+  t0 = np2_now();
   int T = (int)(n_threads < 1 ? 1 : (n_threads > 16 ? 16 : n_threads));
   if ((int64_t)recs.size() < 4 * T) T = 1;
   std::vector<ThreadOut> touts(T);
@@ -635,6 +655,8 @@ int np2_extract_begin(void* handle, int32_t want_tid,
     for (int t = 0; t < T; t++) threads.emplace_back(work, t);
     for (auto& th : threads) th.join();
   }
+  NP2_T("begin: process_record", t0);
+  t0 = np2_now();
 
   // merge in record order (deterministic: same stream as the sequential pass)
   int64_t total_s = 0, total_r = 0;
@@ -660,6 +682,7 @@ int np2_extract_begin(void* handle, int32_t want_tid,
   }
   *stream_n = total_s;
   *reads_n = total_r;
+  NP2_T("begin: merge", t0);
   return 0;
 }
 
