@@ -25,6 +25,24 @@ try:  # in case numpy was imported before us (env var only read at import)
 except Exception:
     pass
 
+# Keep freed heap memory mapped. On this class of VM, first-touch page faults
+# are serviced by the hypervisor at ~4-40 MB/s while already-mapped memory
+# writes at ~3 GB/s (measured; the host reclaims freed pages via free-page
+# hinting, so every alloc/free cycle re-pays provisioning). Disabling glibc's
+# mmap path and heap trimming makes every large allocation come from the
+# process heap, which only grows: the provisioning cost is paid once per
+# high-water byte and all reuse runs at memory speed. Opt out: NP2_NO_MALLOPT=1.
+if not _os.environ.get("NP2_NO_MALLOPT"):
+    try:
+        import ctypes as _ct
+
+        _libc = _ct.CDLL(None)
+        _libc.mallopt(-4, 0)           # M_MMAP_MAX = 0
+        _libc.mallopt(-3, 2**31 - 1)   # M_MMAP_THRESHOLD = max
+        _libc.mallopt(-1, 2**31 - 1)   # M_TRIM_THRESHOLD = max
+    except Exception:
+        pass
+
 from .config import PolishConfig  # noqa: F401
 
 

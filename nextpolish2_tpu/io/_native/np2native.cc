@@ -6,8 +6,15 @@
 // main.rs:576-589) in one pass: BGZF -> BAM records -> filter -> expand -> trim ->
 // (t_pos, packed 3-mer key) stream per alignment.
 //
-// C ABI (ctypes); caller provides output buffers. No global state; thread-safe
-// per-call. Build: build.sh -> libnp2native.so (requires zlib).
+// Memory discipline (v3): on the target VMs, first-touch page faults are
+// serviced by the hypervisor at ~4-40 MB/s while mapped memory writes at
+// ~3 GB/s, so this module (a) never stages GB-scale copies — extraction counts
+// first, then fills the caller's exact-size buffers directly — and (b) relies
+// on the package-level mallopt() (no mmap, no trim) so freed heap memory is
+// reused instead of re-provisioned.
+//
+// C ABI (ctypes); caller provides output buffers. Build: build.sh ->
+// libnp2native.so (requires zlib).
 
 #include <cstdint>
 #include <cstring>
@@ -17,6 +24,8 @@
 #include <thread>
 #include <vector>
 #include <string>
+#include <algorithm>
+#include <sys/mman.h>
 #include <zlib.h>
 
 // NP2_TIMING=1: per-stage timings on stderr (perf debugging on slow VMs).
@@ -105,17 +114,40 @@ struct BamRec {
   int32_t l_seq;
 };
 
+// Parse the fixed prefix of a BAM record payload.
+static inline void parse_rec(const uint8_t* q, BamRec& r) {
+  r.tid = rd_i32(q);
+  r.pos = rd_i32(q + 4);
+  uint8_t l_rn = q[8];
+  r.mapq = q[9];
+  r.n_cigar = rd_u16(q + 12);
+  r.flag = rd_u16(q + 14);
+  r.l_seq = rd_i32(q + 16);
+  r.cigar = q + 32 + l_rn;
+  r.seq4 = r.cigar + 4 * r.n_cigar;
+}
+
+struct Filters {
+  const uint8_t* tseq_codes;
+  int64_t tlen;
+  int64_t min_map_qual, min_read_len, min_map_len;
+  double min_map_fra;
+  int64_t max_clip_len, use_secondary, use_supplementary;
+  int trim_len;
+  int64_t short_ref_len;
+};
+
 struct BamFile {
   Bytes raw;
   std::vector<std::pair<std::string, int64_t>> refs;
   size_t rec_off = 0;  // offset of first record
-  // v2 staging: np2_extract_begin fills these; np2_extract_fetch drains them.
-  std::vector<int64_t> st_t_pos;
-  std::vector<int32_t> st_key;
-  std::vector<int32_t> st_delta;
-  std::vector<int32_t> st_read_start;
-  std::vector<int64_t> st_aln_bounds;
-  std::vector<uint8_t> st_clip;
+  // v3 metadata from np2_extract_begin3 (small; per-kept-record only)
+  std::vector<const uint8_t*> v3_recs;   // kept record payloads
+  std::vector<int64_t> v3_off;           // stream offset per kept record
+  std::vector<int64_t> v3_bounds;        // aln_t_s, aln_t_e per kept record
+  std::vector<uint8_t> v3_clip;
+  int64_t v3_total = 0;
+  Filters v3_f{};
 };
 
 static bool parse_bam_header(BamFile& bf) {
@@ -146,31 +178,24 @@ static inline bool consumes_qry(int op) {
   return op == 0 || op == 1 || op == 4 || op == 7 || op == 8;
 }
 
-struct TagStream {
-  // outputs appended here
-  std::vector<int64_t>* t_pos;
-  std::vector<int32_t>* key;
-  std::vector<int32_t>* read_start;  // index into t_pos where each read starts
-  std::vector<int64_t>* aln_bounds;  // aln_t_s, aln_t_e per emitted read
-  std::vector<int32_t>* delta = nullptr;  // b3 delta per tag (v2 API only)
-  // reusable scratch (per-thread) to avoid per-record allocation
-  std::vector<uint8_t> q_scratch, t_scratch;
+struct RecInfo {
+  int64_t shift, new_len;      // surviving column range [shift, new_len)
+  int64_t aln_t_s, aln_t_e;    // post-trim target bounds (inclusive)
+  bool clip;
 };
 
-// Expand + trim + emit the 3-mer key stream for one record.
-// Returns true if the record survived all filters. `clip_flag_out` set when the
-// alignment is clip-labeled (filter_alignseqs_by_clip input, main.rs:1796-1812).
-static bool process_record(const BamRec& r, const uint8_t* tseq_codes,
-                           int64_t tlen, int64_t min_map_qual,
-                           int64_t min_read_len, int64_t min_map_len,
-                           double min_map_fra, int64_t max_clip_len,
-                           int64_t use_secondary, int64_t use_supplementary,
-                           int trim_len, TagStream& out, bool* clip_flag_out) {
+// Filter + expand + trim one record into per-thread scratch code arrays.
+// Returns true if the record survives every filter (incl. the short-ref clip
+// drop). Mirrors the reference worker loop (main.rs:1751-1816), fill_with_cigar
+// (main.rs:386-440) and trim (main.rs:446-513).
+static bool analyze_record(const BamRec& r, const Filters& f,
+                           std::vector<uint8_t>& q_codes,
+                           std::vector<uint8_t>& t_codes, RecInfo& out) {
   if (r.flag & 0x404) return false;
-  if ((int64_t)r.mapq <= min_map_qual) return false;
+  if ((int64_t)r.mapq <= f.min_map_qual) return false;
   bool secondary = r.flag & 0x100, supplementary = r.flag & 0x800;
-  if (secondary && !use_secondary) return false;
-  if (supplementary && !use_supplementary) return false;
+  if (secondary && !f.use_secondary) return false;
+  if (supplementary && !f.use_supplementary) return false;
 
   // read length from cigar incl hard clips (main.rs:1758)
   int64_t rlen = 0, ref_span = 0;
@@ -180,14 +205,12 @@ static bool process_record(const BamRec& r, const uint8_t* tseq_codes,
     if (consumes_qry(op) || op == 5) rlen += l;
     if (consumes_ref(op)) ref_span += l;
   }
-  if (rlen <= min_read_len) return false;
-  int64_t mml = min_map_len;
-  int64_t frac = (int64_t)((float)rlen * (float)min_map_fra);
+  if (rlen <= f.min_read_len) return false;
+  int64_t mml = f.min_map_len;
+  int64_t frac = (int64_t)((float)rlen * (float)f.min_map_fra);
   if (ref_span < (mml > frac ? mml : frac)) return false;
 
   // expand cigar into gapped code arrays (fill_with_cigar, main.rs:386-440)
-  std::vector<uint8_t>& q_codes = out.q_scratch;
-  std::vector<uint8_t>& t_codes = out.t_scratch;
   q_codes.clear();
   t_codes.clear();
   q_codes.reserve(rlen + 64);
@@ -207,7 +230,7 @@ static bool process_record(const BamRec& r, const uint8_t* tseq_codes,
       if (first) aln_q_s = qs; else aln_q_e = qs - l;
     } else if (op == 0 || op == 7 || op == 8) {
       for (int64_t k = 0; k < l; k++) { q_codes.push_back(qcode(qs + k)); }
-      for (int64_t k = 0; k < l; k++) { t_codes.push_back(tseq_codes[ts + k]); }
+      for (int64_t k = 0; k < l; k++) { t_codes.push_back(f.tseq_codes[ts + k]); }
       qs += l; ts += l;
     } else if (op == 1) {
       for (int64_t k = 0; k < l; k++) { q_codes.push_back(qcode(qs + k)); }
@@ -215,7 +238,7 @@ static bool process_record(const BamRec& r, const uint8_t* tseq_codes,
       qs += l;
     } else if (op == 2) {
       q_codes.insert(q_codes.end(), l, 4);
-      for (int64_t k = 0; k < l; k++) { t_codes.push_back(tseq_codes[ts + k]); }
+      for (int64_t k = 0; k < l; k++) { t_codes.push_back(f.tseq_codes[ts + k]); }
       ts += l;
     } else if (op == 5) {
       // hard clip: ignored
@@ -227,7 +250,8 @@ static bool process_record(const BamRec& r, const uint8_t* tseq_codes,
   if (aln_q_e == 0) aln_q_e = qs;
   int64_t aln_t_s = r.pos;
 
-  bool is_clip = aln_q_e - aln_q_s + max_clip_len < rlen;
+  bool is_clip = aln_q_e - aln_q_s + f.max_clip_len < rlen;
+  if (is_clip && f.tlen < f.short_ref_len) return false;  // main.rs:1806-1810
 
   // trim to trim_len-match boundaries (main.rs:446-513)
   int64_t n = (int64_t)t_codes.size();
@@ -235,13 +259,13 @@ static bool process_record(const BamRec& r, const uint8_t* tseq_codes,
   {
     int64_t j = 0;
     for (int64_t i = 0; i < n; i++) {
-      if (t_codes[i] == q_codes[i]) { j++; if (j == trim_len) { shift = i + 1 - trim_len; break; } }
+      if (t_codes[i] == q_codes[i]) { j++; if (j == f.trim_len) { shift = i + 1 - f.trim_len; break; } }
       else j = 0;
     }
     if (shift < n) {
       j = 0;
       for (int64_t i = n - 1; i >= 0; i--) {
-        if (t_codes[i] == q_codes[i]) { j++; if (j == trim_len) { new_len = i + trim_len; break; } }
+        if (t_codes[i] == q_codes[i]) { j++; if (j == f.trim_len) { new_len = i + f.trim_len; break; } }
         else j = 0;
       }
       // aln_t_s advance = # t-consuming columns before shift
@@ -250,21 +274,35 @@ static bool process_record(const BamRec& r, const uint8_t* tseq_codes,
   }
   if (shift >= n) return false;
   // aln_len uses the truncated length (reference truncates before the check)
-  if ((new_len - shift) <= min_map_len) return false;
+  if ((new_len - shift) <= f.min_map_len) return false;
 
-  *clip_flag_out = is_clip;
+  // aln_t_e: last target position covered (first surviving column sits at
+  // aln_t_s; every later non-gap column advances by one)
+  int64_t adv = 0;
+  for (int64_t i = shift + 1; i < new_len; i++) if (t_codes[i] != 4) adv++;
 
-  // emit tag stream + 3-mer keys (get_align_tag + update_msas semantics,
-  // main.rs:314-338, 576-589). Virtual heads: b1=(s-1,0,15), b2=(s-1,1,15).
-  out.read_start->push_back((int32_t)out.t_pos->size());
-  int64_t t_cur = aln_t_s, delta = 0;
-  int64_t b1_t = aln_t_s - 1, b1_d = 0; uint32_t b1_q = 15;
-  int64_t b2_t = aln_t_s - 1, b2_d = 1; uint32_t b2_q = 15;
+  out.shift = shift;
+  out.new_len = new_len;
+  out.aln_t_s = aln_t_s;
+  out.aln_t_e = aln_t_s + adv;
+  out.clip = is_clip;
+  return true;
+}
+
+// Emit the (t_pos, packed 3-mer key) tag stream for one analyzed record
+// directly into caller buffers at `off` (get_align_tag + update_msas semantics,
+// main.rs:314-338, 576-589). Exactly new_len - shift entries.
+static void emit_tags(const std::vector<uint8_t>& q_codes,
+                      const std::vector<uint8_t>& t_codes,
+                      const RecInfo& ri, int32_t* t_out, int32_t* k_out) {
+  int64_t t_cur = ri.aln_t_s, delta = 0;
+  int64_t b1_t = ri.aln_t_s - 1, b1_d = 0; uint32_t b1_q = 15;
+  int64_t b2_t = ri.aln_t_s - 1, b2_d = 1; uint32_t b2_q = 15;
   bool first_col = true;
-  int64_t aln_t_e = aln_t_s;
-  for (int64_t i = shift; i < new_len; i++) {
+  int64_t o = 0;
+  for (int64_t i = ri.shift; i < ri.new_len; i++, o++) {
     uint8_t tb = t_codes[i], qb = q_codes[i];
-    if (first_col) { t_cur = aln_t_s; delta = 0; first_col = false; }
+    if (first_col) { t_cur = ri.aln_t_s; delta = 0; first_col = false; }
     else if (tb == 4) { delta++; }
     else { delta = 0; t_cur++; }
     // kmer key: (b1.delta<<16)|(flags<<12)|(b1.q<<8)|(b2.q<<4)|b3.q
@@ -273,16 +311,11 @@ static bool process_record(const BamRec& r, const uint8_t* tseq_codes,
     uint32_t b1d_sat = b1_d > 0xFFFF ? 0xFFFFu : (uint32_t)b1_d;
     uint32_t key = (b1d_sat << 16) | (flags << 12) | (b1_q << 8) |
                    (b2_q << 4) | (uint32_t)qb;
-    out.t_pos->push_back(t_cur);
-    out.key->push_back((int32_t)key);
-    if (out.delta) out.delta->push_back((int32_t)delta);
+    t_out[o] = (int32_t)t_cur;
+    k_out[o] = (int32_t)key;
     b1_t = b2_t; b1_d = b2_d; b1_q = b2_q;
     b2_t = t_cur; b2_d = delta; b2_q = qb;
-    aln_t_e = t_cur;
   }
-  out.aln_bounds->push_back(aln_t_s);
-  out.aln_bounds->push_back(aln_t_e);
-  return true;
 }
 
 }  // namespace
@@ -304,110 +337,6 @@ void np2_close(void* handle) {
   delete static_cast<BamFile*>(handle);
 }
 
-// Filter + expand + trim + stream one contig's records from an open handle.
-// Outputs written into caller buffers (sizes via *_cap, actual via *_n).
-// Returns 0 on success, negative on error, 1 if a buffer was too small.
-int np2_extract_contig_h(void* handle, int32_t want_tid,
-                         const uint8_t* tseq_codes, int64_t tlen,
-                         int64_t min_map_qual, int64_t min_read_len,
-                         int64_t min_map_len, double min_map_fra,
-                         int64_t max_clip_len, int64_t use_secondary,
-                         int64_t use_supplementary, int64_t trim_len,
-                         int64_t short_ref_len,
-                         int64_t* t_pos_out, int32_t* key_out, int64_t stream_cap,
-                         int64_t* stream_n,
-                         int32_t* read_start_out, int64_t* aln_bounds_out,
-                         uint8_t* clip_flag_out, int64_t reads_cap,
-                         int64_t* reads_n) {
-  init_tables();
-  BamFile& bf = *static_cast<BamFile*>(handle);
-
-  std::vector<int64_t> t_pos;
-  std::vector<int32_t> key;
-  std::vector<int32_t> read_start;
-  std::vector<int64_t> aln_bounds;
-  std::vector<uint8_t> clip_flags;
-  TagStream ts{&t_pos, &key, &read_start, &aln_bounds};
-
-  const uint8_t* p = bf.raw.d.data();
-  size_t n = bf.raw.d.size();
-  size_t off = bf.rec_off;
-  int64_t prev_pos = -1;
-  while (off + 4 <= n) {
-    int32_t block = rd_i32(p + off); off += 4;
-    if (off + (size_t)block > n) return -3;
-    const uint8_t* q = p + off;
-    off += block;
-    BamRec r;
-    r.tid = rd_i32(q);
-    if (r.tid > want_tid) break;          // sorted: past our contig
-    r.pos = rd_i32(q + 4);
-    uint8_t l_rn = q[8];
-    r.mapq = q[9];
-    r.n_cigar = rd_u16(q + 12);
-    r.flag = rd_u16(q + 14);
-    r.l_seq = rd_i32(q + 16);
-    r.cigar = q + 32 + l_rn;
-    r.seq4 = r.cigar + 4 * r.n_cigar;
-    if (r.tid != want_tid) continue;
-    if (r.pos < prev_pos) return -4;      // unsorted (main.rs:1753-1756)
-    prev_pos = r.pos;
-    bool clip = false;
-    bool kept = process_record(r, tseq_codes, tlen, min_map_qual, min_read_len,
-                               min_map_len, min_map_fra, max_clip_len,
-                               use_secondary, use_supplementary, (int)trim_len,
-                               ts, &clip);
-    if (kept) {
-      if (clip && tlen < short_ref_len) {
-        // short refs drop clipped alignments outright (main.rs:1806-1810):
-        // roll back this read's emissions
-        int64_t start = read_start.back();
-        t_pos.resize(start);
-        key.resize(start);
-        read_start.pop_back();
-        aln_bounds.resize(aln_bounds.size() - 2);
-      } else {
-        clip_flags.push_back(clip ? 1 : 0);
-      }
-    }
-  }
-
-  if ((int64_t)t_pos.size() > stream_cap) return 1;
-  if ((int64_t)read_start.size() > reads_cap) return 1;
-  memcpy(t_pos_out, t_pos.data(), t_pos.size() * 8);
-  memcpy(key_out, key.data(), key.size() * 4);
-  *stream_n = (int64_t)t_pos.size();
-  memcpy(read_start_out, read_start.data(), read_start.size() * 4);
-  memcpy(aln_bounds_out, aln_bounds.data(), aln_bounds.size() * 8);
-  memcpy(clip_flag_out, clip_flags.data(), clip_flags.size());
-  *reads_n = (int64_t)read_start.size();
-  return 0;
-}
-
-// Path-based convenience wrapper (opens, extracts, closes).
-int np2_extract_contig(const char* bam_path, int32_t want_tid,
-                       const uint8_t* tseq_codes, int64_t tlen,
-                       int64_t min_map_qual, int64_t min_read_len,
-                       int64_t min_map_len, double min_map_fra,
-                       int64_t max_clip_len, int64_t use_secondary,
-                       int64_t use_supplementary, int64_t trim_len,
-                       int64_t short_ref_len,
-                       int64_t* t_pos_out, int32_t* key_out, int64_t stream_cap,
-                       int64_t* stream_n,
-                       int32_t* read_start_out, int64_t* aln_bounds_out,
-                       uint8_t* clip_flag_out, int64_t reads_cap,
-                       int64_t* reads_n) {
-  void* h = np2_open(bam_path);
-  if (!h) return -1;
-  int rc = np2_extract_contig_h(
-      h, want_tid, tseq_codes, tlen, min_map_qual, min_read_len, min_map_len,
-      min_map_fra, max_clip_len, use_secondary, use_supplementary, trim_len,
-      short_ref_len, t_pos_out, key_out, stream_cap, stream_n, read_start_out,
-      aln_bounds_out, clip_flag_out, reads_cap, reads_n);
-  np2_close(h);
-  return rc;
-}
-
 // Number of references and their lengths (for contig lookup without pysam).
 int np2_bam_refs(const char* bam_path, char* names_out, int64_t names_cap,
                  int64_t* lens_out, int64_t lens_cap, int64_t* n_refs) {
@@ -427,160 +356,27 @@ int np2_bam_refs(const char* bam_path, char* names_out, int64_t names_cap,
   return 0;
 }
 
-}  // extern "C"
+// ---------- v3 extraction: count, then fill caller buffers directly ----------
 
-// ---------- pileup aggregation (host hot path) ----------
-// Input: N packed entries (win<<45 | col<<32 | key) — the per-window 3-mer
-// observation stream (window-major). Output: dense slot tables in the
-// reference's slot order (stable by (b3-delta, first occurrence); Msa::push +
-// Msa::sort semantics, main.rs:193-229) + per-column coverage + overflow flags.
-
-#include <algorithm>
-#if defined(_OPENMP)
-#include <parallel/algorithm>
-#endif
-
-namespace {
-static inline int64_t b3d_of_key(int64_t key) {
-  int64_t flags = (key >> 12) & 0xF;
-  if ((flags & 0b0101) == 0b0101) return ((key >> 16) & 0xFFFF) + 2;
-  return (flags & 1) ? 1 : 0;
-}
-}  // namespace
-
-extern "C" {
-
-// Returns 0 on success. Caller buffers: key_tab/cnt_tab i32[B*W*K],
-// coverage/n_slots i32[B*W], overflow u8[B]; all zero/minus-one initialized by
-// the callee.
-int np2_aggregate(const uint64_t* packed, int64_t n,
-                  int64_t B, int64_t W, int64_t K,
-                  int32_t* key_tab, int32_t* cnt_tab,
-                  int32_t* coverage, int32_t* n_slots, uint8_t* overflow) {
-  std::fill(key_tab, key_tab + B * W * K, -1);
-  std::fill(cnt_tab, cnt_tab + B * W * K, 0);
-  std::fill(coverage, coverage + B * W, 0);
-  std::fill(n_slots, n_slots + B * W, 0);
-  std::fill(overflow, overflow + B, 0);
-
-  std::vector<int64_t> idx(n);
-  for (int64_t i = 0; i < n; i++) idx[i] = i;
-  auto cmp = [packed](int64_t a, int64_t b) {
-    if (packed[a] != packed[b]) return packed[a] < packed[b];
-    return a < b;  // stable: first occurrence first
-  };
-#if defined(_OPENMP)
-  __gnu_parallel::sort(idx.begin(), idx.end(), cmp);
-#else
-  std::sort(idx.begin(), idx.end(), cmp);
-#endif
-
-  struct Seg { int64_t key; int64_t first; int64_t count; int64_t b3d; };
-  std::vector<Seg> col_segs;
-  col_segs.reserve(64);
-
-  int64_t i = 0;
-  while (i < n) {
-    // one (win, col) group at a time
-    uint64_t wc = packed[idx[i]] >> 32;
-    int64_t win = (int64_t)(wc >> 13);
-    int64_t col = (int64_t)(wc & 0x1FFF);
-    col_segs.clear();
-    while (i < n && (packed[idx[i]] >> 32) == wc) {
-      uint64_t v = packed[idx[i]];
-      int64_t first = idx[i];
-      int64_t cnt = 0;
-      while (i < n && packed[idx[i]] == v) { cnt++; i++; }
-      int64_t key = (int64_t)(v & 0xFFFFFFFFull);
-      col_segs.push_back({key, first, cnt, b3d_of_key(key)});
-    }
-    if (win >= B || col >= W) {  // out-of-tier window -> host fallback
-      if (win < B) overflow[win] = 1;
-      continue;
-    }
-    // slot order: (b3d, first occurrence)
-    std::stable_sort(col_segs.begin(), col_segs.end(),
-                     [](const Seg& a, const Seg& b) {
-                       if (a.b3d != b.b3d) return a.b3d < b.b3d;
-                       return a.first < b.first;
-                     });
-    int64_t base = (win * W + col) * K;
-    int64_t ns = 0;
-    int64_t cov = 0;
-    for (size_t s = 0; s < col_segs.size(); s++) {
-      if (col_segs[s].b3d == 0) cov += col_segs[s].count;
-      if ((int64_t)s < K) {
-        key_tab[base + s] = (int32_t)col_segs[s].key;
-        cnt_tab[base + s] = (int32_t)col_segs[s].count;
-        ns++;
-      } else {
-        overflow[win] = 1;
-      }
-    }
-    coverage[win * W + col] = (int32_t)cov;
-    n_slots[win * W + col] = (int32_t)ns;
-  }
-  return 0;
-}
-
-}  // extern "C"
-
-// ---------- v2 API: size-query extraction, stream sort, window stream,
-// no-sort aggregation ----------
-//
-// The round-1 wrapper guessed output sizes and retried with doubled buffers on
-// overflow, re-running the whole extraction (2x cost) and zeroing GB-scale
-// numpy buffers each attempt. v2 extracts ONCE into handle-owned staging
-// (np2_extract_begin, multi-threaded over records), then the caller allocates
-// exact-size buffers and drains them (np2_extract_fetch).
-
-namespace {
-
-struct RecRange {
-  const uint8_t* q;  // record payload (past the block-length u32)
-};
-
-// Parse the fixed prefix of a BAM record payload.
-static inline void parse_rec(const uint8_t* q, BamRec& r) {
-  r.tid = rd_i32(q);
-  r.pos = rd_i32(q + 4);
-  uint8_t l_rn = q[8];
-  r.mapq = q[9];
-  r.n_cigar = rd_u16(q + 12);
-  r.flag = rd_u16(q + 14);
-  r.l_seq = rd_i32(q + 16);
-  r.cigar = q + 32 + l_rn;
-  r.seq4 = r.cigar + 4 * r.n_cigar;
-}
-
-struct ThreadOut {
-  std::vector<int64_t> t_pos;
-  std::vector<int32_t> key;
-  std::vector<int32_t> delta;
-  std::vector<int32_t> read_start;
-  std::vector<int64_t> aln_bounds;
-  std::vector<uint8_t> clip;
-};
-
-}  // namespace
-
-extern "C" {
-
-// Extract one contig into handle staging (no output buffers, no retry).
-// Returns 0 and writes sizes; negative on error.
-int np2_extract_begin(void* handle, int32_t want_tid,
-                      const uint8_t* tseq_codes, int64_t tlen,
-                      int64_t min_map_qual, int64_t min_read_len,
-                      int64_t min_map_len, double min_map_fra,
-                      int64_t max_clip_len, int64_t use_secondary,
-                      int64_t use_supplementary, int64_t trim_len,
-                      int64_t short_ref_len, int64_t n_threads,
-                      int64_t* stream_n, int64_t* reads_n) {
+// Pass 1: locate + filter + trim + COUNT this contig's surviving records.
+// Writes exact sizes; per-record metadata is staged in the handle (small).
+// Returns 0, negative on error.
+int np2_extract_begin3(void* handle, int32_t want_tid,
+                       const uint8_t* tseq_codes, int64_t tlen,
+                       int64_t min_map_qual, int64_t min_read_len,
+                       int64_t min_map_len, double min_map_fra,
+                       int64_t max_clip_len, int64_t use_secondary,
+                       int64_t use_supplementary, int64_t trim_len,
+                       int64_t short_ref_len, int64_t n_threads,
+                       int64_t* stream_n, int64_t* reads_n) {
   init_tables();
   BamFile& bf = *static_cast<BamFile*>(handle);
+  bf.v3_f = Filters{tseq_codes, tlen, min_map_qual, min_read_len, min_map_len,
+                    min_map_fra, max_clip_len, use_secondary, use_supplementary,
+                    (int)trim_len, short_ref_len};
   double t0 = np2_now();
 
-  // pass A: locate this contig's records (cheap header-only scan)
+  // locate this contig's records (cheap header-only scan)
   std::vector<const uint8_t*> recs;
   std::vector<int64_t> est;  // cumulative l_seq for load balancing
   const uint8_t* p = bf.raw.d.data();
@@ -602,12 +398,11 @@ int np2_extract_begin(void* handle, int32_t want_tid,
     est_sum += rd_i32(q + 16) + 64;
     est.push_back(est_sum);
   }
-
-  NP2_T("begin: pass A (locate)", t0);
+  NP2_T("begin3: locate", t0);
   t0 = np2_now();
+
   int T = (int)(n_threads < 1 ? 1 : (n_threads > 16 ? 16 : n_threads));
   if ((int64_t)recs.size() < 4 * T) T = 1;
-  std::vector<ThreadOut> touts(T);
   // range split balanced by cumulative l_seq
   std::vector<size_t> bounds(T + 1, recs.size());
   bounds[0] = 0;
@@ -618,33 +413,19 @@ int np2_extract_begin(void* handle, int32_t want_tid,
     bounds[t] = lo;
   }
 
+  // per-record results (indexed by located-record position; kept==false rows
+  // are squeezed out after the parallel pass to preserve record order)
+  std::vector<uint8_t> kept(recs.size(), 0);
+  std::vector<RecInfo> info(recs.size());
   auto work = [&](int t) {
-    ThreadOut& o = touts[t];
-    size_t lo = bounds[t], hi = bounds[t + 1];
-    int64_t cap = (lo < hi) ? (est[hi - 1] - (lo ? est[lo - 1] : 0)) : 0;
-    o.t_pos.reserve(cap);
-    o.key.reserve(cap);
-    o.delta.reserve(cap);
-    TagStream ts{&o.t_pos, &o.key, &o.read_start, &o.aln_bounds, &o.delta};
-    for (size_t i = lo; i < hi; i++) {
+    std::vector<uint8_t> qs, ts;
+    for (size_t i = bounds[t]; i < bounds[t + 1]; i++) {
       BamRec r;
       parse_rec(recs[i], r);
-      bool clip = false;
-      bool kept = process_record(r, tseq_codes, tlen, min_map_qual,
-                                 min_read_len, min_map_len, min_map_fra,
-                                 max_clip_len, use_secondary, use_supplementary,
-                                 (int)trim_len, ts, &clip);
-      if (!kept) continue;
-      if (clip && tlen < short_ref_len) {
-        // short refs drop clipped alignments outright (main.rs:1806-1810)
-        int64_t start = o.read_start.back();
-        o.t_pos.resize(start);
-        o.key.resize(start);
-        o.delta.resize(start);
-        o.read_start.pop_back();
-        o.aln_bounds.resize(o.aln_bounds.size() - 2);
-      } else {
-        o.clip.push_back(clip ? 1 : 0);
+      RecInfo ri;
+      if (analyze_record(r, bf.v3_f, qs, ts, ri)) {
+        kept[i] = 1;
+        info[i] = ri;
       }
     }
   };
@@ -655,64 +436,87 @@ int np2_extract_begin(void* handle, int32_t want_tid,
     for (int t = 0; t < T; t++) threads.emplace_back(work, t);
     for (auto& th : threads) th.join();
   }
-  NP2_T("begin: process_record", t0);
-  t0 = np2_now();
+  NP2_T("begin3: analyze", t0);
 
-  // merge in record order (deterministic: same stream as the sequential pass)
-  int64_t total_s = 0, total_r = 0;
-  for (auto& o : touts) { total_s += (int64_t)o.t_pos.size(); total_r += (int64_t)o.read_start.size(); }
-  bf.st_t_pos.resize(total_s);
-  bf.st_key.resize(total_s);
-  bf.st_delta.resize(total_s);
-  bf.st_read_start.resize(total_r);
-  bf.st_aln_bounds.resize(2 * total_r);
-  bf.st_clip.resize(total_r);
-  int64_t so = 0, ro = 0;
-  for (auto& o : touts) {
-    memcpy(bf.st_t_pos.data() + so, o.t_pos.data(), o.t_pos.size() * 8);
-    memcpy(bf.st_key.data() + so, o.key.data(), o.key.size() * 4);
-    memcpy(bf.st_delta.data() + so, o.delta.data(), o.delta.size() * 4);
-    for (size_t i = 0; i < o.read_start.size(); i++)
-      bf.st_read_start[ro + (int64_t)i] = o.read_start[i] + (int32_t)so;
-    memcpy(bf.st_aln_bounds.data() + 2 * ro, o.aln_bounds.data(),
-           o.aln_bounds.size() * 8);
-    memcpy(bf.st_clip.data() + ro, o.clip.data(), o.clip.size());
-    so += (int64_t)o.t_pos.size();
-    ro += (int64_t)o.read_start.size();
+  bf.v3_recs.clear();
+  bf.v3_off.clear();
+  bf.v3_bounds.clear();
+  bf.v3_clip.clear();
+  int64_t total = 0;
+  for (size_t i = 0; i < recs.size(); i++) {
+    if (!kept[i]) continue;
+    bf.v3_recs.push_back(recs[i]);
+    bf.v3_off.push_back(total);
+    bf.v3_bounds.push_back(info[i].aln_t_s);
+    bf.v3_bounds.push_back(info[i].aln_t_e);
+    bf.v3_clip.push_back(info[i].clip ? 1 : 0);
+    total += info[i].new_len - info[i].shift;
   }
-  *stream_n = total_s;
-  *reads_n = total_r;
-  NP2_T("begin: merge", t0);
+  bf.v3_total = total;
+  *stream_n = total;
+  *reads_n = (int64_t)bf.v3_recs.size();
   return 0;
 }
 
-// Drain staged extraction into exact-size caller buffers.
-int np2_extract_fetch(void* handle, int64_t* t_pos_out, int32_t* key_out,
-                      int32_t* delta_out, int32_t* read_start_out,
-                      int64_t* aln_bounds_out, uint8_t* clip_flag_out) {
+// Pass 2: re-expand the kept records and emit tag streams directly into the
+// caller's exact-size buffers (no staging copies).
+int np2_extract_fetch3(void* handle, int32_t* t_pos_out, int32_t* key_out,
+                       int64_t* read_start_out, int64_t* aln_bounds_out,
+                       uint8_t* clip_flag_out, int64_t n_threads) {
   BamFile& bf = *static_cast<BamFile*>(handle);
-  memcpy(t_pos_out, bf.st_t_pos.data(), bf.st_t_pos.size() * 8);
-  memcpy(key_out, bf.st_key.data(), bf.st_key.size() * 4);
-  memcpy(delta_out, bf.st_delta.data(), bf.st_delta.size() * 4);
-  memcpy(read_start_out, bf.st_read_start.data(), bf.st_read_start.size() * 4);
-  memcpy(aln_bounds_out, bf.st_aln_bounds.data(), bf.st_aln_bounds.size() * 8);
-  memcpy(clip_flag_out, bf.st_clip.data(), bf.st_clip.size());
-  std::vector<int64_t>().swap(bf.st_t_pos);
-  std::vector<int32_t>().swap(bf.st_key);
-  std::vector<int32_t>().swap(bf.st_delta);
-  std::vector<int32_t>().swap(bf.st_read_start);
-  std::vector<int64_t>().swap(bf.st_aln_bounds);
-  std::vector<uint8_t>().swap(bf.st_clip);
+  double t0 = np2_now();
+  int64_t nr = (int64_t)bf.v3_recs.size();
+  memcpy(read_start_out, bf.v3_off.data(), (size_t)nr * 8);
+  memcpy(aln_bounds_out, bf.v3_bounds.data(), (size_t)nr * 16);
+  memcpy(clip_flag_out, bf.v3_clip.data(), (size_t)nr);
+
+  int T = (int)(n_threads < 1 ? 1 : (n_threads > 16 ? 16 : n_threads));
+  if (nr < 4 * T) T = 1;
+  // split on stream offsets for balance
+  std::vector<int64_t> tb(T + 1, nr);
+  tb[0] = 0;
+  for (int t = 1; t < T; t++) {
+    int64_t want = bf.v3_total / T * t;
+    int64_t lo = tb[t - 1], hi = nr;
+    while (lo < hi) { int64_t m = (lo + hi) / 2; if (bf.v3_off[m] < want) lo = m + 1; else hi = m; }
+    tb[t] = lo;
+  }
+  std::vector<int> err(T, 0);
+  auto work = [&](int t) {
+    std::vector<uint8_t> qs, ts;
+    for (int64_t i = tb[t]; i < tb[t + 1]; i++) {
+      BamRec r;
+      parse_rec(bf.v3_recs[i], r);
+      RecInfo ri;
+      if (!analyze_record(r, bf.v3_f, qs, ts, ri)) { err[t] = -5; return; }
+      emit_tags(qs, ts, ri, t_pos_out + bf.v3_off[i], key_out + bf.v3_off[i]);
+    }
+  };
+  if (T == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < T; t++) threads.emplace_back(work, t);
+    for (auto& th : threads) th.join();
+  }
+  NP2_T("fetch3: emit", t0);
+  bf.v3_recs.clear();
+  bf.v3_off.clear();
+  bf.v3_bounds.clear();
+  bf.v3_clip.clear();
+  for (int t = 0; t < T; t++) if (err[t]) return err[t];
   return 0;
 }
+
+// ---------- stream sort + aggregation ----------
 
 // Stable counting-sort of the (t_pos, key, rid) stream by t_pos.
 // O(n + n_pos); replaces numpy's stable argsort (the round-1 plan_windows
 // bottleneck at Mb scale). Also returns max(key>>16) for the delta-overflow
 // guard (build_window_batch).
-int np2_sort_stream(const int64_t* t_pos, const int32_t* key,
+int np2_sort_stream(const int32_t* t_pos, const int32_t* key,
                     const int32_t* rid, int64_t n, int64_t n_pos,
-                    int64_t* t_out, int32_t* k_out, int32_t* rid_out,
+                    int32_t* t_out, int32_t* k_out, int32_t* rid_out,
                     int64_t* max_b1d) {
   std::vector<int64_t> cnt(n_pos + 1, 0);
   int64_t mb = 0;
@@ -734,39 +538,26 @@ int np2_sort_stream(const int64_t* t_pos, const int32_t* key,
   return 0;
 }
 
-// Build the window-major flat (win, col, key) stream from the t-sorted global
-// stream: window w takes entries [lo[w], hi[w]) with col = t - lead[w].
-// Output offsets are the cumulative (hi - lo); caller sizes buffers to the sum.
-int np2_window_stream(const int64_t* t_sorted, const int32_t* k_sorted,
-                      int64_t n, const int64_t* lo, const int64_t* hi,
-                      const int64_t* lead, int64_t nw,
-                      int32_t* flat_win, int32_t* flat_col, int32_t* flat_key) {
-  std::vector<int64_t> off(nw + 1, 0);
-  for (int64_t w = 0; w < nw; w++) off[w + 1] = off[w] + (hi[w] - lo[w]);
-#if defined(_OPENMP)
-#pragma omp parallel for schedule(static)
-#endif
-  for (int64_t w = 0; w < nw; w++) {
-    int64_t o = off[w];
-    int64_t ld = lead[w];
-    for (int64_t i = lo[w]; i < hi[w]; i++, o++) {
-      flat_win[o] = (int32_t)w;
-      flat_col[o] = (int32_t)(t_sorted[i] - ld);
-      flat_key[o] = k_sorted[i];
-    }
-  }
-  return 0;
+namespace {
+static inline int64_t b3d_of_key(int64_t key) {
+  int64_t flags = (key >> 12) & 0xF;
+  if ((flags & 0b0101) == 0b0101) return ((key >> 16) & 0xFFFF) + 2;
+  return (flags & 1) ? 1 : 0;
 }
+}  // namespace
 
-// No-sort pileup aggregation over the PRE-GROUPED window-major stream
-// (np2_window_stream output: win nondecreasing, col nondecreasing within win,
-// in-column order = first-occurrence order). Each (win, col) group's segments
-// are collected with a small open-address hash, then stable-sorted by b3-delta
-// — the reference slot order (Msa::push + Msa::sort, main.rs:193-229) without
-// the global indirect sort np2_aggregate paid (the per-chunk cost driver).
-int np2_aggregate2(const int32_t* flat_win, const int32_t* flat_col,
-                   const int32_t* flat_key, int64_t n, int64_t win0,
-                   int64_t B, int64_t W, int64_t K,
+// Pileup aggregation for one device chunk, straight off the t-sorted global
+// stream (no flat window-major copy): window w (relative row w) reads entries
+// [lo[w], hi[w]) with col = t - lead[w]. Within a column the stream order is
+// first-occurrence order; slots are stable-sorted by b3-delta on top — the
+// reference slot order (Msa::push + Msa::sort, main.rs:193-229). Outputs:
+// key_tab/cnt_tab i32[B*W*K], coverage/n_slots i32[B*W], overflow u8[B],
+// all initialized here. lo/hi/lead are the chunk's own [nw] arrays; rows
+// nw..B-1 stay empty.
+int np2_aggregate3(const int32_t* t_sorted, const int32_t* k_sorted,
+                   const int64_t* lo, const int64_t* hi, const int64_t* lead,
+                   int64_t nw, int64_t B, int64_t W, int64_t K,
+                   int64_t n_threads,
                    int32_t* key_tab, int32_t* cnt_tab,
                    int32_t* coverage, int32_t* n_slots, uint8_t* overflow) {
   std::fill(key_tab, key_tab + B * W * K, -1);
@@ -774,24 +565,26 @@ int np2_aggregate2(const int32_t* flat_win, const int32_t* flat_col,
   std::fill(coverage, coverage + B * W, 0);
   std::fill(n_slots, n_slots + B * W, 0);
   std::fill(overflow, overflow + B, 0);
+  if (nw > B) return -2;
 
-  int T = 4;
-  if (n < (int64_t)1 << 16) T = 1;
-  // split on window boundaries: thread t starts at the first entry of the
-  // first window >= its share
-  std::vector<int64_t> tb(T + 1, n);
-  tb[0] = 0;
-  for (int t = 1; t < T; t++) {
-    int64_t i = n / T * t;
-    int32_t wv = flat_win[i];
-    while (i > 0 && flat_win[i - 1] == wv) i--;
-    tb[t] = i;
+  int T = (int)(n_threads < 1 ? 1 : (n_threads > 16 ? 16 : n_threads));
+  int64_t total = 0;
+  for (int64_t w = 0; w < nw; w++) total += hi[w] - lo[w];
+  if (total < (int64_t)1 << 16) T = 1;
+  // split windows by entry mass
+  std::vector<int64_t> wb(T + 1, nw);
+  wb[0] = 0;
+  {
+    int64_t acc = 0, t = 1;
+    for (int64_t w = 0; w < nw && t < T; w++) {
+      acc += hi[w] - lo[w];
+      while (t < T && acc >= total / T * t) { wb[t] = w + 1; t++; }
+    }
   }
-  for (int t = 1; t < T; t++) if (tb[t] < tb[t - 1]) tb[t] = tb[t - 1];
+  for (int t = 1; t < T; t++) if (wb[t] < wb[t - 1]) wb[t] = wb[t - 1];
 
-  std::vector<int> err(T, 0);
   auto work = [&](int t) {
-    struct Seg { int64_t key, first, count, b3d; };
+    struct Seg { int64_t key, count, b3d; };
     std::vector<Seg> segs;
     segs.reserve(256);
     // open-address hash: key -> seg index, generation-tagged
@@ -801,47 +594,50 @@ int np2_aggregate2(const int32_t* flat_win, const int32_t* flat_col,
     uint32_t hgen[HN];
     memset(hgen, 0, sizeof(hgen));
     uint32_t gen = 0;
-    int64_t i = tb[t], end = tb[t + 1];
-    while (i < end) {
-      int32_t win = flat_win[i], col = flat_col[i];
-      int64_t wr = (int64_t)win - win0;
-      segs.clear();
-      gen++;
-      int64_t j = i;
-      for (; j < end && flat_win[j] == win && flat_col[j] == col; j++) {
-        int32_t k = flat_key[j];
-        uint32_t h = ((uint32_t)k * 2654435761u) >> (32 - HB);
-        for (;;) {
-          if (hgen[h] != gen) {
-            hgen[h] = gen;
-            hkey[h] = k;
-            hseg[h] = (int32_t)segs.size();
-            segs.push_back({(int64_t)(uint32_t)k, j, 1, b3d_of_key((int64_t)(uint32_t)k)});
-            break;
+    for (int64_t w = wb[t]; w < wb[t + 1]; w++) {
+      int64_t i = lo[w], end = hi[w];
+      int64_t ld = lead[w];
+      while (i < end) {
+        int32_t tp = t_sorted[i];
+        int64_t col = (int64_t)tp - ld;
+        segs.clear();
+        gen++;
+        int64_t j = i;
+        for (; j < end && t_sorted[j] == tp; j++) {
+          int32_t k = k_sorted[j];
+          uint32_t h = ((uint32_t)k * 2654435761u) >> (32 - HB);
+          for (;;) {
+            if (hgen[h] != gen) {
+              hgen[h] = gen;
+              hkey[h] = k;
+              hseg[h] = (int32_t)segs.size();
+              segs.push_back({(int64_t)(uint32_t)k, 1, b3d_of_key((int64_t)(uint32_t)k)});
+              break;
+            }
+            if (hkey[h] == k) { segs[hseg[h]].count++; break; }
+            h = (h + 1) & (HN - 1);
           }
-          if (hkey[h] == k) { segs[hseg[h]].count++; break; }
-          h = (h + 1) & (HN - 1);
         }
-      }
-      i = j;
-      if (wr < 0 || wr >= B) { err[t] = -2; return; }
-      if (col >= (int32_t)W) { overflow[wr] = 1; continue; }
-      std::stable_sort(segs.begin(), segs.end(),
-                       [](const Seg& a, const Seg& b) { return a.b3d < b.b3d; });
-      int64_t base = (wr * W + col) * K;
-      int64_t ns = 0, cov = 0;
-      for (size_t s = 0; s < segs.size(); s++) {
-        if (segs[s].b3d == 0) cov += segs[s].count;
-        if ((int64_t)s < K) {
-          key_tab[base + (int64_t)s] = (int32_t)segs[s].key;
-          cnt_tab[base + (int64_t)s] = (int32_t)segs[s].count;
-          ns++;
-        } else {
-          overflow[wr] = 1;
+        i = j;
+        if (col < 0) return;  // caller guarantees col >= 0; defensive
+        if (col >= W) { overflow[w] = 1; continue; }
+        std::stable_sort(segs.begin(), segs.end(),
+                         [](const Seg& a, const Seg& b) { return a.b3d < b.b3d; });
+        int64_t base = (w * W + col) * K;
+        int64_t ns = 0, cov = 0;
+        for (size_t s = 0; s < segs.size(); s++) {
+          if (segs[s].b3d == 0) cov += segs[s].count;
+          if ((int64_t)s < K) {
+            key_tab[base + (int64_t)s] = (int32_t)segs[s].key;
+            cnt_tab[base + (int64_t)s] = (int32_t)segs[s].count;
+            ns++;
+          } else {
+            overflow[w] = 1;
+          }
         }
+        coverage[w * W + col] = (int32_t)cov;
+        n_slots[w * W + col] = (int32_t)ns;
       }
-      coverage[wr * W + col] = (int32_t)cov;
-      n_slots[wr * W + col] = (int32_t)ns;
     }
   };
   if (T == 1) {
@@ -851,7 +647,33 @@ int np2_aggregate2(const int32_t* flat_win, const int32_t* flat_col,
     for (int t = 0; t < T; t++) threads.emplace_back(work, t);
     for (auto& th : threads) th.join();
   }
-  for (int t = 0; t < T; t++) if (err[t]) return err[t];
+  return 0;
+}
+
+// ---------- memory prefault ----------
+
+// Grow the process heap by `bytes` and fault it in with `threads` threads and
+// 2 MB THP pages, then free (the package-level mallopt keeps it mapped for
+// reuse). Pays the hypervisor's slow page provisioning once, up front, at the
+// best achievable rate instead of lazily at ~4 MB/s inside the pipeline.
+int np2_prefault(int64_t bytes, int64_t n_threads) {
+  if (bytes <= 0) return 0;
+  char* p = (char*)malloc((size_t)bytes);
+  if (!p) return -1;
+  madvise(p, (size_t)bytes, MADV_HUGEPAGE);
+  int T = (int)(n_threads < 1 ? 1 : (n_threads > 16 ? 16 : n_threads));
+  auto work = [&](int t) {
+    int64_t lo = bytes / T * t, hi = (t == T - 1) ? bytes : bytes / T * (t + 1);
+    for (int64_t i = lo; i < hi; i += 4096) ((volatile char*)p)[i] = 0;
+  };
+  if (T == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < T; t++) threads.emplace_back(work, t);
+    for (auto& th : threads) th.join();
+  }
+  free(p);
   return 0;
 }
 

@@ -4,6 +4,10 @@ Provides `extract_contig_native`, the fused BAM-decode + filter + CIGAR-expand +
 trim + 3-mer-stream path — the reference's htslib C layer plus its per-read host
 hot loops in one native pass. Falls back to the pure-Python path when the shared
 library is absent (`build()` compiles it with g++).
+
+Memory discipline (see np2native.cc header): extraction counts first and fills
+exact-size caller buffers directly; `prefault()` pre-provisions heap pages so
+the pipeline never faults fresh memory inside hot loops.
 """
 
 from __future__ import annotations
@@ -36,47 +40,15 @@ def load() -> Optional[ctypes.CDLL]:
     if not os.path.exists(_SO) and not build():
         return None
     lib = ctypes.CDLL(_SO)
-    lib.np2_extract_contig.restype = ctypes.c_int
-    lib.np2_extract_contig_h.restype = ctypes.c_int
     lib.np2_bam_refs.restype = ctypes.c_int
     lib.np2_open.restype = ctypes.c_void_p
-    lib.np2_aggregate.restype = ctypes.c_int
-    lib.np2_extract_begin.restype = ctypes.c_int
-    lib.np2_extract_fetch.restype = ctypes.c_int
+    lib.np2_extract_begin3.restype = ctypes.c_int
+    lib.np2_extract_fetch3.restype = ctypes.c_int
     lib.np2_sort_stream.restype = ctypes.c_int
-    lib.np2_window_stream.restype = ctypes.c_int
-    lib.np2_aggregate2.restype = ctypes.c_int
+    lib.np2_aggregate3.restype = ctypes.c_int
+    lib.np2_prefault.restype = ctypes.c_int
     _lib = lib
     return lib
-
-
-def aggregate_native(packed: np.ndarray, B: int, W: int, K: int):
-    """Native pileup aggregation (np2_aggregate): packed (win<<45|col<<32|key)
-    stream -> slot tables; None if the library is unavailable."""
-    lib = load()
-    if lib is None:
-        return None
-    packed = np.ascontiguousarray(packed, dtype=np.uint64)
-    key_tab = np.empty(B * W * K, dtype=np.int32)
-    cnt_tab = np.empty(B * W * K, dtype=np.int32)
-    coverage = np.empty(B * W, dtype=np.int32)
-    n_slots = np.empty(B * W, dtype=np.int32)
-    overflow = np.empty(B, dtype=np.uint8)
-    rc = lib.np2_aggregate(
-        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-        ctypes.c_int64(len(packed)), ctypes.c_int64(B), ctypes.c_int64(W),
-        ctypes.c_int64(K),
-        key_tab.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        cnt_tab.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        coverage.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        n_slots.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        overflow.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-    )
-    if rc != 0:
-        raise RuntimeError(f"np2_aggregate failed rc={rc}")
-    return (key_tab.reshape(B, W, K), cnt_tab.reshape(B, W, K),
-            coverage.reshape(B, W), n_slots.reshape(B, W),
-            overflow.astype(bool))
 
 
 _handles: dict = {}
@@ -103,6 +75,16 @@ def close_handles() -> None:
 
 def available() -> bool:
     return load() is not None
+
+
+def prefault(n_bytes: int, n_threads: int = 4) -> bool:
+    """Fault `n_bytes` of heap in up front (kept mapped by the package-level
+    mallopt); True if the native library did it."""
+    lib = load()
+    if lib is None or n_bytes <= 0:
+        return False
+    return lib.np2_prefault(ctypes.c_int64(n_bytes),
+                            ctypes.c_int64(n_threads)) == 0
 
 
 def bam_refs_native(bam_path: str) -> List[Tuple[str, int]]:
@@ -133,23 +115,23 @@ def _p(a: np.ndarray, ct):
 
 def extract_contig_native(bam_path: str, tid: int, tseq_codes: np.ndarray,
                           cfg, n_threads: int = 4) -> Optional[tuple]:
-    """Native per-contig extraction -> (t_pos, key, delta, read_start,
-    aln_bounds, clip_flags) flat arrays, or None if the library is unavailable.
+    """Native per-contig extraction -> (t_pos i32, key i32, read_start i64,
+    aln_bounds [nr,2] i64, clip_flags u8) flat arrays, or None if the library
+    is unavailable.
 
-    Size-query protocol: np2_extract_begin runs the (multi-threaded) extraction
-    once into handle staging and reports exact sizes; the fetch copies into
-    exact-size uninitialized buffers. (The round-1 guess-and-retry wrapper
-    re-ran the whole extraction on overflow and zeroed GB-scale buffers.)
-
-    Matches build_alignseqs + kmer_stream for the read alignments (the ref
-    pseudo-alignment alignseqs[0] is added by the caller)."""
+    Count-then-fill protocol: np2_extract_begin3 runs the filter+trim analysis
+    (multi-threaded) and reports exact sizes; np2_extract_fetch3 re-expands the
+    kept records and emits tag streams directly into these buffers — no native
+    staging copies (first-touch page faults are the scarce resource on the
+    target VMs). Matches build_alignseqs + kmer_stream for the read alignments
+    (the ref pseudo-alignment alignseqs[0] is added by the caller)."""
     lib = load()
     if lib is None:
         return None
     handle = _handle_for(bam_path)
     stream_n = ctypes.c_int64(0)
     reads_n = ctypes.c_int64(0)
-    rc = lib.np2_extract_begin(
+    rc = lib.np2_extract_begin3(
         ctypes.c_void_p(handle), ctypes.c_int32(tid),
         _p(tseq_codes, ctypes.c_uint8), ctypes.c_int64(len(tseq_codes)),
         ctypes.c_int64(cfg.min_map_qual), ctypes.c_int64(cfg.min_read_len),
@@ -161,24 +143,29 @@ def extract_contig_native(bam_path: str, tid: int, tseq_codes: np.ndarray,
         ctypes.c_int64(n_threads), ctypes.byref(stream_n), ctypes.byref(reads_n),
     )
     if rc != 0:
-        raise RuntimeError(f"np2_extract_begin failed rc={rc}")
+        raise RuntimeError(f"np2_extract_begin3 failed rc={rc}")
     ns, nr = stream_n.value, reads_n.value
-    t_pos = np.empty(ns, dtype=np.int64)
+    # Pre-provision the whole per-contig working set (stream buffers, sorted
+    # copies, numpy temporaries) in one threaded THP prefault: ~1-2 GB/s vs
+    # ~4-40 MB/s for lazy 4K first-touch faults on these VMs. Re-prefaulting
+    # already-mapped heap is nearly free, so this is called per contig.
+    per_entry = int(os.environ.get("NP2_PREFAULT_PER_ENTRY", "48"))
+    if ns and per_entry:
+        prefault(ns * per_entry, 8)
+    t_pos = np.empty(ns, dtype=np.int32)
     key = np.empty(ns, dtype=np.int32)
-    delta = np.empty(ns, dtype=np.int32)
-    read_start = np.empty(nr, dtype=np.int32)
+    read_start = np.empty(nr, dtype=np.int64)
     aln_bounds = np.empty(2 * nr, dtype=np.int64)
     clip_flags = np.empty(nr, dtype=np.uint8)
-    rc = lib.np2_extract_fetch(
+    rc = lib.np2_extract_fetch3(
         ctypes.c_void_p(handle),
-        _p(t_pos, ctypes.c_int64), _p(key, ctypes.c_int32),
-        _p(delta, ctypes.c_int32), _p(read_start, ctypes.c_int32),
-        _p(aln_bounds, ctypes.c_int64), _p(clip_flags, ctypes.c_uint8),
+        _p(t_pos, ctypes.c_int32), _p(key, ctypes.c_int32),
+        _p(read_start, ctypes.c_int64), _p(aln_bounds, ctypes.c_int64),
+        _p(clip_flags, ctypes.c_uint8), ctypes.c_int64(n_threads),
     )
     if rc != 0:
-        raise RuntimeError(f"np2_extract_fetch failed rc={rc}")
-    return (t_pos, key, delta, read_start, aln_bounds.reshape(nr, 2),
-            clip_flags)
+        raise RuntimeError(f"np2_extract_fetch3 failed rc={rc}")
+    return t_pos, key, read_start, aln_bounds.reshape(nr, 2), clip_flags
 
 
 def sort_stream_native(t_pos: np.ndarray, key: np.ndarray, rid: np.ndarray,
@@ -189,76 +176,53 @@ def sort_stream_native(t_pos: np.ndarray, key: np.ndarray, rid: np.ndarray,
     if lib is None:
         return None
     n = len(t_pos)
-    t_pos = np.ascontiguousarray(t_pos, dtype=np.int64)
+    t_pos = np.ascontiguousarray(t_pos, dtype=np.int32)
     key = np.ascontiguousarray(key, dtype=np.int32)
     rid = np.ascontiguousarray(rid, dtype=np.int32)
-    t_out = np.empty(n, dtype=np.int64)
+    t_out = np.empty(n, dtype=np.int32)
     k_out = np.empty(n, dtype=np.int32)
     rid_out = np.empty(n, dtype=np.int32)
     max_b1d = ctypes.c_int64(0)
     rc = lib.np2_sort_stream(
-        _p(t_pos, ctypes.c_int64), _p(key, ctypes.c_int32),
+        _p(t_pos, ctypes.c_int32), _p(key, ctypes.c_int32),
         _p(rid, ctypes.c_int32), ctypes.c_int64(n), ctypes.c_int64(n_pos),
-        _p(t_out, ctypes.c_int64), _p(k_out, ctypes.c_int32),
+        _p(t_out, ctypes.c_int32), _p(k_out, ctypes.c_int32),
         _p(rid_out, ctypes.c_int32), ctypes.byref(max_b1d))
     if rc != 0:
         raise RuntimeError(f"np2_sort_stream failed rc={rc}")
     return t_out, k_out, rid_out, max_b1d.value
 
 
-def window_stream_native(t_sorted: np.ndarray, k_sorted: np.ndarray,
-                         lo: np.ndarray, hi: np.ndarray, lead: np.ndarray,
-                         ) -> Optional[tuple]:
-    """Window-major flat (win, col, key) stream from the t-sorted stream."""
+def aggregate3_native(t_sorted: np.ndarray, k_sorted: np.ndarray,
+                      lo: np.ndarray, hi: np.ndarray, lead: np.ndarray,
+                      B: int, W: int, K: int, n_threads: int = 4):
+    """Native pileup aggregation for one device chunk, straight off the
+    t-sorted stream (np2_aggregate3); None if the library is unavailable.
+    lo/hi/lead are the chunk's own per-window arrays (len nw <= B)."""
     lib = load()
     if lib is None:
         return None
-    t_sorted = np.ascontiguousarray(t_sorted, dtype=np.int64)
+    t_sorted = np.ascontiguousarray(t_sorted, dtype=np.int32)
     k_sorted = np.ascontiguousarray(k_sorted, dtype=np.int32)
     lo = np.ascontiguousarray(lo, dtype=np.int64)
     hi = np.ascontiguousarray(hi, dtype=np.int64)
     lead = np.ascontiguousarray(lead, dtype=np.int64)
     nw = len(lo)
-    total = int(np.sum(hi - lo))
-    flat_win = np.empty(total, dtype=np.int32)
-    flat_col = np.empty(total, dtype=np.int32)
-    flat_key = np.empty(total, dtype=np.int32)
-    rc = lib.np2_window_stream(
-        _p(t_sorted, ctypes.c_int64), _p(k_sorted, ctypes.c_int32),
-        ctypes.c_int64(len(t_sorted)), _p(lo, ctypes.c_int64),
-        _p(hi, ctypes.c_int64), _p(lead, ctypes.c_int64), ctypes.c_int64(nw),
-        _p(flat_win, ctypes.c_int32), _p(flat_col, ctypes.c_int32),
-        _p(flat_key, ctypes.c_int32))
-    if rc != 0:
-        raise RuntimeError(f"np2_window_stream failed rc={rc}")
-    return flat_win, flat_col, flat_key
-
-
-def aggregate2_native(flat_win: np.ndarray, flat_col: np.ndarray,
-                      flat_key: np.ndarray, win0: int, B: int, W: int, K: int):
-    """No-sort native aggregation over the pre-grouped window-major stream
-    slice (np2_aggregate2); None if the library is unavailable."""
-    lib = load()
-    if lib is None:
-        return None
-    flat_win = np.ascontiguousarray(flat_win, dtype=np.int32)
-    flat_col = np.ascontiguousarray(flat_col, dtype=np.int32)
-    flat_key = np.ascontiguousarray(flat_key, dtype=np.int32)
     key_tab = np.empty(B * W * K, dtype=np.int32)
     cnt_tab = np.empty(B * W * K, dtype=np.int32)
     coverage = np.empty(B * W, dtype=np.int32)
     n_slots = np.empty(B * W, dtype=np.int32)
     overflow = np.empty(B, dtype=np.uint8)
-    rc = lib.np2_aggregate2(
-        _p(flat_win, ctypes.c_int32), _p(flat_col, ctypes.c_int32),
-        _p(flat_key, ctypes.c_int32), ctypes.c_int64(len(flat_win)),
-        ctypes.c_int64(win0), ctypes.c_int64(B), ctypes.c_int64(W),
-        ctypes.c_int64(K),
+    rc = lib.np2_aggregate3(
+        _p(t_sorted, ctypes.c_int32), _p(k_sorted, ctypes.c_int32),
+        _p(lo, ctypes.c_int64), _p(hi, ctypes.c_int64),
+        _p(lead, ctypes.c_int64), ctypes.c_int64(nw), ctypes.c_int64(B),
+        ctypes.c_int64(W), ctypes.c_int64(K), ctypes.c_int64(n_threads),
         _p(key_tab, ctypes.c_int32), _p(cnt_tab, ctypes.c_int32),
         _p(coverage, ctypes.c_int32), _p(n_slots, ctypes.c_int32),
         _p(overflow, ctypes.c_uint8))
     if rc != 0:
-        raise RuntimeError(f"np2_aggregate2 failed rc={rc}")
+        raise RuntimeError(f"np2_aggregate3 failed rc={rc}")
     return (key_tab.reshape(B, W, K), cnt_tab.reshape(B, W, K),
             coverage.reshape(B, W), n_slots.reshape(B, W),
             overflow.astype(bool))

@@ -56,14 +56,16 @@ def build_alignseqs_native(bam_path: str, tid: int, tseq: bytes,
                            cfg: PolishConfig) -> Optional[List[AlignTags]]:
     """Native fast path: fused BAM decode + filter + expand + trim + 3-mer
     streams (io/_native/np2native.cc); returns None if the library is missing.
-    Produces the same AlignTags as build_alignseqs, with kmer keys cached."""
+    Produces the same AlignTags as build_alignseqs, with kmer keys cached
+    (each AlignTags is a view into one contiguous contig stream; `delta`
+    derives lazily from t_pos)."""
     from ..io.native import extract_contig_native
 
     tseq_codes = ASCII2CODE[np.frombuffer(tseq, dtype=np.uint8)]
     res = extract_contig_native(bam_path, tid, tseq_codes, cfg)
     if res is None:
         return None
-    t_pos, key, delta, read_start, bounds, clips = res
+    t_pos, key, read_start, bounds, clips = res
     n = len(t_pos)
     q_base = (key & 0xF).astype(np.uint8)
 
@@ -73,7 +75,7 @@ def build_alignseqs_native(bam_path: str, tid: int, tseq: bytes,
         s, e = int(read_start[i]), int(ends[i])
         alignseqs.append(AlignTags(
             aln_t_s=int(bounds[i, 0]), aln_t_e=int(bounds[i, 1]),
-            t_pos=t_pos[s:e], delta=delta[s:e], q_base=q_base[s:e],
+            t_pos=t_pos[s:e], q_base=q_base[s:e],
             clip_label=bool(clips[i]), kkey=key[s:e]))
     filter_by_clip(alignseqs, cfg)
     return alignseqs
@@ -81,14 +83,19 @@ def build_alignseqs_native(bam_path: str, tid: int, tseq: bytes,
 
 def polish_contig(tseq: bytes, records: Sequence[BamRecord],
                   tables: Sequence[KmerTable],
-                  cfg: Optional[PolishConfig] = None) -> Consensus:
-    """Polish one contig; returns the consensus base list (pos, ascii base)."""
+                  cfg: Optional[PolishConfig] = None,
+                  alignseqs: Optional[List[AlignTags]] = None) -> Consensus:
+    """Polish one contig; returns the consensus base list (pos, ascii base).
+
+    alignseqs: optional prebuilt alignments (e.g. from the native ingest);
+    must be in pre-phasing state (only clip-filter drops applied)."""
     cfg = cfg or PolishConfig()
     if len(tseq) < cfg.min_ctg_len:
         return passthrough_consensus(tseq)
 
     tables = sorted(tables, key=lambda t: t.ksize)  # option.rs:238
-    alignseqs = build_alignseqs(tseq, records, cfg)
+    if alignseqs is None:
+        alignseqs = build_alignseqs(tseq, records, cfg)
 
     for i in range(cfg.iter_count):
         out_cns = i + 1 == cfg.iter_count

@@ -22,23 +22,48 @@ U32_MAX = 0xFFFFFFFF
 HEAD_QBASE = 15  # AlignBase::head marker (main.rs:41-47)
 
 
-@dataclass
 class AlignTags:
     """One alignment as a decoded tag stream (equivalent of AlignSeq).
 
     t_pos/delta/q_base arrays have one entry per post-shift alignment column
     (main.rs:314-338 get_align_tag); aln_t_s/aln_t_e as in AlignSeq::new
     (aln_t_e = last ref position covered, inclusive).
+
+    `delta` is derived lazily from t_pos when not supplied (the native ingest
+    hands out only (t_pos, key) to keep the hot stream at 8 bytes/entry):
+    delta[i] = i - (last index at which t_pos advanced).
     """
 
-    aln_t_s: int
-    aln_t_e: int
-    t_pos: np.ndarray
-    delta: np.ndarray
-    q_base: np.ndarray
-    clip_label: bool = False
-    dropped: bool = False  # align_bases cleared (clip filter / phasing)
-    kkey: Optional[np.ndarray] = None  # cached packed 3-mer keys (native path)
+    __slots__ = ("aln_t_s", "aln_t_e", "t_pos", "_delta", "q_base",
+                 "clip_label", "dropped", "kkey")
+
+    def __init__(self, aln_t_s: int, aln_t_e: int, t_pos: np.ndarray,
+                 delta: Optional[np.ndarray] = None,
+                 q_base: Optional[np.ndarray] = None,
+                 clip_label: bool = False, dropped: bool = False,
+                 kkey: Optional[np.ndarray] = None):
+        self.aln_t_s = aln_t_s
+        self.aln_t_e = aln_t_e
+        self.t_pos = t_pos
+        self._delta = delta
+        self.q_base = q_base
+        self.clip_label = clip_label
+        self.dropped = dropped  # align_bases cleared (clip filter / phasing)
+        self.kkey = kkey  # cached packed 3-mer keys (native path)
+
+    @property
+    def delta(self) -> np.ndarray:
+        if self._delta is None:
+            t = self.t_pos
+            n = len(t)
+            idx = np.arange(n, dtype=np.int64)
+            chg = np.empty(n, dtype=bool)
+            if n:
+                chg[0] = True
+                chg[1:] = t[1:] != t[:-1]
+            last = np.maximum.accumulate(np.where(chg, idx, 0)) if n else idx
+            self._delta = idx - last
+        return self._delta
 
     def __len__(self) -> int:
         return len(self.t_pos)

@@ -201,6 +201,7 @@ def polish_contig_tpu(tseq: bytes, records: Sequence[BamRecord],
     if alignseqs is None:
         alignseqs = build_alignseqs(tseq, records, cfg)
 
+    saved_drops = [a.dropped for a in alignseqs]
     try:
         stream_cache: dict = {}
         for i in range(cfg.iter_count):
@@ -236,4 +237,9 @@ def polish_contig_tpu(tseq: bytes, records: Sequence[BamRecord],
         if not fallback:
             raise
         from ..models.oracle import polish_contig
-        return polish_contig(tseq, records, tables, cfg)
+
+        # restart from the pre-phasing state (native mode has no records list,
+        # so the prebuilt alignseqs are handed to the oracle directly)
+        for a, d in zip(alignseqs, saved_drops):
+            a.dropped = d
+        return polish_contig(tseq, records, tables, cfg, alignseqs=alignseqs)

@@ -8,6 +8,12 @@ window-local DP + anchor-pinned boundary == whole-contig DP (additive scores).
 
 This windowing is the TPU-native replacement for one-thread-per-contig parallelism
 (SURVEY §2 'Intra-contig parallelism: none'): windows are the batched device unit.
+
+Data layout: ONE t-sorted (t_pos, key) stream per contig; windows are [lo, hi)
+ranges into it (adjacent windows overlap by their 3 shared columns). No
+window-major copy is ever materialized — on the target VMs fresh memory is the
+scarce resource (see np2native.cc header), so the planner is O(stream) with a
+single counting sort.
 """
 
 from __future__ import annotations
@@ -34,69 +40,97 @@ class WindowPlan:
 
 @dataclass
 class WindowBatch:
-    """Per-window kmer streams: flat (win, col, key) arrays + window metadata.
-
-    Flat layout avoids materializing [n_windows, T_max] padded copies on the
-    throttled host; the padded view (needed by the device-sort aggregation path)
-    is built lazily via `padded()`.
-    """
+    """Anchor-bounded windows as [lo, hi) ranges into the t-sorted stream."""
 
     plan: WindowPlan
     n_windows: int
     width: int                       # max columns per window (incl. 2 lead cols)
     stream_len: int                  # T: max per-window stream length
-    flat_win: np.ndarray             # int32 [N] window id per stream entry
-    flat_col: np.ndarray             # int32 [N] relative col (0 = window_start-2)
-    flat_key: np.ndarray             # int32 [N] packed kmer key
-    n_tags: np.ndarray               # int64 [n_windows]
-    window_start: np.ndarray         # int64 [n_windows] absolute start col
-    window_len: np.ndarray           # int32 [n_windows] = end - start + 1
-    anchor_key: np.ndarray           # int32 [n_windows] synthesized anchor kmer key
-    anchor_count: np.ndarray         # int32 [n_windows]
+    t_sorted: np.ndarray             # int32 [N] target positions, nondecreasing
+    k_sorted: np.ndarray             # int32 [N] packed kmer keys
+    lo: np.ndarray                   # int64 [nw] stream range per window
+    hi: np.ndarray                   # int64 [nw]
+    lead: np.ndarray                 # int64 [nw] = max(window_start - 2, 0)
+    window_start: np.ndarray         # int64 [nw] absolute start col
+    window_len: np.ndarray           # int32 [nw] = end - start + 1
+    anchor_key: np.ndarray           # int32 [nw] synthesized anchor kmer key
+    anchor_count: np.ndarray         # int32 [nw]
+
+    @property
+    def n_tags(self) -> np.ndarray:
+        return self.hi - self.lo
 
     def padded(self) -> tuple[np.ndarray, np.ndarray]:
         """[n_windows, T] (cols, keys) with pad col == width (device-agg path)."""
         nw, T = self.n_windows, self.stream_len
         cols = np.full((nw, T), self.width, dtype=np.int32)
         keys = np.zeros((nw, T), dtype=np.int32)
-        off = np.concatenate([[0], np.cumsum(self.n_tags)])
         for w in range(nw):
-            n = int(self.n_tags[w])
-            cols[w, :n] = self.flat_col[off[w] : off[w] + n]
-            keys[w, :n] = self.flat_key[off[w] : off[w] + n]
+            l, h = int(self.lo[w]), int(self.hi[w])
+            cols[w, : h - l] = self.t_sorted[l:h] - np.int32(self.lead[w])
+            keys[w, : h - l] = self.k_sorted[l:h]
         return cols, keys
 
     def window_stream(self, w: int) -> tuple[np.ndarray, np.ndarray]:
-        off = int(np.sum(self.n_tags[:w]))
-        n = int(self.n_tags[w])
-        return self.flat_col[off : off + n], self.flat_key[off : off + n]
+        l, h = int(self.lo[w]), int(self.hi[w])
+        cols = (self.t_sorted[l:h].astype(np.int64) - int(self.lead[w]))
+        return cols.astype(np.int32), self.k_sorted[l:h]
 
 
-def find_anchors(alignseqs: List[AlignTags], n_pos: int,
-                 ref_codes: np.ndarray) -> np.ndarray:
-    """Anchor mask: columns t where cols t-2..t are pure (all tags match ref with
-    delta 0, coverage >= 2) and no alignment starts at t-1 or t."""
-    startcnt = np.zeros(n_pos, dtype=np.int64)
-    t_parts = []
-    ok_parts = []
-    for a in alignseqs:
-        if a.dropped or len(a) == 0:
-            continue
-        t_parts.append(a.t_pos)
-        ok_parts.append((a.delta == 0) & (a.q_base == ref_codes[a.t_pos]))
-        startcnt[a.aln_t_s] += 1
-    if not t_parts:
-        return np.zeros(n_pos, dtype=bool)
-    t_all = np.concatenate(t_parts)
-    ok_all = np.concatenate(ok_parts)
+def find_anchors_stream(t_all: np.ndarray, k_all: np.ndarray,
+                        startcnt: np.ndarray, n_pos: int,
+                        ref_codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Anchor mask from the flat (t, key) stream (any order): columns t where
+    cols t-2..t are pure (every tag matches ref with delta 0, coverage >= 2)
+    and no alignment starts at t-1 or t. Returns (anchors, per-column count)."""
     colcnt = np.bincount(t_all, minlength=n_pos)
-    matchcnt = np.bincount(t_all[ok_all], minlength=n_pos)
+    # b3-delta == 0 iff flags bit0 is clear (the b3d>0 cases all set it), so the
+    # delta-0 test is a single bit test — no wide temporaries at 137M entries
+    k = k_all.view(np.uint32)
+    ok = (k & np.uint32(0x1000) == 0) & \
+        ((k & np.uint32(0xF)).astype(np.uint8) == ref_codes[t_all])
+    matchcnt = np.bincount(t_all[ok], minlength=n_pos)
     pure = (colcnt >= 2) & (matchcnt == colcnt)
     anchors = np.zeros(n_pos, dtype=bool)
     if n_pos >= 3:
         anchors[2:] = pure[2:] & pure[1:-1] & pure[:-2]
         anchors[2:] &= (startcnt[2:] == 0) & (startcnt[1:-1] == 0)
+    return anchors, colcnt
+
+
+def find_anchors(alignseqs: List[AlignTags], n_pos: int,
+                 ref_codes: np.ndarray) -> np.ndarray:
+    """Anchor mask from alignments (wrapper over find_anchors_stream)."""
+    t_all, k_all, _ = _collect_stream(alignseqs)
+    startcnt = _start_counts(alignseqs, n_pos)
+    if not len(t_all):
+        return np.zeros(n_pos, dtype=bool)
+    anchors, _ = find_anchors_stream(t_all, k_all, startcnt, n_pos, ref_codes)
     return anchors
+
+
+def _start_counts(alignseqs: List[AlignTags], n_pos: int) -> np.ndarray:
+    starts = [a.aln_t_s for a in alignseqs if not (a.dropped or len(a) == 0)]
+    return np.bincount(np.asarray(starts, dtype=np.int64), minlength=n_pos) \
+        if starts else np.zeros(n_pos, dtype=np.int64)
+
+
+def _collect_stream(alignseqs: List[AlignTags]
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Concatenate per-alignment (t, key) streams (+ rid) in alignment order."""
+    t_parts, k_parts, rid_parts = [], [], []
+    for rid, a in enumerate(alignseqs):
+        if a.dropped or len(a) == 0:
+            continue
+        t, k = kmer_stream(a, raw=True)
+        t_parts.append(t.astype(np.int32, copy=False))
+        k_parts.append(k)
+        rid_parts.append(np.full(len(t), rid, dtype=np.int32))
+    if not t_parts:
+        z = np.zeros(0, np.int32)
+        return z, z.copy(), z.copy()
+    return (np.concatenate(t_parts), np.concatenate(k_parts),
+            np.concatenate(rid_parts))
 
 
 def plan_windows(anchors: np.ndarray, n_pos: int, target: int = 1024) -> WindowPlan:
@@ -133,42 +167,43 @@ def aggregate_host(wb: "WindowBatch", K: int, width: int | None = None,
                    n_windows: int | None = None,
                    win_lo: int = 0, win_hi: int | None = None,
                    use_native: bool = True):
-    """Host (numpy) pileup aggregation: per-window (col, key) streams ->
+    """Host pileup aggregation: per-window (col, key) stream ranges ->
     [B, width, K] slot tables + coverage, in the reference's slot order
     (stable by (b3-delta, first occurrence); Msa::push + Msa::sort semantics).
 
     Same result as ops.consensus.aggregate_windows; exists because XLA's TPU sort
-    compile blows up for streams >~100k entries, while this is a single numpy
-    sort over the concatenated streams. Also the template for the future C++
-    pileup extractor. Returns (key_tab, cnt_tab, coverage, n_slots, overflow).
-
-    win_lo/win_hi select a window subrange (fixed-size device chunks); window w
-    maps to row w - win_lo.
-    """
+    compile blows up for streams >~100k entries. win_lo/win_hi select a window
+    subrange (fixed-size device chunks); window w maps to row w - win_lo.
+    Returns (key_tab, cnt_tab, coverage, n_slots, overflow)."""
     if win_hi is None:
         win_hi = wb.n_windows
     B = n_windows if n_windows is not None else (win_hi - win_lo)
     W = width if width is not None else wb.width
-    # flat arrays are window-major (build_window_batch concatenates in window
-    # order), so a chunk is a contiguous slice
-    lo = int(np.searchsorted(wb.flat_win, win_lo, side="left"))
-    hi = int(np.searchsorted(wb.flat_win, win_hi - 1, side="right"))
+    lo = wb.lo[win_lo:win_hi]
+    hi = wb.hi[win_lo:win_hi]
+    lead = wb.lead[win_lo:win_hi]
     if use_native:
-        from ..io.native import aggregate2_native
+        from ..io.native import aggregate3_native
 
-        # the flat stream is already grouped by (win, col) with in-column
-        # first-occurrence order, so no packing or sorting is needed
-        res = aggregate2_native(wb.flat_win[lo:hi], wb.flat_col[lo:hi],
-                                wb.flat_key[lo:hi], win_lo, B, W, K)
+        res = aggregate3_native(wb.t_sorted, wb.k_sorted, lo, hi, lead,
+                                B, W, K)
         if res is not None:
             return res
-    w_flat = wb.flat_win[lo:hi].astype(np.int64) - win_lo
-    c_flat = wb.flat_col[lo:hi].astype(np.int64)
-    k_flat = wb.flat_key[lo:hi].astype(np.int64) & 0xFFFFFFFF
+    # numpy fallback: materialize this chunk's flat (win, col, key) triples
+    nw = win_hi - win_lo
+    counts = (hi - lo).astype(np.int64)
+    idx = np.concatenate([np.arange(lo[w], hi[w]) for w in range(nw)]) if nw \
+        else np.zeros(0, dtype=np.int64)
+    w_flat = np.repeat(np.arange(nw, dtype=np.int64), counts)
+    c_flat = wb.t_sorted[idx].astype(np.int64) - lead[w_flat]
+    k_flat = wb.k_sorted[idx].astype(np.int64) & 0xFFFFFFFF
+    # out-of-tier columns only need the overflow flag; clamp so the 13-bit
+    # packed col field cannot overflow for pathologically wide windows
+    c_flat = np.minimum(c_flat, W)
     # pack (win, col, key): win<2^19, col<2^13, key<2^32
     packed = (w_flat << 45) | (c_flat << 32) | k_flat
-    uniq, first_idx, counts = np.unique(packed, return_index=True,
-                                        return_counts=True)
+    uniq, first_idx, counts_u = np.unique(packed, return_index=True,
+                                          return_counts=True)
     uw = uniq >> 45
     uc = (uniq >> 32) & 0x1FFF
     uk = uniq & 0xFFFFFFFF
@@ -177,7 +212,8 @@ def aggregate_host(wb: "WindowBatch", K: int, width: int | None = None,
     ub3d = np.where(uflag & 0b0101 == 0b0101, udelta + 2,
                     np.where(uflag & 1 == 1, 1, 0))
     order = np.lexsort((first_idx, ub3d, uc, uw))
-    uw, uc, uk, ub3d, counts = uw[order], uc[order], uk[order], ub3d[order], counts[order]
+    uw, uc, uk, ub3d = uw[order], uc[order], uk[order], ub3d[order]
+    counts_u = counts_u[order]
     # rank within (win, col)
     grp = (uw << 13) | uc
     new_grp = np.concatenate([[True], grp[1:] != grp[:-1]])
@@ -197,10 +233,10 @@ def aggregate_host(wb: "WindowBatch", K: int, width: int | None = None,
     key_tab = np.full((B, W, K), -1, dtype=np.int32)
     cnt_tab = np.zeros((B, W, K), dtype=np.int32)
     key_tab[kw, kc, kr] = uk[keep].astype(np.int32)
-    cnt_tab[kw, kc, kr] = counts[keep].astype(np.int32)
+    cnt_tab[kw, kc, kr] = counts_u[keep].astype(np.int32)
     coverage = np.zeros((B, W), dtype=np.int32)
     d0 = keep & (ub3d == 0)
-    np.add.at(coverage, (uw[d0], uc[d0]), counts[d0].astype(np.int32))
+    np.add.at(coverage, (uw[d0], uc[d0]), counts_u[d0].astype(np.int32))
     n_slots = np.zeros((B, W), dtype=np.int32)
     np.add.at(n_slots, (kw, kc), 1)
     return key_tab, cnt_tab, coverage, n_slots, overflow
@@ -209,54 +245,48 @@ def aggregate_host(wb: "WindowBatch", K: int, width: int | None = None,
 def build_window_batch(alignseqs: List[AlignTags], n_pos: int,
                        ref_codes: np.ndarray,
                        target: int = 1024,
-                       stream_cache: Optional[dict] = None) -> WindowBatch:
-    """Plan windows and extract padded per-window (col, key) streams.
+                       stream_cache: Optional[dict] = None,
+                       flat_stream: Optional[tuple] = None) -> WindowBatch:
+    """Plan windows over the t-sorted contig stream.
 
-    Window w's stream holds observations with t_pos in [start-2, end]; kmers at
+    Window w's range holds observations with t_pos in [start-2, end]; kmers at
     relative cols 0,1 (= start-2, start-1) exist only to be discarded on device,
     col 2 (= the anchor) is replaced by the synthesized anchor kmer.
 
     stream_cache: dict persisted across phasing iterations — the sorted global
     stream is computed once; later iterations mask out dropped reads' entries
     (stable-sorted order is preserved by filtering).
+    flat_stream: optional precollected (t_all i32, k_all i32, rid_all i32) in
+    alignment order (native ingest hands these straight through).
     """
-    anchors = find_anchors(alignseqs, n_pos, ref_codes)
-    plan = plan_windows(anchors, n_pos, target)
-    nw = len(plan.starts)
-
-    from ..io.native import sort_stream_native, window_stream_native
+    from ..io.native import sort_stream_native
+    from ..utils.timing import stage
 
     if stream_cache is not None and "t_sorted" in stream_cache:
-        drop = np.array([a.dropped or len(a) == 0 for a in alignseqs])
-        keep = ~drop[stream_cache["rid_sorted"]]
-        t_sorted = stream_cache["t_sorted"][keep]
-        k_sorted = stream_cache["k_sorted"][keep]
+        with stage("stream_filter_iter2"):
+            drop = np.array([a.dropped or len(a) == 0 for a in alignseqs])
+            keep = ~drop[stream_cache["rid_sorted"]]
+            t_sorted = stream_cache["t_sorted"][keep]
+            k_sorted = stream_cache["k_sorted"][keep]
     else:
-        # full streams once; windows slice them
-        t_all_parts = []
-        k_all_parts = []
-        rid_parts = []
-        for rid, a in enumerate(alignseqs):
-            if a.dropped or len(a) == 0:
-                continue
-            t, k = kmer_stream(a, raw=True)
-            t_all_parts.append(t)
-            k_all_parts.append(k)
-            rid_parts.append(np.full(len(t), rid, dtype=np.int32))
-        t_all = np.concatenate(t_all_parts) if t_all_parts else np.zeros(0, np.int64)
-        k_all = np.concatenate(k_all_parts) if k_all_parts else np.zeros(0, np.int32)
-        rid_all = np.concatenate(rid_parts) if rid_parts else np.zeros(0, np.int32)
-        sorted_res = sort_stream_native(t_all, k_all, rid_all, n_pos) \
-            if len(t_all) else None
-        if sorted_res is not None:
-            t_sorted, k_sorted, rid_sorted, max_b1d = sorted_res
-        else:
-            k64 = k_all.view(np.uint32).astype(np.uint64)
-            max_b1d = int((k64 >> np.uint64(16)).max()) if len(k64) else 0
-            order = np.argsort(t_all, kind="stable")  # stable: keeps per-col order
-            t_sorted = t_all[order]
-            k_sorted = k_all[order]
-            rid_sorted = rid_all[order]
+        with stage("stream_collect"):
+            if flat_stream is not None:
+                t_all, k_all, rid_all = flat_stream
+            else:
+                t_all, k_all, rid_all = _collect_stream(alignseqs)
+        with stage("stream_sort"):
+            sorted_res = sort_stream_native(t_all, k_all, rid_all, n_pos) \
+                if len(t_all) else None
+            if sorted_res is not None:
+                t_sorted, k_sorted, rid_sorted, max_b1d = sorted_res
+            else:
+                k64 = k_all.view(np.uint32).astype(np.uint64)
+                max_b1d = int((k64 >> np.uint64(16)).max()) if len(k64) else 0
+                order = np.argsort(t_all, kind="stable")  # keeps per-col order
+                t_sorted = t_all[order].astype(np.int32, copy=False)
+                k_sorted = k_all[order]
+                rid_sorted = rid_all[order]
+        del t_all, k_all, rid_all  # release the unsorted copies before anchors
         if max_b1d >= (1 << 14):
             # insertion runs >= 2^14 columns would overflow the i32 key packing;
             # absurd input — let the engine fall back to the oracle
@@ -266,31 +296,29 @@ def build_window_batch(alignseqs: List[AlignTags], n_pos: int,
             stream_cache["k_sorted"] = k_sorted
             stream_cache["rid_sorted"] = rid_sorted
 
+    with stage("find_anchors"):
+        startcnt = _start_counts(alignseqs, n_pos)
+        if len(t_sorted):
+            anchors, colcnt = find_anchors_stream(t_sorted, k_sorted, startcnt,
+                                                  n_pos, ref_codes)
+        else:
+            anchors = np.zeros(n_pos, dtype=bool)
+            colcnt = np.zeros(n_pos, dtype=np.int64)
+    with stage("plan_windows_greedy"):
+        plan = plan_windows(anchors, n_pos, target)
+    nw = len(plan.starts)
+
     starts = plan.starts
     ends = plan.ends
     lead = np.maximum(starts - 2, 0)
-    lo = np.searchsorted(t_sorted, lead)
-    hi = np.searchsorted(t_sorted, ends + 1)
-    counts = (hi - lo).astype(np.int64)
+    lo = np.searchsorted(t_sorted, lead.astype(np.int32)).astype(np.int64)
+    hi = np.searchsorted(t_sorted, (ends + 1).astype(np.int32)).astype(np.int64)
+    counts = hi - lo
     T = int(counts.max()) if nw else 0
     width = int((ends - starts).max()) + 3 if nw else 0  # +2 lead +1 inclusive
 
-    # flat (win, col, key) arrays; adjacent windows duplicate their 3 shared
-    # columns' entries (different relative cols), a negligible overhead
-    native_ws = window_stream_native(t_sorted, k_sorted, lo, hi, lead) if nw \
-        else None
-    if native_ws is not None:
-        flat_win, flat_col, flat_key = native_ws
-    else:
-        idx = np.concatenate([np.arange(lo[w], hi[w]) for w in range(nw)]) if nw \
-            else np.zeros(0, dtype=np.int64)
-        flat_win = np.repeat(np.arange(nw, dtype=np.int32), counts)
-        flat_col = (t_sorted[idx] - lead[flat_win]).astype(np.int32)
-        flat_key = k_sorted[idx].astype(np.int32)
-
     # anchor kmer: (ref[t-2], ref[t-1], ref[t]) with deltas 0 -> flags 0,
     # b1.delta 0; count = column coverage at the anchor
-    colcnt = np.bincount(t_sorted, minlength=n_pos)
     anchor_key = np.zeros(nw, dtype=np.int32)
     anchor_count = np.zeros(nw, dtype=np.int32)
     interior = starts > 0
@@ -302,8 +330,8 @@ def build_window_batch(alignseqs: List[AlignTags], n_pos: int,
     anchor_count[interior] = colcnt[sidx]
     return WindowBatch(
         plan=plan, n_windows=nw, width=width, stream_len=T,
-        flat_win=flat_win, flat_col=flat_col, flat_key=flat_key,
-        n_tags=counts,
+        t_sorted=t_sorted, k_sorted=k_sorted, lo=lo, hi=hi,
+        lead=lead.astype(np.int64),
         window_start=starts.astype(np.int64),
         window_len=(ends - starts + 1).astype(np.int32),
         anchor_key=anchor_key, anchor_count=anchor_count,

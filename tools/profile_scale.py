@@ -1,9 +1,10 @@
 #!/usr/bin/env python3
 """Profile the host-pipeline stages on the 4.6 Mb E. coli fixture.
 
-Times each stage independently (no device DP) to locate the superlinear host
-costs found in the round-1 scale run (plan_windows 4,950 s, ingest 1,046 s,
-aggregate 67 s/chunk). Run: python3 tools/profile_scale.py [n_chunks]
+Times each stage independently (no device DP) to locate host costs at Mb scale
+(round-1: plan_windows 4,950 s, ingest 1,046 s, aggregate 67 s/chunk; all were
+page-fault provisioning artifacts — see np2native.cc header).
+Run: python3 tools/profile_scale.py [n_chunks] [prefault_GB]
 """
 
 import os
@@ -25,20 +26,26 @@ def t(label, fn, *a, **kw):
 
 def main():
     n_chunks = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    prefault_gb = float(sys.argv[2]) if len(sys.argv) > 2 else 0.0
     from nextpolish2_tpu.config import PolishConfig
     from nextpolish2_tpu.io.fastx import read_fastx
     from nextpolish2_tpu.io import native
     from nextpolish2_tpu.models.oracle import build_alignseqs_native
-    from nextpolish2_tpu.pipeline.windows import (aggregate_host,
-                                                  build_window_batch,
-                                                  find_anchors, plan_windows)
+    from nextpolish2_tpu.pipeline.windows import aggregate_host, build_window_batch
     from nextpolish2_tpu.utils.seqcodes import ASCII2CODE
     from nextpolish2_tpu.utils.jaxcfg import bucket
+    from nextpolish2_tpu.utils import timing
+
+    timing.enable(True)
 
     base = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "testdata")
     bam = os.path.join(base, "ecoli.bam")
     cfg = PolishConfig(min_ctg_len=1000)
+
+    if prefault_gb:
+        t(f"prefault {prefault_gb} GB", native.prefault,
+          int(prefault_gb * (1 << 30)))
 
     name, tseq = t("read_fasta", lambda: next(read_fastx(
         os.path.join(base, "ecoli.fa"))))
@@ -46,22 +53,15 @@ def main():
     tseq_codes = ASCII2CODE[np.frombuffer(tseq, dtype=np.uint8)]
 
     t("np2_open (decompress+header)", native._handle_for, bam)
-    res = t("extract_contig_native (post-open)", native.extract_contig_native,
-            bam, 0, tseq_codes, cfg)
-    print(f"  stream entries: {len(res[0])}, reads: {len(res[3])}", flush=True)
     aligns = t("build_alignseqs_native (extract+numpy)",
                build_alignseqs_native, bam, 0, tseq, cfg)
     print(f"  alignseqs: {len(aligns)}", flush=True)
 
     ref_codes = tseq_codes
-    anchors = t("find_anchors", find_anchors, aligns, len(tseq), ref_codes)
-    plan = t("plan_windows(greedy split)", plan_windows, anchors, len(tseq),
-             cfg.window_len)
-    print(f"  windows: {len(plan.starts)}", flush=True)
-    wb = t("build_window_batch (total)", build_window_batch, aligns, len(tseq),
-           ref_codes, cfg.window_len)
+    wb = t("build_window_batch (anchors+plan+sort)", build_window_batch,
+           aligns, len(tseq), ref_codes, cfg.window_len)
     print(f"  n_windows={wb.n_windows} width={wb.width} "
-          f"stream={len(wb.flat_key)}", flush=True)
+          f"stream={len(wb.t_sorted)}", flush=True)
 
     K = cfg.max_kmers_per_col
     tiers = [bucket(cfg.window_len + 256, 128), bucket(2 * cfg.window_len + 512, 128)]
@@ -80,6 +80,7 @@ def main():
         t(f"aggregate LATE chunk [{late0}:{late0+CHUNK_B}]", aggregate_host,
           wb, K, width=width, n_windows=CHUNK_B, win_lo=late0,
           win_hi=min(late0 + CHUNK_B, wb.n_windows))
+    timing.report()
     return 0
 
 
