@@ -587,12 +587,16 @@ int np2_aggregate3(const int32_t* t_sorted, const int32_t* k_sorted,
     struct Seg { int64_t key, count, b3d; };
     std::vector<Seg> segs;
     segs.reserve(256);
-    // open-address hash: key -> seg index, generation-tagged
-    const int HB = 9, HN = 1 << HB;
-    int32_t hkey[HN];
-    int32_t hseg[HN];
-    uint32_t hgen[HN];
-    memset(hgen, 0, sizeof(hgen));
+    // open-address hash: key -> seg index, generation-tagged. CAP bounds the
+    // distinct keys per column: structural-variant pileups can carry
+    // thousands (7k slots seen on the bundled contig); past CAP the window is
+    // flagged overflow (-> exact host fallback, host_fallback.py) and the
+    // column scan skips ahead, keeping the probe loop terminating (load < 1).
+    const int HB = 13, HN = 1 << HB;
+    const int64_t CAP = HN / 2;
+    std::vector<int32_t> hkey(HN);
+    std::vector<int32_t> hseg(HN);
+    std::vector<uint32_t> hgen(HN, 0);
     uint32_t gen = 0;
     for (int64_t w = wb[t]; w < wb[t + 1]; w++) {
       int64_t i = lo[w], end = hi[w];
@@ -602,12 +606,14 @@ int np2_aggregate3(const int32_t* t_sorted, const int32_t* k_sorted,
         int64_t col = (int64_t)tp - ld;
         segs.clear();
         gen++;
+        bool full = false;
         int64_t j = i;
         for (; j < end && t_sorted[j] == tp; j++) {
           int32_t k = k_sorted[j];
           uint32_t h = ((uint32_t)k * 2654435761u) >> (32 - HB);
           for (;;) {
             if (hgen[h] != gen) {
+              if ((int64_t)segs.size() >= CAP) { full = true; break; }
               hgen[h] = gen;
               hkey[h] = k;
               hseg[h] = (int32_t)segs.size();
@@ -617,6 +623,13 @@ int np2_aggregate3(const int32_t* t_sorted, const int32_t* k_sorted,
             if (hkey[h] == k) { segs[hseg[h]].count++; break; }
             h = (h + 1) & (HN - 1);
           }
+          if (full) break;
+        }
+        if (full) {
+          overflow[w] = 1;
+          while (j < end && t_sorted[j] == tp) j++;
+          i = j;
+          continue;
         }
         i = j;
         if (col < 0) return;  // caller guarantees col >= 0; defensive

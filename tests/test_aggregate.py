@@ -66,3 +66,59 @@ def test_native_vs_numpy_aggregation():
         b = aggregate_host(wb, K, use_native=True)
         for x, y in zip(a, b):
             np.testing.assert_array_equal(x, y)
+
+
+def _fake_wb(t_sorted, k_sorted, lo, hi, lead):
+    from types import SimpleNamespace
+
+    return SimpleNamespace(t_sorted=np.asarray(t_sorted, dtype=np.int32),
+                           k_sorted=np.asarray(k_sorted, dtype=np.int32),
+                           lo=np.asarray(lo, dtype=np.int64),
+                           hi=np.asarray(hi, dtype=np.int64),
+                           lead=np.asarray(lead, dtype=np.int64),
+                           n_windows=len(lo))
+
+
+def test_native_aggregation_many_distinct_keys():
+    """Regression: a column with >512 distinct keys used to spin the native
+    open-addressing hash forever (structural-variant pileups carry thousands
+    of distinct 3-mers; seen on the bundled 100 kb contig)."""
+    from nextpolish2_tpu.io.native import available
+
+    if not available():
+        import pytest
+        pytest.skip("native library unavailable")
+    n_distinct = 700  # > the old 512-slot table, < the new CAP
+    # distinct insertion keys: flags 0b0101, increasing delta, varying base
+    keys = ((np.arange(n_distinct, dtype=np.int64) << 16)
+            | (0b0101 << 12) | (np.arange(n_distinct) % 4)).astype(np.int32)
+    # one hot column (t=5) + a few normal match columns around it
+    t_sorted = np.concatenate([np.full(4, 3), np.full(n_distinct, 5),
+                               np.full(4, 7)]).astype(np.int32)
+    k_sorted = np.concatenate([np.array([1, 1, 2, 2], dtype=np.int32), keys,
+                               np.array([3, 3, 3, 4], dtype=np.int32)])
+    wb = _fake_wb(t_sorted, k_sorted, [0], [len(t_sorted)], [0])
+    for K in (8, 64):
+        a = aggregate_host(wb, K, width=16, n_windows=1, use_native=False)
+        b = aggregate_host(wb, K, width=16, n_windows=1, use_native=True)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+        assert a[4][0]  # >K distinct keys in one column -> overflow window
+
+
+def test_native_aggregation_beyond_cap_terminates():
+    """>CAP distinct keys in one column: native must terminate and flag the
+    window overflow (the host fallback recomputes it exactly)."""
+    from nextpolish2_tpu.io.native import aggregate3_native, available
+
+    if not available():
+        import pytest
+        pytest.skip("native library unavailable")
+    n_distinct = 5000  # > CAP = 4096
+    keys = ((np.arange(n_distinct, dtype=np.int64) << 16)
+            | (0b0101 << 12)).astype(np.int32)
+    t_sorted = np.full(n_distinct, 2, dtype=np.int32)
+    res = aggregate3_native(t_sorted, keys, np.array([0], dtype=np.int64),
+                            np.array([n_distinct], dtype=np.int64),
+                            np.array([0], dtype=np.int64), B=1, W=8, K=16)
+    assert res is not None and bool(res[4][0])
