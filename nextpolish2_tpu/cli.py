@@ -63,6 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="compute engine: TPU windowed (default) or host oracle.")
     p.add_argument("--window-len", type=int, default=1024,
                    help="device window target length (columns).")
+    p.add_argument("--mesh", default="auto",
+                   help="device mesh 'WINxKMER' (e.g. 4x2), 'auto' (all "
+                        "devices on the win axis), or 'off' (single device).")
     p.add_argument("--resume", action="store_true",
                    help="append to an existing -o FILE, skipping contigs "
                         "already present (crash recovery).")
@@ -113,6 +116,15 @@ def main(argv=None) -> int:
 
     from .pipeline.orchestrator import PolishStats, completed_contigs, polish
     from .utils.resource import resource_str
+
+    if args.engine == "tpu" and args.mesh != "off":
+        from .parallel.mesh import auto_mesh, make_mesh, set_active_mesh
+
+        if args.mesh == "auto":
+            set_active_mesh(auto_mesh())
+        else:
+            n_win, n_kmer = (int(x) for x in args.mesh.lower().split("x"))
+            set_active_mesh(make_mesh(n_win=n_win, n_kmer=n_kmer))
 
     from .parallel.distributed import init_distributed
 

@@ -185,6 +185,7 @@ class KmerTable:
     # device-resident open-addressing table (ops/kmer_table.py)
     use_device: bool = False
     _device_tab = None
+    _sharded = None  # lazy (mesh, ShardedKmerTable, device arrays, jitted fns)
 
     def full_hashes(self) -> np.ndarray:
         """Reconstruct full hash values V from (bin, key) — exact for pre <= 10
@@ -210,6 +211,36 @@ class KmerTable:
                          jnp.asarray(q_slot), int(min_count))
         return np.asarray(out).astype(np.uint16)
 
+    def get_sharded(self, hashes: np.ndarray, min_count: int, mesh) -> np.ndarray:
+        """Batched lookup via the mesh-sharded table (parallel/sharded_kmer.py):
+        each device probes its hash-prefix shard, a psum combines the disjoint
+        hits. Built lazily per mesh; jitted lookup cached per min_count."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..parallel.mesh import kmer_sharding, replicated
+        from ..parallel.sharded_kmer import (ShardedKmerTable,
+                                             make_sharded_lookup)
+
+        if self._sharded is None or self._sharded[0] is not mesh:
+            tab = ShardedKmerTable.build(
+                self.full_hashes(), self.counts.astype(np.int64), self.ksize,
+                n_shards=int(mesh.shape["kmer"]))
+            sh = kmer_sharding(mesh)
+            arrs = tuple(jax.device_put(jnp.asarray(a), sh)
+                         for a in (tab.key_hi, tab.key_lo, tab.counts))
+            self._sharded = [mesh, tab, arrs, {}]
+        _, tab, (jhi, jlo, jct), fns = self._sharded
+        fn = fns.get(min_count)
+        if fn is None:
+            fn = make_sharded_lookup(mesh, axis="kmer", min_count=min_count)
+            fns[min_count] = fn
+        repl = replicated(mesh)
+        q = tuple(jax.device_put(jnp.asarray(a), repl)
+                  for a in tab.query_host_arrays(hashes))
+        out = fn(jhi, jlo, jct, *q)
+        return np.asarray(out).astype(np.uint16)
+
     def get(self, hashes: np.ndarray, min_count: int = 0) -> np.ndarray:
         """Vectorized lookup: hash V -> stored count, 0 if absent or count < min_count.
 
@@ -217,6 +248,14 @@ class KmerTable:
         with the get (kmer.rs:123-125): a present k-mer with count < min_count
         behaves as absent (count 0).
         """
+        if self.pre <= YAK_COUNTER_BITS and len(np.atleast_1d(hashes)) >= 256:
+            from ..parallel.mesh import axis_size, get_active_mesh
+
+            mesh = get_active_mesh()
+            if axis_size(mesh, "kmer") > 1:
+                return self.get_sharded(
+                    np.atleast_1d(np.asarray(hashes, dtype=_U64)), min_count,
+                    mesh)
         if (self.use_device and self.pre <= YAK_COUNTER_BITS
                 and len(np.atleast_1d(hashes)) >= 256):
             return self.get_device(np.atleast_1d(np.asarray(hashes, dtype=_U64)),

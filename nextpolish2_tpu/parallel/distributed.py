@@ -55,29 +55,47 @@ def init_distributed(coordinator: Optional[str] = None,
     return HostShard(process_id, num_processes)
 
 
-def merge_shards(out_path: str, n_hosts: int, contig_names: List[str]) -> None:
-    """Concatenate per-host shard files back into input contig order."""
-    from ..io.fastx import read_fastx
+def merge_shards(out_path: str, n_hosts: int, contig_names: List[str],
+                 out_pos: bool = False) -> None:
+    """Concatenate per-host shard files back into input contig order.
 
-    records = {}
+    out_pos: shards hold `tid\\tbase\\tpos` TSV lines (write_pos_records)
+    instead of FASTA. A missing shard or contig is an error — silently dropping
+    a host's output would corrupt the assembly."""
+    records: dict = {}
     for h in range(n_hosts):
         path = f"{out_path}.shard{h}"
         if not os.path.exists(path):
-            continue
+            raise FileNotFoundError(
+                f"merge_shards: missing shard {path} (host {h} incomplete?)")
         with open(path, "rb") as f:
             data = f.read()
-        # record boundaries: shard files are our own single-line FASTA
-        name = None
-        header = b""
-        for line in data.split(b"\n"):
-            if line.startswith(b">"):
-                name = line[1:].split()[0].decode()
-                header = line
-            elif name is not None and line:
-                records[name] = (header, line)
-                name = None
+        if out_pos:
+            # group consecutive TSV lines by tid (each contig is contiguous)
+            for line in data.split(b"\n"):
+                if not line:
+                    continue
+                name = line.split(b"\t", 1)[0].decode()
+                records.setdefault(name, []).append(line)
+        else:
+            # record boundaries: shard files are our own single-line FASTA
+            name = None
+            header = b""
+            for line in data.split(b"\n"):
+                if line.startswith(b">"):
+                    name = line[1:].split()[0].decode()
+                    header = line
+                elif name is not None and line:
+                    records[name] = (header, line)
+                    name = None
+    missing = [n for n in contig_names if n not in records]
+    if missing:
+        raise ValueError(f"merge_shards: {len(missing)} contigs absent from "
+                         f"shards (first: {missing[0]!r})")
     with open(out_path, "wb") as f:
         for name in contig_names:
-            if name in records:
+            if out_pos:
+                f.write(b"\n".join(records[name]) + b"\n")
+            else:
                 header, seq = records[name]
                 f.write(header + b"\n" + seq + b"\n")

@@ -40,3 +40,35 @@ def kmer_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+# ---- active mesh: opt-in multi-chip for the production engine ----
+# When set, pipeline/engine.py shards window chunks over 'win' and io/yak.py
+# routes batched k-mer lookups through the 'kmer'-sharded table.
+
+_active_mesh: Optional[Mesh] = None
+
+
+def set_active_mesh(mesh: Optional[Mesh]) -> None:
+    global _active_mesh
+    _active_mesh = mesh
+
+
+def get_active_mesh() -> Optional[Mesh]:
+    return _active_mesh
+
+
+def axis_size(mesh: Optional[Mesh], axis: str) -> int:
+    if mesh is None or axis not in mesh.axis_names:
+        return 1
+    return int(mesh.shape[axis])
+
+
+def auto_mesh(n_kmer: int = 1) -> Optional[Mesh]:
+    """Mesh over all visible devices (None if single-device)."""
+    n = len(jax.devices())
+    if n <= 1:
+        return None
+    if n % n_kmer:
+        n_kmer = 1
+    return make_mesh(n_win=n // n_kmer, n_kmer=n_kmer)

@@ -81,6 +81,25 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
     span_max = int(wb.width)
     width = tiers[0] if span_max <= tiers[0] else tiers[1]
 
+    # multi-chip: shard each chunk's batch dim over the mesh's 'win' axis
+    # (SURVEY §2 parallelism table; the DP/backtrack are per-window, so GSPMD
+    # splits them with no cross-device traffic until the host gather)
+    from ..parallel.mesh import axis_size, get_active_mesh
+
+    mesh = get_active_mesh()
+    n_win_axis = axis_size(mesh, "win")
+    if mesh is not None and n_win_axis > 1 and CHUNK_B % n_win_axis == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        _win_sharding = NamedSharding(mesh, P("win"))
+
+        def jput(x):
+            import jax as _jax
+
+            return _jax.device_put(jnp.asarray(x), _win_sharding)
+    else:
+        jput = jnp.asarray
+
     lead_all = np.maximum(wb.window_start - 2, 0)
     seed_all = wb.window_start > 0
     last_all = (wb.window_start + wb.window_len - 1 - lead_all).astype(np.int32)
@@ -105,21 +124,21 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
         last_col[:n] = last_all[c0:c1]
 
         tables = SlotTables(
-            key=jnp.asarray(key_tab), count=jnp.asarray(cnt_tab),
-            coverage=jnp.asarray(coverage), n_slots=jnp.asarray(n_slots),
-            overflow=jnp.asarray(overflow))
+            key=jput(key_tab), count=jput(cnt_tab),
+            coverage=jput(coverage), n_slots=jput(n_slots),
+            overflow=jput(overflow))
         if _use_pallas():
             from ..ops.consensus_pallas import consensus_dp_pallas
 
             scores, besti, lvl_over = consensus_dp_pallas(
                 tables.key, tables.count, tables.coverage,
-                jnp.asarray(lead), jnp.asarray(seed))
+                jput(lead), jput(seed))
             besti = besti.astype(jnp.int8)
         else:
-            scores, besti, lvl_over = consensus_dp(tables, jnp.asarray(lead),
-                                                   jnp.asarray(seed))
-        out = backtrack(tables, scores, besti, jnp.asarray(last_col),
-                        jnp.asarray(seed), max_steps)
+            scores, besti, lvl_over = consensus_dp(tables, jput(lead),
+                                                   jput(seed))
+        out = backtrack(tables, scores, besti, jput(last_col),
+                        jput(seed), max_steps)
         # ONE device->host transfer per chunk (tunnel round trips are costly)
         with stage("device_dp_backtrack"):
             (cols_r, base_r, cnt_r, cov_r, ok_r, best_sc, _n_steps,
