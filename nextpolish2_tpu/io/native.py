@@ -33,12 +33,21 @@ def build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    src = os.path.join(_DIR, "np2native.cc")
+    try:
+        return os.path.getmtime(src) > os.path.getmtime(_SO)
+    except OSError:
+        return False
+
+
 def load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO) and not build():
-        return None
+    if (not os.path.exists(_SO) or _stale()) and not build():
+        if not os.path.exists(_SO):
+            return None
     lib = ctypes.CDLL(_SO)
     lib.np2_bam_refs.restype = ctypes.c_int
     lib.np2_open.restype = ctypes.c_void_p
