@@ -1,0 +1,340 @@
+"""Cross-contig device batching: pack window chunks from many contigs into
+full 128-lane DP batches.
+
+The reference balances small contigs with a contig-per-thread worker pool
+(main.rs:1717-1843); here the device batch IS the parallel unit, so a
+many-small-contig assembly (yeast/fly-scale) would underfill the fixed
+128-window device tiles if each contig dispatched its own chunks. This module
+is the TPU-native replacement: contig threads `submit()` window ranges as
+*aggregation closures*; a single worker thread packs pending lanes (per width
+tier) into full batches, runs the host pileup aggregation for exactly the
+lanes it packs (small internal pool — the native aggregator releases the GIL),
+and dispatches one DP+backtrack per batch. Per-window results flow back
+through futures.
+
+Exactness is free: every DP/backtrack lane is independent of its batch mates
+(ops/consensus.py), so packing order cannot change any window's output —
+tests/test_batcher.py byte-compares batched vs unbatched polish.
+
+A 2-stage software pipeline (aggregate batch i+1 while the device runs batch
+i) also overlaps host prep with device time even for a single contig.
+"""
+
+from __future__ import annotations
+
+import threading
+from concurrent.futures import Future, ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+# one dispatched batch is LANE_B windows (the same compiled DP shapes as the
+# per-contig path, engine.py); a tail flush of <= LANE_SMALL lanes reuses the
+# small tier so the padding waste stays bounded
+LANE_B = 128
+LANE_SMALL = 16
+
+
+@dataclass
+class _Request:
+    """One contig's window range: aggregation deferred until packing."""
+    n: int
+    aggregate: Callable[[], tuple]  # -> (key_tab, cnt_tab, coverage, n_slots,
+    #                                    overflow) with leading dim == n
+    lead: np.ndarray  # [n] int64
+    seed: np.ndarray  # [n] bool
+    last: np.ndarray  # [n] int32
+    future: Future = field(default_factory=Future)
+    # filled by the worker: per-lane outputs, assembled across batches
+    _parts: List[Tuple[int, tuple]] = field(default_factory=list)
+    _done_rows: int = 0
+
+
+class BatchStats:
+    def __init__(self) -> None:
+        self.batches = 0
+        self.lanes_dispatched = 0
+        self.lanes_real = 0
+
+    @property
+    def fill(self) -> float:
+        return self.lanes_real / max(1, self.lanes_dispatched)
+
+
+class DeviceBatcher:
+    """Packs window-range submissions into full fixed-shape device batches.
+
+    One instance per polish() run; `submit` is thread-safe. Close with
+    `shutdown()` (flushes nothing — callers must have resolved their futures).
+    """
+
+    def __init__(self, jput=None, agg_threads: int = 1,
+                 idle_flush_s: float = 0.05):
+        # agg_threads=1: the native aggregator is internally multithreaded
+        self._lock = threading.Lock()
+        self._wake = threading.Condition(self._lock)
+        # per width tier: list of (request, row_offset) cursors
+        self._queues: Dict[int, List[Tuple[_Request, int]]] = {}
+        self._stop = False
+        self._idle_flush_s = idle_flush_s
+        self._jput = jput
+        self.stats = BatchStats()
+        self._agg_pool = ThreadPoolExecutor(max_workers=agg_threads,
+                                            thread_name_prefix="np2agg")
+        self._worker = threading.Thread(target=self._run, name="np2batcher",
+                                        daemon=True)
+        self._error: Optional[BaseException] = None
+        self._worker.start()
+
+    # ---- producer side -------------------------------------------------
+    def submit(self, width: int, n: int, aggregate: Callable[[], tuple],
+               lead: np.ndarray, seed: np.ndarray, last: np.ndarray) -> Future:
+        """Queue `n` windows for the `width` tier. `aggregate()` must return
+        unpadded [n, ...] slot tables. Returns a Future resolving to a list of
+        n per-window tuples (cols_r, base_r, cnt_r, cov_r, ok_r, best_sc,
+        truncated, lvl_over, overflow)."""
+        req = _Request(n=n, aggregate=aggregate, lead=np.asarray(lead),
+                       seed=np.asarray(seed), last=np.asarray(last))
+        with self._wake:
+            if self._error is not None:
+                raise RuntimeError("batcher worker died") from self._error
+            self._queues.setdefault(int(width), []).append((req, 0))
+            self._wake.notify()
+        return req.future
+
+    def shutdown(self) -> None:
+        with self._wake:
+            self._stop = True
+            self._wake.notify()
+        self._worker.join(timeout=60)
+        self._agg_pool.shutdown(wait=False)
+
+    # ---- worker side ---------------------------------------------------
+    def _take_batch(self, allow_partial: bool) -> Optional[tuple]:
+        """Pop up to LANE_B lanes from the fullest tier (must hold lock)."""
+        best_w, best_lanes = None, 0
+        for w, q in self._queues.items():
+            lanes = sum(r.n - off for r, off in q)
+            if lanes > best_lanes:
+                best_w, best_lanes = w, lanes
+        if best_w is None or (best_lanes < LANE_B and not allow_partial):
+            return None
+        take: List[Tuple[_Request, int, int]] = []  # (req, row_lo, row_hi)
+        room = LANE_B
+        q = self._queues[best_w]
+        while q and room:
+            req, off = q[0]
+            m = min(req.n - off, room)
+            take.append((req, off, off + m))
+            room -= m
+            if off + m == req.n:
+                q.pop(0)
+            else:
+                q[0] = (req, off + m)
+        if not q:
+            del self._queues[best_w]
+        return best_w, take
+
+    def _aggregate(self, width: int,
+                   take: List[Tuple[_Request, int, int]]) -> tuple:
+        """Build the padded [LANE_B, ...] batch arrays for `take`."""
+        # aggregate whole requests once; slice rows after (requests are small)
+        uniq: Dict[int, Future] = {}
+        for req, lo, hi in take:
+            if id(req) not in uniq:
+                uniq[id(req)] = self._agg_pool.submit(req.aggregate)
+        aggs = {k: f.result() for k, f in uniq.items()}
+        first = aggs[id(take[0][0])]
+        K = first[0].shape[2]
+        lanes = sum(hi - lo for _, lo, hi in take)
+        B = LANE_SMALL if lanes <= LANE_SMALL else LANE_B
+        key_tab = np.full((B, width, K), -1, dtype=np.int32)
+        cnt_tab = np.zeros((B, width, K), dtype=np.int32)
+        coverage = np.zeros((B, width), dtype=np.int32)
+        n_slots = np.zeros((B, width), dtype=np.int32)
+        overflow = np.zeros(B, dtype=bool)
+        lead = np.zeros(B, dtype=np.int64)
+        seed = np.zeros(B, dtype=bool)
+        last = np.zeros(B, dtype=np.int32)
+        row = 0
+        for req, lo, hi in take:
+            kt, ct, cv, ns, ov = aggs[id(req)]
+            m = hi - lo
+            key_tab[row:row + m] = kt[lo:hi]
+            cnt_tab[row:row + m] = ct[lo:hi]
+            coverage[row:row + m] = cv[lo:hi]
+            n_slots[row:row + m] = ns[lo:hi]
+            overflow[row:row + m] = ov[lo:hi]
+            lead[row:row + m] = req.lead[lo:hi]
+            seed[row:row + m] = req.seed[lo:hi]
+            last[row:row + m] = req.last[lo:hi]
+            row += m
+        return (key_tab, cnt_tab, coverage, n_slots, overflow,
+                lead, seed, last, row)
+
+    def _resolve(self, take, batch, dev) -> None:
+        try:
+            self._resolve_inner(take, batch, self._device_get(dev))
+        except BaseException as e:
+            for req, _, _ in take:
+                if not req.future.done():
+                    req.future.set_exception(e)
+            raise
+
+    def _resolve_inner(self, take, batch, host_out) -> None:
+        (cols_r, base_r, cnt_r, cov_r, ok_r, best_sc,
+         truncated, lvl_over) = host_out
+        overflow = batch[4]
+        row = 0
+        for req, lo, hi in take:
+            m = hi - lo
+            rows = []
+            for i in range(m):
+                r = row + i
+                rows.append((lo + i, (cols_r[r], base_r[r], cnt_r[r],
+                                      cov_r[r], ok_r[r], int(best_sc[r]),
+                                      bool(truncated[r]), bool(lvl_over[r]),
+                                      bool(overflow[r]))))
+            row += m
+            with self._lock:
+                req._parts.extend(rows)
+                req._done_rows += m
+                done = req._done_rows == req.n
+            if done:
+                out = [None] * req.n
+                for idx, tup in req._parts:
+                    out[idx] = tup
+                req.future.set_result(out)
+
+    def _pending_lanes(self) -> int:
+        return sum(r.n - off for q in self._queues.values() for r, off in q)
+
+    def _run(self) -> None:
+        inflight = None  # (take, batch, pending device out)
+        try:
+            while True:
+                with self._wake:
+                    while True:
+                        if self._stop and not self._queues and inflight is None:
+                            return
+                        got = self._take_batch(allow_partial=False)
+                        if got is not None:
+                            break
+                        if self._queues and (inflight is None or self._stop):
+                            # underfull tier and idle device: flush a partial
+                            # batch only if nothing new arrives during a short
+                            # grace (a wake re-evaluates for a full batch)
+                            before = self._pending_lanes()
+                            self._wake.wait(timeout=self._idle_flush_s)
+                            if self._pending_lanes() == before:
+                                got = self._take_batch(allow_partial=True)
+                                if got is not None:
+                                    break
+                            continue
+                        if inflight is not None:
+                            break  # drain the device while producers think
+                        self._wake.wait(timeout=0.5)
+                if got is None:  # drain inflight, then loop back to waiting
+                    take, batch, dev = inflight
+                    inflight = None
+                    self._resolve(take, batch, dev)
+                    continue
+                width, take = got
+                try:
+                    batch = self._aggregate(width, take)
+                    dev = self._dispatch(width, batch)
+                except BaseException as e:
+                    for req, _, _ in take:  # fail just this batch's owners
+                        if not req.future.done():
+                            req.future.set_exception(e)
+                    raise
+                self.stats.batches += 1
+                self.stats.lanes_dispatched += len(batch[4])  # padded B
+                self.stats.lanes_real += batch[8]
+                if inflight is not None:
+                    ptake, pbatch, pdev = inflight
+                    inflight = None
+                    self._resolve(ptake, pbatch, pdev)
+                inflight = (take, batch, dev)
+        except BaseException as e:  # propagate to all waiting producers
+            with self._lock:
+                self._error = e
+                reqs = {id(r): r for q in self._queues.values()
+                        for r, _ in q}
+                self._queues.clear()
+            if inflight is not None:
+                for req, _, _ in inflight[0]:
+                    reqs[id(req)] = req
+            for r in reqs.values():
+                if not r.future.done():
+                    r.future.set_exception(e)
+
+    # ---- device dispatch (same jitted callables as engine.py) ----------
+    def _dispatch(self, width: int, batch) -> tuple:
+        import jax.numpy as jnp
+
+        from ..ops.consensus import SlotTables, backtrack, consensus_dp
+        from .engine import _use_pallas
+
+        (key_tab, cnt_tab, coverage, n_slots, overflow,
+         lead, seed, last, _row) = batch
+        jput = self._jput
+        if jput is None:
+            # same multi-chip policy as engine.py: shard the batch dim over
+            # the active mesh's 'win' axis when one is set
+            from ..parallel.mesh import axis_size, get_active_mesh
+
+            mesh = get_active_mesh()
+            n_win = axis_size(mesh, "win")
+            if mesh is not None and n_win > 1 and len(overflow) % n_win == 0:
+                import jax
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                sh = NamedSharding(mesh, P("win"))
+                jput = lambda x: jax.device_put(jnp.asarray(x), sh)  # noqa: E731
+            else:
+                jput = jnp.asarray
+        tables = SlotTables(key=jput(key_tab), count=jput(cnt_tab),
+                            coverage=jput(coverage), n_slots=jput(n_slots),
+                            overflow=jput(overflow))
+        if _use_pallas():
+            from ..ops.consensus_pallas import consensus_dp_pallas
+
+            scores, besti, lvl_over = consensus_dp_pallas(
+                tables.key, tables.count, tables.coverage,
+                jput(lead), jput(seed))
+            besti = besti.astype(jnp.int8)
+        else:
+            scores, besti, lvl_over = consensus_dp(tables, jput(lead),
+                                                   jput(seed))
+        max_steps = int(width + 128)
+        out = backtrack(tables, scores, besti, jput(last), jput(seed),
+                        max_steps)
+        return out, lvl_over
+
+    def _device_get(self, dev) -> tuple:
+        import jax
+
+        from ..utils.timing import stage
+
+        out, lvl_over = dev
+        with stage("device_dp_backtrack"):
+            (cols_r, base_r, cnt_r, cov_r, ok_r, best_sc, _n_steps,
+             truncated), lvl_over = jax.device_get((out, lvl_over))
+        return (cols_r, base_r, cnt_r, cov_r, ok_r, best_sc, truncated,
+                lvl_over)
+
+
+# ---- active batcher (same opt-in pattern as parallel.mesh.set_active_mesh) --
+
+_active: Optional[DeviceBatcher] = None
+
+
+def set_active_batcher(b: Optional[DeviceBatcher]) -> None:
+    global _active
+    _active = b
+
+
+def get_active_batcher() -> Optional[DeviceBatcher]:
+    return _active

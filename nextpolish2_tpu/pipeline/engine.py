@@ -109,55 +109,91 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
 
     host_results = {}
     best_all = np.zeros(nw, dtype=np.int64)
-    chunk_out = []  # (c0, cols_r, base_r, cnt_r, cov_r, ok_r)
-    for c0 in range(0, nw, CHUNK_B):
-        c1 = min(c0 + CHUNK_B, nw)
-        n = c1 - c0
-        with stage("aggregate_pileup"):
-            key_tab, cnt_tab, coverage, n_slots, overflow = aggregate_host(
-                wb, K, width=width, n_windows=CHUNK_B, win_lo=c0, win_hi=c1)
-        lead = np.zeros(CHUNK_B, dtype=np.int64)
-        lead[:n] = lead_all[c0:c1]
-        seed = np.zeros(CHUNK_B, dtype=bool)
-        seed[:n] = seed_all[c0:c1]
-        last_col = np.zeros(CHUNK_B, dtype=np.int32)
-        last_col[:n] = last_all[c0:c1]
+    # per-window device rows: win_rows[w] = (cols_r, base_r, cnt_r, cov_r, ok_r)
+    win_rows: List[Optional[tuple]] = [None] * nw
 
-        tables = SlotTables(
-            key=jput(key_tab), count=jput(cnt_tab),
-            coverage=jput(coverage), n_slots=jput(n_slots),
-            overflow=jput(overflow))
-        if _use_pallas():
-            from ..ops.consensus_pallas import consensus_dp_pallas
-
-            scores, besti, lvl_over = consensus_dp_pallas(
-                tables.key, tables.count, tables.coverage,
-                jput(lead), jput(seed))
-            besti = besti.astype(jnp.int8)
-        else:
-            scores, besti, lvl_over = consensus_dp(tables, jput(lead),
-                                                   jput(seed))
-        out = backtrack(tables, scores, besti, jput(last_col),
-                        jput(seed), max_steps)
-        # ONE device->host transfer per chunk (tunnel round trips are costly)
-        with stage("device_dp_backtrack"):
-            (cols_r, base_r, cnt_r, cov_r, ok_r, best_sc, _n_steps,
-             truncated), lvl_over = jax.device_get((out, lvl_over))
-        best_all[c0:c1] = best_sc[:n].astype(np.int64)
-        chunk_out.append((c0, cols_r, base_r, cnt_r, cov_r, ok_r))
+    def run_host_fallback(w: int) -> None:
         # windows exceeding device static bounds re-run on the host with
         # identical semantics and no caps (pathological pileup columns or
         # anchor-poor stretches; see host_fallback.py)
-        needs_host = overflow[:n] | lvl_over[:n] | truncated[:n]
-        for wl in np.nonzero(needs_host)[0]:
-            w = c0 + int(wl)
-            with stage("host_fallback"):
-                hcols, hkeys = wb.window_stream(w)
-                hcol, hq3, hcnt, hcov, hbest = host_window_dp(
-                    hcols, hkeys, wb.width,
-                    int(lead_all[w]), int(last_all[w]), bool(seed_all[w]))
-            host_results[w] = (hcol, hq3, hcnt, hcov)
-            best_all[w] = hbest
+        with stage("host_fallback"):
+            hcols, hkeys = wb.window_stream(w)
+            hcol, hq3, hcnt, hcov, hbest = host_window_dp(
+                hcols, hkeys, wb.width,
+                int(lead_all[w]), int(last_all[w]), bool(seed_all[w]))
+        host_results[w] = (hcol, hq3, hcnt, hcov)
+        best_all[w] = hbest
+
+    from .batcher import get_active_batcher
+
+    batcher = get_active_batcher()
+    if batcher is not None:
+        # cross-contig batching: hand window ranges (aggregation deferred) to
+        # the shared DeviceBatcher, which packs full 128-lane batches across
+        # concurrently-polished contigs (pipeline/batcher.py)
+        SUB = 32
+        futs = []
+        for c0 in range(0, nw, SUB):
+            c1 = min(c0 + SUB, nw)
+
+            def agg(c0=c0, c1=c1):
+                with stage("aggregate_pileup"):
+                    return aggregate_host(wb, K, width=width, n_windows=c1 - c0,
+                                          win_lo=c0, win_hi=c1)
+
+            futs.append((c0, batcher.submit(
+                width, c1 - c0, agg, lead_all[c0:c1], seed_all[c0:c1],
+                last_all[c0:c1])))
+        for c0, fut in futs:
+            for i, (cols_r, base_r, cnt_r, cov_r, ok_r, best_sc, truncated,
+                    lvl_over, overflow) in enumerate(fut.result()):
+                w = c0 + i
+                win_rows[w] = (cols_r, base_r, cnt_r, cov_r, ok_r)
+                best_all[w] = best_sc
+                if overflow or lvl_over or truncated:
+                    run_host_fallback(w)
+    else:
+        for c0 in range(0, nw, CHUNK_B):
+            c1 = min(c0 + CHUNK_B, nw)
+            n = c1 - c0
+            with stage("aggregate_pileup"):
+                key_tab, cnt_tab, coverage, n_slots, overflow = aggregate_host(
+                    wb, K, width=width, n_windows=CHUNK_B, win_lo=c0, win_hi=c1)
+            lead = np.zeros(CHUNK_B, dtype=np.int64)
+            lead[:n] = lead_all[c0:c1]
+            seed = np.zeros(CHUNK_B, dtype=bool)
+            seed[:n] = seed_all[c0:c1]
+            last_col = np.zeros(CHUNK_B, dtype=np.int32)
+            last_col[:n] = last_all[c0:c1]
+
+            tables = SlotTables(
+                key=jput(key_tab), count=jput(cnt_tab),
+                coverage=jput(coverage), n_slots=jput(n_slots),
+                overflow=jput(overflow))
+            if _use_pallas():
+                from ..ops.consensus_pallas import consensus_dp_pallas
+
+                scores, besti, lvl_over = consensus_dp_pallas(
+                    tables.key, tables.count, tables.coverage,
+                    jput(lead), jput(seed))
+                besti = besti.astype(jnp.int8)
+            else:
+                scores, besti, lvl_over = consensus_dp(tables, jput(lead),
+                                                       jput(seed))
+            out = backtrack(tables, scores, besti, jput(last_col),
+                            jput(seed), max_steps)
+            # ONE device->host transfer per chunk (tunnel round trips cost)
+            with stage("device_dp_backtrack"):
+                (cols_r, base_r, cnt_r, cov_r, ok_r, best_sc, _n_steps,
+                 truncated), lvl_over = jax.device_get((out, lvl_over))
+            best_all[c0:c1] = best_sc[:n].astype(np.int64)
+            needs_host = overflow[:n] | lvl_over[:n] | truncated[:n]
+            for wl in range(n):
+                w = c0 + wl
+                win_rows[w] = (cols_r[wl], base_r[wl], cnt_r[wl], cov_r[wl],
+                               ok_r[wl])
+                if needs_host[wl]:
+                    run_host_fallback(w)
 
     # whole-contig default-kmer check (main.rs:1651): window-local maxima are
     # partial sums from each anchor, so their sum is the true global best score
@@ -166,9 +202,6 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
 
     # stitch in global reverse order: last window first; window w keeps
     # emissions with abs pos > window_start (w>0) / >= 0 (w==0)
-    chunk_of = {}
-    for ci, (c0, *_rest) in enumerate(chunk_out):
-        chunk_of[c0] = ci
     pos_parts, base_parts, cnt_parts, cov_parts = [], [], [], []
     for w in range(wb.n_windows - 1, -1, -1):
         if w in host_results:
@@ -178,13 +211,11 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
             emit_cnt, emit_cov = hcnt, hcov
             keep = np.ones(len(abs_pos), dtype=bool)
         else:
-            c0 = (w // CHUNK_B) * CHUNK_B
-            _, cols_r, base_r, cnt_r, cov_r, ok_r = chunk_out[chunk_of[c0]]
-            wl = w - c0
-            keep = ok_r[wl]
-            abs_pos = cols_r[wl].astype(np.int64) + lead_all[w]
-            emit_base = CODE2ASCII[base_r[wl] & 0x7]
-            emit_cnt, emit_cov = cnt_r[wl], cov_r[wl]
+            cols_r, base_r, cnt_r, cov_r, ok_r = win_rows[w]
+            keep = ok_r
+            abs_pos = cols_r.astype(np.int64) + lead_all[w]
+            emit_base = CODE2ASCII[base_r & 0x7]
+            emit_cnt, emit_cov = cnt_r, cov_r
         if w > 0:
             keep = keep & (abs_pos > wb.window_start[w])
         else:

@@ -146,21 +146,37 @@ def polish(fa_path: str, bam_path: str, yak_paths: Sequence[str],
             print(f"[np2] {name}: {len(seq)} -> {len(out_seq)} bases in "
                   f"{dt:.1f}s", file=sys.stderr)
 
-    if cfg.threads > 1 and len(todo) > 1:
-        # contig-level thread pool (reference C2's worker parallelism; windows
-        # within a contig are already device-parallel). Output stays input-order.
-        from concurrent.futures import ThreadPoolExecutor
+    batcher = None
+    if engine == "tpu" and cfg.threads > 1 and len(todo) > 1:
+        # cross-contig device batching: concurrent contig threads share full
+        # 128-lane DP batches instead of each padding its own chunks
+        from .batcher import DeviceBatcher, set_active_batcher
 
-        with ThreadPoolExecutor(max_workers=cfg.threads) as ex:
-            futs = [(name, seq, ex.submit(run_one, name, seq))
-                    for name, seq in todo]
-            for name, seq, fut in futs:
-                cb, passthrough, dt = fut.result()
+        batcher = DeviceBatcher()
+        set_active_batcher(batcher)
+    try:
+        if cfg.threads > 1 and len(todo) > 1:
+            # contig-level thread pool (reference C2's worker parallelism;
+            # windows within a contig are already device-parallel). Output
+            # stays input-order.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=cfg.threads) as ex:
+                futs = [(name, seq, ex.submit(run_one, name, seq))
+                        for name, seq in todo]
+                for name, seq, fut in futs:
+                    cb, passthrough, dt = fut.result()
+                    finish(name, seq, cb, passthrough, dt)
+        else:
+            for name, seq in todo:
+                cb, passthrough, dt = run_one(name, seq)
                 finish(name, seq, cb, passthrough, dt)
-    else:
-        for name, seq in todo:
-            cb, passthrough, dt = run_one(name, seq)
-            finish(name, seq, cb, passthrough, dt)
+    finally:
+        if batcher is not None:
+            from .batcher import set_active_batcher
+
+            set_active_batcher(None)
+            batcher.shutdown()
     stats.seconds = time.time() - t_start
     return results
 
