@@ -24,6 +24,8 @@
 #include <thread>
 #include <vector>
 #include <string>
+#include <unordered_map>
+#include <unordered_set>
 #include <algorithm>
 #include <sys/mman.h>
 #include <zlib.h>
@@ -86,6 +88,11 @@ static inline uint16_t rd_u16(const uint8_t* p) {
 static uint8_t kAscii2Code[256];
 // BAM 4-bit seq code -> our base code
 static uint8_t kSeq4ToCode[16];
+// BAM 4-bit seq code -> ASCII, and ASCII -> complement ASCII (identity except
+// ATGC/atgc -> uppercase complement; mirrors utils/seqcodes.REVCOMP_ASCII,
+// reference secondary.rs:66-80)
+static uint8_t kSeq4AsciiT[16];
+static uint8_t kRevCompAscii[256];
 static bool kTablesInit = false;
 
 static void init_tables() {
@@ -101,6 +108,11 @@ static void init_tables() {
   kAscii2Code['-'] = 4;
   const char* seq4 = "=ACMGRSVTWYHKDBN";
   for (int i = 0; i < 16; i++) kSeq4ToCode[i] = kAscii2Code[(uint8_t)seq4[i]];
+  for (int i = 0; i < 16; i++) kSeq4AsciiT[i] = (uint8_t)seq4[i];
+  for (int i = 0; i < 256; i++) kRevCompAscii[i] = (uint8_t)i;
+  const char* fwd = "ATGCatgc";
+  const char* rev = "TACGTACG";
+  for (int i = 0; i < 8; i++) kRevCompAscii[(uint8_t)fwd[i]] = (uint8_t)rev[i];
   kTablesInit = true;
 }
 
@@ -148,6 +160,10 @@ struct BamFile {
   std::vector<uint8_t> v3_clip;
   int64_t v3_total = 0;
   Filters v3_f{};
+  // -S support: qname -> primary SEQ normalized to forward orientation
+  // (ASCII; mirrors io/bam.retrieve_secondary_seqs, secondary.rs:8-64,82-148)
+  std::unordered_map<std::string, std::vector<uint8_t>> sec_seqs;
+  bool sec_prefetched = false;
 };
 
 static bool parse_bam_header(BamFile& bf) {
@@ -184,13 +200,70 @@ struct RecInfo {
   bool clip;
 };
 
+// One pass over the whole BAM: collect the qnames of secondary records, then
+// store their primaries' SEQ (ASCII, reverse-complemented to forward/read
+// orientation). Mirrors io/bam.retrieve_secondary_seqs / secondary.rs:8-64.
+static void prefetch_secondary(BamFile& bf) {
+  if (bf.sec_prefetched) return;
+  bf.sec_prefetched = true;
+  const uint8_t* p = bf.raw.d.data();
+  size_t n = bf.raw.d.size();
+  std::unordered_set<std::string> ids;
+  for (size_t off = bf.rec_off; off + 4 <= n;) {
+    int32_t block = rd_i32(p + off); off += 4;
+    if (off + (size_t)block > n) break;
+    const uint8_t* q = p + off; off += block;
+    if (rd_u16(q + 14) & 0x100)
+      ids.emplace((const char*)q + 32, (size_t)q[8] - 1);
+  }
+  if (ids.empty()) return;
+  for (size_t off = bf.rec_off; off + 4 <= n;) {
+    int32_t block = rd_i32(p + off); off += 4;
+    if (off + (size_t)block > n) break;
+    const uint8_t* q = p + off; off += block;
+    uint16_t flag = rd_u16(q + 14);
+    if (flag & 0x900) continue;  // only primaries donate SEQ
+    uint8_t l_rn = q[8];
+    std::string qn((const char*)q + 32, (size_t)l_rn - 1);
+    if (!ids.count(qn) || bf.sec_seqs.count(qn)) continue;
+    int32_t l_seq = rd_i32(q + 16);
+    uint32_t n_cigar = rd_u16(q + 12);
+    const uint8_t* seq4 = q + 32 + l_rn + 4 * n_cigar;
+    std::vector<uint8_t> ascii((size_t)l_seq);
+    for (int32_t i = 0; i < l_seq; i++) {
+      uint8_t b = seq4[i >> 1];
+      ascii[(size_t)i] = kSeq4AsciiT[(i & 1) ? (b & 0xF) : (b >> 4)];
+    }
+    if (flag & 0x10) {  // store forward-strand orientation
+      std::vector<uint8_t> rc(ascii.size());
+      for (size_t i = 0; i < ascii.size(); i++)
+        rc[i] = kRevCompAscii[ascii[ascii.size() - 1 - i]];
+      ascii.swap(rc);
+    }
+    bf.sec_seqs.emplace(std::move(qn), std::move(ascii));
+  }
+}
+
+// Resolve the substituted SEQ for a secondary record (null for primaries or
+// when -S is off). *err = -7 when the primary is missing from the BAM.
+static const std::vector<uint8_t>* sub_for(const BamFile& bf, const uint8_t* q,
+                                           uint16_t flag, int* err) {
+  if (!(flag & 0x100) || !bf.v3_f.use_secondary) return nullptr;
+  std::string qn((const char*)q + 32, (size_t)q[8] - 1);
+  auto it = bf.sec_seqs.find(qn);
+  if (it == bf.sec_seqs.end()) { *err = -7; return nullptr; }
+  return &it->second;
+}
+
 // Filter + expand + trim one record into per-thread scratch code arrays.
 // Returns true if the record survives every filter (incl. the short-ref clip
 // drop). Mirrors the reference worker loop (main.rs:1751-1816), fill_with_cigar
-// (main.rs:386-440) and trim (main.rs:446-513).
+// (main.rs:386-440) and trim (main.rs:446-513). `sub`: substituted SEQ for
+// secondary records (-S), ASCII in forward orientation (main.rs:1775-1788).
 static bool analyze_record(const BamRec& r, const Filters& f,
                            std::vector<uint8_t>& q_codes,
-                           std::vector<uint8_t>& t_codes, RecInfo& out) {
+                           std::vector<uint8_t>& t_codes, RecInfo& out,
+                           const std::vector<uint8_t>* sub = nullptr) {
   if (r.flag & 0x404) return false;
   if ((int64_t)r.mapq <= f.min_map_qual) return false;
   bool secondary = r.flag & 0x100, supplementary = r.flag & 0x800;
@@ -198,11 +271,12 @@ static bool analyze_record(const BamRec& r, const Filters& f,
   if (supplementary && !f.use_supplementary) return false;
 
   // read length from cigar incl hard clips (main.rs:1758)
-  int64_t rlen = 0, ref_span = 0;
+  int64_t rlen = 0, ref_span = 0, qlen = 0;
   for (uint32_t i = 0; i < r.n_cigar; i++) {
     uint32_t c = rd_u32(r.cigar + 4 * i);
     int op = c & 0xF; int64_t l = c >> 4;
     if (consumes_qry(op) || op == 5) rlen += l;
+    if (consumes_qry(op)) qlen += l;
     if (consumes_ref(op)) ref_span += l;
   }
   if (rlen <= f.min_read_len) return false;
@@ -218,7 +292,14 @@ static bool analyze_record(const BamRec& r, const Filters& f,
   int64_t qs = 0, ts = r.pos;
   int64_t aln_q_s = 0, aln_q_e = 0;
   bool first = true;
+  if (sub && (int64_t)sub->size() < qlen) return false;  // malformed input
+  bool sub_rev = (r.flag & 0x10) != 0;
   auto qcode = [&](int64_t i) {
+    if (sub) {
+      uint8_t a = sub_rev ? kRevCompAscii[(*sub)[sub->size() - 1 - (size_t)i]]
+                          : (*sub)[(size_t)i];
+      return kAscii2Code[a];
+    }
     uint8_t b = r.seq4[i >> 1];
     return kSeq4ToCode[(i & 1) ? (b & 0xF) : (b >> 4)];
   };
@@ -413,17 +494,23 @@ int np2_extract_begin3(void* handle, int32_t want_tid,
     bounds[t] = lo;
   }
 
+  if (bf.v3_f.use_secondary) prefetch_secondary(bf);  // read-only under threads
+
   // per-record results (indexed by located-record position; kept==false rows
   // are squeezed out after the parallel pass to preserve record order)
   std::vector<uint8_t> kept(recs.size(), 0);
   std::vector<RecInfo> info(recs.size());
+  std::vector<int> aerr(T, 0);
   auto work = [&](int t) {
     std::vector<uint8_t> qs, ts;
     for (size_t i = bounds[t]; i < bounds[t + 1]; i++) {
       BamRec r;
       parse_rec(recs[i], r);
+      int e = 0;
+      const std::vector<uint8_t>* sub = sub_for(bf, recs[i], r.flag, &e);
+      if (e) { aerr[t] = e; return; }
       RecInfo ri;
-      if (analyze_record(r, bf.v3_f, qs, ts, ri)) {
+      if (analyze_record(r, bf.v3_f, qs, ts, ri, sub)) {
         kept[i] = 1;
         info[i] = ri;
       }
@@ -436,6 +523,7 @@ int np2_extract_begin3(void* handle, int32_t want_tid,
     for (int t = 0; t < T; t++) threads.emplace_back(work, t);
     for (auto& th : threads) th.join();
   }
+  for (int t = 0; t < T; t++) if (aerr[t]) return aerr[t];
   NP2_T("begin3: analyze", t0);
 
   bf.v3_recs.clear();
@@ -487,8 +575,11 @@ int np2_extract_fetch3(void* handle, int32_t* t_pos_out, int32_t* key_out,
     for (int64_t i = tb[t]; i < tb[t + 1]; i++) {
       BamRec r;
       parse_rec(bf.v3_recs[i], r);
+      int e = 0;
+      const std::vector<uint8_t>* sub = sub_for(bf, bf.v3_recs[i], r.flag, &e);
+      if (e) { err[t] = e; return; }
       RecInfo ri;
-      if (!analyze_record(r, bf.v3_f, qs, ts, ri)) { err[t] = -5; return; }
+      if (!analyze_record(r, bf.v3_f, qs, ts, ri, sub)) { err[t] = -5; return; }
       emit_tags(qs, ts, ri, t_pos_out + bf.v3_off[i], key_out + bf.v3_off[i]);
     }
   };

@@ -83,9 +83,10 @@ def polish(fa_path: str, bam_path: str, yak_paths: Sequence[str],
     from ..io.bam import fill_secondary_seq, retrieve_secondary_seqs
     from ..io.native import available as native_available
 
-    # the native fast path decodes SEQ from the record itself; secondary
-    # records carry none (substituted from primaries), so use the Python path
-    use_native = native_available() and not cfg.use_secondary
+    # the native fast path handles -S itself: np2_extract_begin3 prefetches
+    # primary SEQs once per BAM and substitutes them into secondary records
+    # (np2native.cc prefetch_secondary; mirrors secondary.rs:82-148)
+    use_native = native_available()
     reader = BamReader(bam_path)
     ref_names = [n for n, _ in reader.references]
     name_to_tid = {n: i for i, n in enumerate(ref_names)}

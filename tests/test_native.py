@@ -42,3 +42,69 @@ def test_native_extraction_equals_python():
         tp, kp = kmer_stream(p)
         tq, kq = kmer_stream(q)
         np.testing.assert_array_equal(kp, kq, err_msg=f"aln {i} kmer keys")
+
+
+def test_native_secondary_ingest(tmp_path):
+    """-S through the native fast path == the Python two-pass substitution
+    (VERDICT r1 item 7; reference secondary.rs:82-148, main.rs:1775-1788)."""
+    from nextpolish2_tpu.io.bam import (BamRecord, BamWriter,
+                                        fill_secondary_seq,
+                                        retrieve_secondary_seqs)
+    from nextpolish2_tpu.utils.seqcodes import revcomp
+
+    rng = np.random.default_rng(83)
+    t = bytes(rng.choice(list(b"ACGT"), size=2000).astype(np.uint8))
+
+    def prim(name, pos, seq, tid=0, flag=0):
+        return BamRecord(qname=name, flag=flag, tid=tid, pos=pos, mapq=60,
+                         cigar=[(0, len(seq))], seq=seq)
+
+    # c1: ordinary primaries + two SEQ-less secondaries (one reverse) whose
+    # primaries map on the decoy contig c2
+    read_f = t[300:700]                   # forward secondary at 300
+    read_r = revcomp(t[900:1300])         # reverse secondary at 900
+    c1_recs = [
+        prim(b"p0", 0, t[0:500]),
+        prim(b"sF", 300, b"", flag=0x100),
+        prim(b"p1", 450, t[450:1000]),
+        prim(b"sR", 900, b"", flag=0x110),
+        prim(b"p2", 950, t[950:1600]),
+        prim(b"p3", 1500, t[1500:2000]),
+    ]
+    for r in (c1_recs[1], c1_recs[3]):
+        r.cigar = [(0, 400)]
+    bam = tmp_path / "sec.bam"
+    with BamWriter(str(bam), [("c1", len(t)), ("c2", 1000)]) as w:
+        for r in c1_recs:
+            w.write(r)
+        w.write(prim(b"sF", 0, read_f, tid=1))           # primary donors
+        w.write(prim(b"sR", 100, read_r, tid=1))
+    cfg = PolishConfig(min_ctg_len=0, min_read_len=100, min_map_len=50,
+                       min_map_fra=0.1, use_secondary=True)
+
+    sec_seqs = retrieve_secondary_seqs(str(bam))
+    recs = next(BamReader(str(bam)).by_contig())[1]
+    recs = [fill_secondary_seq(r, sec_seqs) if r.is_secondary else r
+            for r in recs]
+    a_py = build_alignseqs(t, recs, cfg)
+    a_nat = build_alignseqs_native(str(bam), 0, t, cfg)
+    assert a_nat is not None
+    assert len(a_py) == len(a_nat) == 7  # ref + 6 alignments kept
+    for i, (p, q) in enumerate(zip(a_py, a_nat)):
+        assert (p.aln_t_s, p.aln_t_e) == (q.aln_t_s, q.aln_t_e), i
+        np.testing.assert_array_equal(p.t_pos, q.t_pos, err_msg=f"aln {i}")
+        np.testing.assert_array_equal(p.q_base, q.q_base, err_msg=f"aln {i}")
+
+
+def test_native_secondary_missing_primary(tmp_path):
+    """A secondary whose primary is absent from the BAM is an ingest error."""
+    from nextpolish2_tpu.io.bam import BamRecord, BamWriter
+
+    bam = tmp_path / "orphan.bam"
+    with BamWriter(str(bam), [("c1", 1000)]) as w:
+        w.write(BamRecord(qname=b"q", flag=0x100, tid=0, pos=0, mapq=60,
+                          cigar=[(0, 300)], seq=b""))
+    cfg = PolishConfig(min_ctg_len=0, min_read_len=100, min_map_len=50,
+                       use_secondary=True)
+    with pytest.raises(RuntimeError):
+        build_alignseqs_native(str(bam), 0, b"A" * 1000, cfg)
