@@ -293,3 +293,25 @@ def backtrack(tables: SlotTables, scores: jnp.ndarray, besti: jnp.ndarray,
     n_steps = jnp.sum(tr(alive_r), axis=1)
     return (tr(cols_r), tr(base_r), tr(cnt_r), tr(cov_r), tr(ok_r),
             maxv, n_steps, still_alive)
+
+
+@functools.partial(jax.jit, static_argnames=("max_steps", "use_pallas"))
+def dp_backtrack(tables: SlotTables, lead_abs: jnp.ndarray,
+                 seed_anchor: jnp.ndarray, last_col: jnp.ndarray,
+                 max_steps: int, use_pallas: bool = False):
+    """Fused DP + backtrack: one device program per chunk instead of two.
+
+    On the tunneled TPU each dispatch pays round-trip latency, so the engine,
+    the cross-contig batcher, and bench.py all call this single jitted
+    program (one compile per (B, width) shape; intermediates never leave the
+    device). Returns (backtrack outputs, lvl_over)."""
+    if use_pallas:
+        from .consensus_pallas import consensus_dp_pallas
+
+        scores, besti, lvl_over = consensus_dp_pallas(
+            tables.key, tables.count, tables.coverage, lead_abs, seed_anchor)
+        besti = besti.astype(jnp.int8)
+    else:
+        scores, besti, lvl_over = consensus_dp(tables, lead_abs, seed_anchor)
+    out = backtrack(tables, scores, besti, last_col, seed_anchor, max_steps)
+    return out, lvl_over

@@ -274,7 +274,7 @@ class DeviceBatcher:
     def _dispatch(self, width: int, batch) -> tuple:
         import jax.numpy as jnp
 
-        from ..ops.consensus import SlotTables, backtrack, consensus_dp
+        from ..ops.consensus import SlotTables, dp_backtrack
         from .engine import _use_pallas
 
         (key_tab, cnt_tab, coverage, n_slots, overflow,
@@ -298,20 +298,9 @@ class DeviceBatcher:
         tables = SlotTables(key=jput(key_tab), count=jput(cnt_tab),
                             coverage=jput(coverage), n_slots=jput(n_slots),
                             overflow=jput(overflow))
-        if _use_pallas():
-            from ..ops.consensus_pallas import consensus_dp_pallas
-
-            scores, besti, lvl_over = consensus_dp_pallas(
-                tables.key, tables.count, tables.coverage,
-                jput(lead), jput(seed))
-            besti = besti.astype(jnp.int8)
-        else:
-            scores, besti, lvl_over = consensus_dp(tables, jput(lead),
-                                                   jput(seed))
         max_steps = int(width + 128)
-        out = backtrack(tables, scores, besti, jput(last), jput(seed),
-                        max_steps)
-        return out, lvl_over
+        return dp_backtrack(tables, jput(lead), jput(seed), jput(last),
+                            max_steps, use_pallas=_use_pallas())
 
     def _device_get(self, dev) -> tuple:
         import jax

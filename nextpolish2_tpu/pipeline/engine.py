@@ -60,7 +60,7 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
     walk produces (genome-descending)."""
     import jax.numpy as jnp
 
-    from ..ops.consensus import SlotTables, backtrack, consensus_dp
+    from ..ops.consensus import SlotTables, dp_backtrack
     from ..utils.jaxcfg import bucket, configure_jax
 
     configure_jax()
@@ -170,18 +170,9 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
                 key=jput(key_tab), count=jput(cnt_tab),
                 coverage=jput(coverage), n_slots=jput(n_slots),
                 overflow=jput(overflow))
-            if _use_pallas():
-                from ..ops.consensus_pallas import consensus_dp_pallas
-
-                scores, besti, lvl_over = consensus_dp_pallas(
-                    tables.key, tables.count, tables.coverage,
-                    jput(lead), jput(seed))
-                besti = besti.astype(jnp.int8)
-            else:
-                scores, besti, lvl_over = consensus_dp(tables, jput(lead),
-                                                       jput(seed))
-            out = backtrack(tables, scores, besti, jput(last_col),
-                            jput(seed), max_steps)
+            out, lvl_over = dp_backtrack(tables, jput(lead), jput(seed),
+                                         jput(last_col), max_steps,
+                                         use_pallas=_use_pallas())
             # ONE device->host transfer per chunk (tunnel round trips cost)
             with stage("device_dp_backtrack"):
                 (cols_r, base_r, cnt_r, cov_r, ok_r, best_sc, _n_steps,
