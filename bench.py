@@ -1,18 +1,26 @@
 #!/usr/bin/env python3
-"""Benchmark: device consensus engine throughput (windows/s/chip).
+"""Benchmark: device consensus engine throughput + honest host baselines.
 
-Times the hot kernel pair (batched windowed Viterbi DP + backtrack,
-ops/consensus.py) on realistic window slot-tables built from the bundled
-reference test data (100 kb contig, 575 real HiFi reads at ~74x), steady-state
-over the real chip.
+Measures, on the bundled real data (100 kb contig, 575 real HiFi reads, ~74x):
+  1. value / "windows/s/chip": the hot kernel pair (batched windowed Viterbi
+     DP + backtrack) steady-state on the real chip, via the SAME jitted
+     callables the production engine dispatches (no bench-only fusion).
+  2. vs_host_1t: ratio against the single-thread host DP with identical
+     semantics (pipeline/host_fallback.py) on a window sample.
+  3. vs_host_mt: ratio against an nproc-process host pool over the same
+     sample — the strongest host configuration this VM offers.
+  4. e2e_gbp_per_hr: wall-clock of a full steady-state polish() of the 100 kb
+     contig (ingest -> windows -> device DP -> k-mer/phasing -> FASTA),
+     compiles excluded by running the pipeline twice and timing the second.
 
-vs_baseline: ratio against the same DP executed by the single-thread host
-implementation (pipeline/host_fallback.py) on identical windows — i.e. device
-speedup over this machine's host path with identical semantics. (The reference
-Rust binary cannot be built in this environment — no cargo; BASELINE.json's
-64-thread-Rust comparison is approximated by this single-host ratio.)
+vs_baseline stays = vs_host_1t for continuity with BENCH_r01. BASELINE.json's
+north star is >=10x over a 64-thread Rust build on human T2T at v5p-16; no
+Rust toolchain exists here, so the honest statement is: a 64-thread Rust
+baseline is plausibly ~100x the 1-thread numpy path, i.e. vs_host_1t/100 is
+the rough single-chip multiple of that target (multi-chip 'win'-axis sharding,
+engine.py, is the intended path to >=10x at pod scale).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -24,6 +32,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np  # noqa: E402
 
+BASE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "testdata")
+ASM = "/root/reference/test/asm.fa.gz"
+
 
 def build_real_windows():
     from nextpolish2_tpu.config import PolishConfig
@@ -33,30 +44,63 @@ def build_real_windows():
     from nextpolish2_tpu.pipeline.windows import build_window_batch
     from nextpolish2_tpu.utils.seqcodes import ASCII2CODE
 
-    base = os.path.join(os.path.dirname(os.path.abspath(__file__)), "testdata")
-    bam = os.path.join(base, "hifi.map.sort.bam")
-    asm = dict(read_fastx("/root/reference/test/asm.fa.gz"))
+    bam = os.path.join(BASE, "hifi.map.sort.bam")
+    asm = dict(read_fastx(ASM))
     tseq = list(asm.values())[0]
     recs = next(BamReader(bam).by_contig())[1]
     cfg = PolishConfig(min_ctg_len=1000)
     aligns = build_alignseqs(tseq, recs, cfg)
     ref_codes = ASCII2CODE[np.frombuffer(tseq, dtype=np.uint8)]
     wb = build_window_batch(aligns, len(tseq), ref_codes, target=cfg.window_len)
-    return wb, cfg
+    return wb, cfg, len(tseq)
+
+
+def _host_task(args):
+    from nextpolish2_tpu.pipeline.host_fallback import host_window_dp
+
+    cols, keys, width, lead, last, seed = args
+    host_window_dp(cols, keys, width, lead, last, seed)
+    return 0
+
+
+def e2e_polish_seconds(n_runs: int = 2) -> float:
+    """Full-pipeline wall time on the 100 kb contig; run n_runs times and
+    return the LAST run's seconds (first run pays in-process compiles)."""
+    import io
+
+    from nextpolish2_tpu.config import PolishConfig
+    from nextpolish2_tpu.pipeline.orchestrator import polish
+
+    bam = os.path.join(BASE, "hifi.map.sort.bam")
+    yaks = [os.path.join(BASE, "k21.yak"), os.path.join(BASE, "k31.yak")]
+    cfg = PolishConfig(min_ctg_len=1000)
+    dt = 0.0
+    for _ in range(n_runs):
+        sink = io.BytesIO()
+        t0 = time.time()
+        polish(ASM, bam, yaks, cfg, out=sink)
+        dt = time.time() - t0
+    return dt
 
 
 def main() -> int:
-    t_setup = time.time()
     import jax
     import jax.numpy as jnp
 
-    from nextpolish2_tpu.ops.consensus import SlotTables, backtrack, consensus_dp
-    from nextpolish2_tpu.pipeline.host_fallback import host_window_dp
+    from nextpolish2_tpu.ops.consensus import SlotTables, dp_backtrack
     from nextpolish2_tpu.pipeline.windows import aggregate_host
     from nextpolish2_tpu.utils.jaxcfg import bucket, configure_jax
 
     configure_jax()
-    wb, cfg = build_real_windows()
+    use_pallas = jax.default_backend() not in ("cpu",)
+
+    # ---- end-to-end first: pays every in-process compile exactly once, and
+    # the kernel loop below reuses those caches (same jitted callables)
+    e2e_s = e2e_polish_seconds(2)
+    contig_bp = 100_000
+    e2e_gbp_per_hr = (contig_bp / 1e9) / (e2e_s / 3600.0)
+
+    wb, cfg, contig_bp = build_real_windows()
     K = cfg.max_kmers_per_col
     nw = wb.n_windows
     # same fixed shapes as the engine: one width tier, B = 128-window chunks
@@ -78,53 +122,82 @@ def main() -> int:
         overflow=jnp.asarray(overflow))
     jlead, jseed, jlast = jnp.asarray(lead), jnp.asarray(seed), jnp.asarray(last_col)
     max_steps = int(width + 128)
-    use_pallas = jax.default_backend() not in ("cpu",)
 
     @jax.jit
-    def step(tables, jlead, jseed, jlast):
-        if use_pallas:
-            from nextpolish2_tpu.ops.consensus_pallas import consensus_dp_pallas
+    def _chk(scores, out1, out5):
+        # device-side checksum: forces full execution; only a scalar crosses
+        # the tunnel (block_until_ready does NOT block on the axon backend)
+        return (scores.sum(dtype=jnp.int64) + out1.sum(dtype=jnp.int64)
+                + out5.sum(dtype=jnp.int64))
 
-            scores, besti, lvl = consensus_dp_pallas(
-                tables.key, tables.count, tables.coverage, jlead, jseed)
-            besti = besti.astype(jnp.int8)
-        else:
-            scores, besti, lvl = consensus_dp(tables, jlead, jseed)
-        out = backtrack(tables, scores, besti, jlast, jseed, max_steps)
-        # device-side checksum: forces full execution; only a scalar crosses the
-        # tunnel (block_until_ready does NOT block on the axon backend)
-        chk = (scores.sum(dtype=jnp.int64) + out[1].sum(dtype=jnp.int64)
-               + out[5].sum(dtype=jnp.int64))
-        return chk
+    def step():
+        # dispatch the SAME fused jitted program the engine calls per chunk
+        # (shared compile cache; one device round trip)
+        out, _ = dp_backtrack(tables, jlead, jseed, jlast, max_steps,
+                              use_pallas=use_pallas)
+        return _chk(out[0], out[1], out[5])
 
-    float(step(tables, jlead, jseed, jlast))  # warmup/compile
-    n_iter = 10
-    t0 = time.time()
-    for _ in range(n_iter):
-        c = step(tables, jlead, jseed, jlast)
-    c = int(c)  # materialize the last checksum (chain is sequential on device)
-    dt = time.time() - t0
+    int(step())  # warmup (compile cache should already be hot from e2e)
+    n_groups, iters_per_group = 3, 5
+    group_dt = []
+    for _ in range(n_groups):
+        t0 = time.time()
+        for _ in range(iters_per_group):
+            c = step()
+        c = int(c)  # materialize: forces the whole group's device chain
+        group_dt.append(time.time() - t0)
     n_real = min(nw, B)  # count real windows, not chunk padding
-    windows_per_s = n_real * n_iter / dt
+    per_group_wps = [n_real * iters_per_group / dt for dt in group_dt]
+    windows_per_s = float(np.mean(per_group_wps))
+    cv = float(np.std(per_group_wps) / np.mean(per_group_wps))
     bases_per_s = windows_per_s * float(np.mean(wb.window_len))
 
-    # host baseline: same DP semantics, single thread, on a median-size window
-    order = np.argsort(wb.n_tags)
-    wmid = int(order[nw // 2])
-    hcols, hkeys = wb.window_stream(wmid)
+    # ---- host baselines: same DP semantics, sampled at size quantiles of
+    # the SAME first-128-window set the device timing covers (mean-cost match)
+    order = np.argsort(wb.n_tags[:n_real])
+    qs = np.clip((np.array([0.1, 0.3, 0.5, 0.65, 0.8, 0.9, 0.95, 0.99])
+                  * n_real).astype(int), 0, n_real - 1)
+    sample = [int(order[q]) for q in qs]
+    tasks = []
+    for w in sample:
+        hcols, hkeys = wb.window_stream(w)
+        tasks.append((hcols, hkeys, wb.width, int(lead[w]), int(last_col[w]),
+                      bool(seed[w])))
     t0 = time.time()
-    host_window_dp(hcols, hkeys, wb.width, int(lead[wmid]),
-                   int(last_col[wmid]), bool(seed[wmid]))
-    host_dt = time.time() - t0
-    host_windows_per_s = 1.0 / host_dt
-    vs_baseline = windows_per_s / host_windows_per_s
+    for t in tasks:
+        _host_task(t)
+    host_1t_wps = len(tasks) / (time.time() - t0)
 
+    import concurrent.futures as cf
+    import multiprocessing as mp
+    nproc = os.cpu_count() or 1
+    mt_tasks = tasks * nproc  # same mix per worker, pool-scheduled
+    # spawn (not fork): the parent holds live jax/axon tunnel threads
+    with cf.ProcessPoolExecutor(max_workers=nproc,
+                                mp_context=mp.get_context("spawn")) as pool:
+        list(pool.map(_host_task, tasks[:1]))  # pool startup outside the clock
+        t0 = time.time()
+        list(pool.map(_host_task, mt_tasks, chunksize=1))
+        host_mt_wps = len(mt_tasks) / (time.time() - t0)
+
+    vs_1t = windows_per_s / host_1t_wps
+    vs_mt = windows_per_s / host_mt_wps
     print(json.dumps({
         "metric": "consensus_windows_per_s_per_chip",
         "value": round(windows_per_s, 2),
-        "unit": f"windows/s (W~{int(np.mean(wb.window_len))} cols, ~74x real HiFi; "
-                f"~{bases_per_s/1e6:.1f} Mbases/s DP throughput)",
-        "vs_baseline": round(vs_baseline, 2),
+        "unit": f"windows/s (W~{int(np.mean(wb.window_len))} cols, ~74x real "
+                f"HiFi; ~{bases_per_s/1e6:.1f} Mbases/s DP throughput)",
+        "vs_baseline": round(vs_1t, 2),
+        "vs_host_1t": round(vs_1t, 2),
+        "vs_host_mt": round(vs_mt, 2),
+        "host_threads": nproc,
+        "device_cv": round(cv, 3),
+        "e2e_s_100kb": round(e2e_s, 1),
+        "e2e_gbp_per_hr": round(e2e_gbp_per_hr, 4),
+        "baseline_note": "vs 64-thread Rust (BASELINE.json, not buildable "
+                         "here): ~100x the 1t numpy path, so single-chip is "
+                         f"~{vs_1t/100:.1f}x it; >=10x comes from win-axis "
+                         "multi-chip sharding",
     }))
     return 0
 

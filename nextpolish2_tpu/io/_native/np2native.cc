@@ -604,29 +604,165 @@ int np2_extract_fetch3(void* handle, int32_t* t_pos_out, int32_t* key_out,
 // Stable counting-sort of the (t_pos, key, rid) stream by t_pos.
 // O(n + n_pos); replaces numpy's stable argsort (the round-1 plan_windows
 // bottleneck at Mb scale). Also returns max(key>>16) for the delta-overflow
-// guard (build_window_batch).
+// guard (build_window_batch). Threaded: per-thread position histograms
+// (pass 1), an exclusive scan ordered (pos-major, thread-minor) so each
+// thread scatters its own input segment to stable global offsets (pass 2).
+// Thread count is capped so the histograms stay under ~1.5 GB.
 int np2_sort_stream(const int32_t* t_pos, const int32_t* key,
                     const int32_t* rid, int64_t n, int64_t n_pos,
                     int32_t* t_out, int32_t* k_out, int32_t* rid_out,
-                    int64_t* max_b1d) {
-  std::vector<int64_t> cnt(n_pos + 1, 0);
+                    int64_t* max_b1d, int64_t n_threads) {
+  int T = (int)(n_threads < 1 ? 1 : (n_threads > 16 ? 16 : n_threads));
+  while (T > 1 && (int64_t)T * (n_pos + 1) * 8 > (int64_t)3 << 29) T /= 2;
+  if (n < (int64_t)1 << 20) T = 1;
+  std::vector<std::vector<int64_t>> hist(T);
+  std::vector<int64_t> mbs(T, 0);
+  std::vector<int> errs(T, 0);
+  auto seg = [&](int t) { return n / T * t; };
+  auto count = [&](int t) {
+    auto& h = hist[t];
+    h.assign(n_pos, 0);
+    int64_t lo = seg(t), hi = (t == T - 1) ? n : seg(t + 1);
+    int64_t mb = 0;
+    for (int64_t i = lo; i < hi; i++) {
+      int64_t tp = t_pos[i];
+      if (tp < 0 || tp >= n_pos) { errs[t] = -1; return; }
+      h[tp]++;
+      int64_t d = (int64_t)(((uint32_t)key[i]) >> 16);
+      if (d > mb) mb = d;
+    }
+    mbs[t] = mb;
+  };
+  auto run = [&](auto fn) {
+    if (T == 1) { fn(0); return; }
+    std::vector<std::thread> ths;
+    for (int t = 0; t < T; t++) ths.emplace_back(fn, t);
+    for (auto& th : ths) th.join();
+  };
+  run(count);
+  for (int t = 0; t < T; t++) if (errs[t]) return errs[t];
   int64_t mb = 0;
-  for (int64_t i = 0; i < n; i++) {
-    int64_t t = t_pos[i];
-    if (t < 0 || t >= n_pos) return -1;
-    cnt[t + 1]++;
-    int64_t d = (int64_t)(((uint32_t)key[i]) >> 16);
-    if (d > mb) mb = d;
-  }
-  for (int64_t t = 0; t < n_pos; t++) cnt[t + 1] += cnt[t];
-  for (int64_t i = 0; i < n; i++) {
-    int64_t p = cnt[t_pos[i]]++;
-    t_out[p] = t_pos[i];
-    k_out[p] = key[i];
-    rid_out[p] = rid[i];
-  }
+  for (int t = 0; t < T; t++) mb = std::max(mb, mbs[t]);
   *max_b1d = mb;
+  // exclusive scan: hist[t][p] <- global start offset for thread t, pos p
+  int64_t acc = 0;
+  for (int64_t p = 0; p < n_pos; p++) {
+    for (int t = 0; t < T; t++) {
+      int64_t c = hist[t][p];
+      hist[t][p] = acc;
+      acc += c;
+    }
+  }
+  auto scatter = [&](int t) {
+    auto& h = hist[t];
+    int64_t lo = seg(t), hi = (t == T - 1) ? n : seg(t + 1);
+    for (int64_t i = lo; i < hi; i++) {
+      int64_t p = h[t_pos[i]]++;
+      t_out[p] = t_pos[i];
+      k_out[p] = key[i];
+      rid_out[p] = rid[i];
+    }
+  };
+  run(scatter);
   return 0;
+}
+
+// Anchor sweep straight off the t-sorted stream (find_anchors_stream
+// semantics, pipeline/windows.py): colcnt[t] = entries at column t;
+// matchcnt[t] = entries with b3-delta == 0 (key flags bit0 clear) and b3 ==
+// ref_codes[t]; anchors[t] = columns t-2..t all pure (colcnt >= 2 and
+// matchcnt == colcnt) with no alignment start at t-1 / t. Threaded over
+// stream ranges split at position-run boundaries (disjoint columns per
+// thread, no atomics).
+int np2_find_anchors(const int32_t* t_sorted, const int32_t* k_sorted,
+                     int64_t n, int64_t n_pos, const uint8_t* ref_codes,
+                     const int64_t* startcnt, uint8_t* anchors_out,
+                     int64_t* colcnt_out, int64_t n_threads) {
+  std::fill(colcnt_out, colcnt_out + n_pos, 0);
+  std::fill(anchors_out, anchors_out + n_pos, 0);
+  std::vector<int64_t> matchcnt(n_pos, 0);
+  int T = (int)(n_threads < 1 ? 1 : (n_threads > 16 ? 16 : n_threads));
+  if (n < (int64_t)1 << 20) T = 1;
+  std::vector<int64_t> b(T + 1, n);
+  b[0] = 0;
+  for (int t = 1; t < T; t++) {
+    int64_t i = std::max(n / T * t, b[t - 1]);
+    while (i < n && i > 0 && t_sorted[i] == t_sorted[i - 1]) i++;
+    b[t] = i;
+  }
+  std::vector<int> errs(T, 0);
+  auto work = [&](int t) {
+    for (int64_t i = b[t]; i < b[t + 1]; i++) {
+      int64_t tp = t_sorted[i];
+      if (tp < 0 || tp >= n_pos) { errs[t] = -1; return; }
+      colcnt_out[tp]++;
+      uint32_t k = (uint32_t)k_sorted[i];
+      if (!(k & 0x1000u) && (k & 0xFu) == ref_codes[tp]) matchcnt[tp]++;
+    }
+  };
+  if (T == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < T; t++) ths.emplace_back(work, t);
+    for (auto& th : ths) th.join();
+  }
+  for (int t = 0; t < T; t++) if (errs[t]) return errs[t];
+  uint8_t p0 = 0, p1 = 0;  // pure[t-1], pure[t-2]
+  for (int64_t t = 0; t < n_pos; t++) {
+    uint8_t pure = (colcnt_out[t] >= 2 && matchcnt[t] == colcnt_out[t]) ? 1 : 0;
+    if (t >= 2 && pure && p0 && p1 && startcnt[t] == 0 && startcnt[t - 1] == 0)
+      anchors_out[t] = 1;
+    p1 = p0;
+    p0 = pure;
+  }
+  return 0;
+}
+
+// Filter the sorted stream by a per-read drop mask (phasing iteration 2):
+// keeps entries whose rid is not dropped, preserving order. Returns the kept
+// count (>= 0) or a negative error. Threaded two-pass (count, prefix, fill).
+int64_t np2_filter_stream(const int32_t* t_sorted, const int32_t* k_sorted,
+                          const int32_t* rid_sorted, int64_t n,
+                          const uint8_t* drop, int64_t n_reads,
+                          int32_t* t_out, int32_t* k_out, int64_t n_threads) {
+  int T = (int)(n_threads < 1 ? 1 : (n_threads > 16 ? 16 : n_threads));
+  if (n < (int64_t)1 << 20) T = 1;
+  std::vector<int64_t> kept(T, 0);
+  std::vector<int> errs(T, 0);
+  auto seg = [&](int t) { return n / T * t; };
+  auto count = [&](int t) {
+    int64_t lo = seg(t), hi = (t == T - 1) ? n : seg(t + 1), c = 0;
+    for (int64_t i = lo; i < hi; i++) {
+      int64_t r = rid_sorted[i];
+      if (r < 0 || r >= n_reads) { errs[t] = -1; return; }
+      c += drop[r] ? 0 : 1;
+    }
+    kept[t] = c;
+  };
+  auto run = [&](auto fn) {
+    if (T == 1) { fn(0); return; }
+    std::vector<std::thread> ths;
+    for (int t = 0; t < T; t++) ths.emplace_back(fn, t);
+    for (auto& th : ths) th.join();
+  };
+  run(count);
+  for (int t = 0; t < T; t++) if (errs[t]) return errs[t];
+  std::vector<int64_t> off(T, 0);
+  for (int t = 1; t < T; t++) off[t] = off[t - 1] + kept[t - 1];
+  int64_t total = off[T - 1] + kept[T - 1];
+  auto fill = [&](int t) {
+    int64_t lo = seg(t), hi = (t == T - 1) ? n : seg(t + 1), p = off[t];
+    for (int64_t i = lo; i < hi; i++) {
+      if (!drop[rid_sorted[i]]) {
+        t_out[p] = t_sorted[i];
+        k_out[p] = k_sorted[i];
+        p++;
+      }
+    }
+  };
+  run(fill);
+  return total;
 }
 
 namespace {

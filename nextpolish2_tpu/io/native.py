@@ -56,6 +56,8 @@ def load() -> Optional[ctypes.CDLL]:
     lib.np2_sort_stream.restype = ctypes.c_int
     lib.np2_aggregate3.restype = ctypes.c_int
     lib.np2_prefault.restype = ctypes.c_int
+    lib.np2_find_anchors.restype = ctypes.c_int
+    lib.np2_filter_stream.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -178,9 +180,14 @@ def extract_contig_native(bam_path: str, tid: int, tseq_codes: np.ndarray,
 
 
 def sort_stream_native(t_pos: np.ndarray, key: np.ndarray, rid: np.ndarray,
-                       n_pos: int) -> Optional[tuple]:
+                       n_pos: int, n_threads: int = 1) -> Optional[tuple]:
     """Stable counting-sort of the global (t_pos, key, rid) stream by t_pos.
-    Returns (t_sorted, k_sorted, rid_sorted, max_b1_delta) or None."""
+    Returns (t_sorted, k_sorted, rid_sorted, max_b1_delta) or None.
+
+    Default is serial: the threaded scatter pass needs T full-size position
+    histograms and scatters each thread's input across the whole output
+    range; on this 4-core VM that measured 15x SLOWER (84 s vs 5.7 s at
+    138M entries) than the cache-friendly serial sweep."""
     lib = load()
     if lib is None:
         return None
@@ -196,10 +203,63 @@ def sort_stream_native(t_pos: np.ndarray, key: np.ndarray, rid: np.ndarray,
         _p(t_pos, ctypes.c_int32), _p(key, ctypes.c_int32),
         _p(rid, ctypes.c_int32), ctypes.c_int64(n), ctypes.c_int64(n_pos),
         _p(t_out, ctypes.c_int32), _p(k_out, ctypes.c_int32),
-        _p(rid_out, ctypes.c_int32), ctypes.byref(max_b1d))
+        _p(rid_out, ctypes.c_int32), ctypes.byref(max_b1d),
+        ctypes.c_int64(n_threads))
     if rc != 0:
         raise RuntimeError(f"np2_sort_stream failed rc={rc}")
     return t_out, k_out, rid_out, max_b1d.value
+
+
+def find_anchors_native(t_sorted: np.ndarray, k_sorted: np.ndarray,
+                        n_pos: int, ref_codes: np.ndarray,
+                        startcnt: np.ndarray,
+                        n_threads: int = 8) -> Optional[tuple]:
+    """Single-pass anchor sweep over the sorted stream (np2_find_anchors);
+    returns (anchors bool[n_pos], colcnt i64[n_pos]) or None."""
+    lib = load()
+    if lib is None:
+        return None
+    t_sorted = np.ascontiguousarray(t_sorted, dtype=np.int32)
+    k_sorted = np.ascontiguousarray(k_sorted, dtype=np.int32)
+    ref_codes = np.ascontiguousarray(ref_codes, dtype=np.uint8)
+    startcnt = np.ascontiguousarray(startcnt, dtype=np.int64)
+    anchors = np.empty(n_pos, dtype=np.uint8)
+    colcnt = np.empty(n_pos, dtype=np.int64)
+    rc = lib.np2_find_anchors(
+        _p(t_sorted, ctypes.c_int32), _p(k_sorted, ctypes.c_int32),
+        ctypes.c_int64(len(t_sorted)), ctypes.c_int64(n_pos),
+        _p(ref_codes, ctypes.c_uint8), _p(startcnt, ctypes.c_int64),
+        _p(anchors, ctypes.c_uint8), _p(colcnt, ctypes.c_int64),
+        ctypes.c_int64(n_threads))
+    if rc != 0:
+        raise RuntimeError(f"np2_find_anchors failed rc={rc}")
+    return anchors.view(bool), colcnt
+
+
+def filter_stream_native(t_sorted: np.ndarray, k_sorted: np.ndarray,
+                         rid_sorted: np.ndarray, drop: np.ndarray,
+                         n_threads: int = 8) -> Optional[tuple]:
+    """Filter the sorted stream by a per-read drop mask, preserving order
+    (np2_filter_stream); returns (t_kept, k_kept) views or None."""
+    lib = load()
+    if lib is None:
+        return None
+    n = len(t_sorted)
+    t_sorted = np.ascontiguousarray(t_sorted, dtype=np.int32)
+    k_sorted = np.ascontiguousarray(k_sorted, dtype=np.int32)
+    rid_sorted = np.ascontiguousarray(rid_sorted, dtype=np.int32)
+    drop = np.ascontiguousarray(drop, dtype=np.uint8)
+    t_out = np.empty(n, dtype=np.int32)
+    k_out = np.empty(n, dtype=np.int32)
+    kept = lib.np2_filter_stream(
+        _p(t_sorted, ctypes.c_int32), _p(k_sorted, ctypes.c_int32),
+        _p(rid_sorted, ctypes.c_int32), ctypes.c_int64(n),
+        _p(drop, ctypes.c_uint8), ctypes.c_int64(len(drop)),
+        _p(t_out, ctypes.c_int32), _p(k_out, ctypes.c_int32),
+        ctypes.c_int64(n_threads))
+    if kept < 0:
+        raise RuntimeError(f"np2_filter_stream failed rc={kept}")
+    return t_out[:kept], k_out[:kept]
 
 
 def aggregate3_native(t_sorted: np.ndarray, k_sorted: np.ndarray,

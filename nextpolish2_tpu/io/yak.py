@@ -206,10 +206,19 @@ class KmerTable:
             self._device_tab = (tab, jnp.asarray(tab.key_hi),
                                 jnp.asarray(tab.key_lo), jnp.asarray(tab.counts))
         tab, jhi, jlo, jct = self._device_tab
+        # bucket the query length: every distinct shape is a fresh multi-minute
+        # compile on the tunneled TPU, so pad to the next power of two
+        from ..utils.jaxcfg import bucket_pow2
+
+        nq = len(hashes)
+        pq = bucket_pow2(nq, 4096)
+        if pq != nq:
+            hashes = np.concatenate(
+                [hashes, np.zeros(pq - nq, dtype=hashes.dtype)])
         q_hi, q_lo, q_slot = tab.query_host_arrays(hashes)
         out = lookup_jit(jhi, jlo, jct, jnp.asarray(q_hi), jnp.asarray(q_lo),
                          jnp.asarray(q_slot), int(min_count))
-        return np.asarray(out).astype(np.uint16)
+        return np.asarray(out)[:nq].astype(np.uint16)
 
     def get_sharded(self, hashes: np.ndarray, min_count: int, mesh) -> np.ndarray:
         """Batched lookup via the mesh-sharded table (parallel/sharded_kmer.py):
@@ -235,11 +244,18 @@ class KmerTable:
         if fn is None:
             fn = make_sharded_lookup(mesh, axis="kmer", min_count=min_count)
             fns[min_count] = fn
+        from ..utils.jaxcfg import bucket_pow2
+
+        nq = len(hashes)
+        pq = bucket_pow2(nq, 4096)
+        if pq != nq:
+            hashes = np.concatenate(
+                [hashes, np.zeros(pq - nq, dtype=hashes.dtype)])
         repl = replicated(mesh)
         q = tuple(jax.device_put(jnp.asarray(a), repl)
                   for a in tab.query_host_arrays(hashes))
         out = fn(jhi, jlo, jct, *q)
-        return np.asarray(out).astype(np.uint16)
+        return np.asarray(out)[:nq].astype(np.uint16)
 
     def get(self, hashes: np.ndarray, min_count: int = 0) -> np.ndarray:
         """Vectorized lookup: hash V -> stored count, 0 if absent or count < min_count.

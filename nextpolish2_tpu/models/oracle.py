@@ -67,7 +67,11 @@ def build_alignseqs_native(bam_path: str, tid: int, tseq: bytes,
         return None
     t_pos, key, read_start, bounds, clips = res
     n = len(t_pos)
-    q_base = (key & 0xF).astype(np.uint8)
+    # out= + unsafe cast: `(key & 0xF).astype(u8)` would materialize a 4-byte
+    # temp of the whole contig stream (first-touch page faults are ~4-40 MB/s
+    # on the target VMs — that temp alone cost minutes at 138M entries)
+    q_base = np.empty(n, dtype=np.uint8)
+    np.bitwise_and(key, 0xF, out=q_base, casting="unsafe")
 
     alignseqs: List[AlignTags] = [ref_as_tags(tseq_codes)]
     ends = np.append(read_start[1:], n)

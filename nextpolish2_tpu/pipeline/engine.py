@@ -153,6 +153,26 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
                 if overflow or lvl_over or truncated:
                     run_host_fallback(w)
     else:
+        def harvest(pend) -> None:
+            c0, c1, overflow, dev = pend
+            n = c1 - c0
+            # ONE device->host transfer per chunk (tunnel round trips cost)
+            with stage("device_dp_backtrack"):
+                (cols_r, base_r, cnt_r, cov_r, ok_r, best_sc, _n_steps,
+                 truncated), lvl_over = jax.device_get(dev)
+            best_all[c0:c1] = best_sc[:n].astype(np.int64)
+            needs_host = overflow[:n] | lvl_over[:n] | truncated[:n]
+            for wl in range(n):
+                w = c0 + wl
+                win_rows[w] = (cols_r[wl], base_r[wl], cnt_r[wl], cov_r[wl],
+                               ok_r[wl])
+                if needs_host[wl]:
+                    run_host_fallback(w)
+
+        # depth-2 software pipeline: aggregate + dispatch chunk i+1 BEFORE
+        # pulling chunk i, so host pileup prep overlaps device DP + the
+        # tunnel round trip (same overlap the cross-contig batcher does)
+        pending = None
         for c0 in range(0, nw, CHUNK_B):
             c1 = min(c0 + CHUNK_B, nw)
             n = c1 - c0
@@ -170,21 +190,14 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
                 key=jput(key_tab), count=jput(cnt_tab),
                 coverage=jput(coverage), n_slots=jput(n_slots),
                 overflow=jput(overflow))
-            out, lvl_over = dp_backtrack(tables, jput(lead), jput(seed),
-                                         jput(last_col), max_steps,
-                                         use_pallas=_use_pallas())
-            # ONE device->host transfer per chunk (tunnel round trips cost)
-            with stage("device_dp_backtrack"):
-                (cols_r, base_r, cnt_r, cov_r, ok_r, best_sc, _n_steps,
-                 truncated), lvl_over = jax.device_get((out, lvl_over))
-            best_all[c0:c1] = best_sc[:n].astype(np.int64)
-            needs_host = overflow[:n] | lvl_over[:n] | truncated[:n]
-            for wl in range(n):
-                w = c0 + wl
-                win_rows[w] = (cols_r[wl], base_r[wl], cnt_r[wl], cov_r[wl],
-                               ok_r[wl])
-                if needs_host[wl]:
-                    run_host_fallback(w)
+            dev = dp_backtrack(tables, jput(lead), jput(seed),
+                               jput(last_col), max_steps,
+                               use_pallas=_use_pallas())
+            if pending is not None:
+                harvest(pending)
+            pending = (c0, c1, overflow, dev)
+        if pending is not None:
+            harvest(pending)
 
     # whole-contig default-kmer check (main.rs:1651): window-local maxima are
     # partial sums from each anchor, so their sum is the true global best score

@@ -264,10 +264,18 @@ def build_window_batch(alignseqs: List[AlignTags], n_pos: int,
 
     if stream_cache is not None and "t_sorted" in stream_cache:
         with stage("stream_filter_iter2"):
+            from ..io.native import filter_stream_native
+
             drop = np.array([a.dropped or len(a) == 0 for a in alignseqs])
-            keep = ~drop[stream_cache["rid_sorted"]]
-            t_sorted = stream_cache["t_sorted"][keep]
-            k_sorted = stream_cache["k_sorted"][keep]
+            res = filter_stream_native(stream_cache["t_sorted"],
+                                       stream_cache["k_sorted"],
+                                       stream_cache["rid_sorted"], drop)
+            if res is not None:
+                t_sorted, k_sorted = res
+            else:
+                keep = ~drop[stream_cache["rid_sorted"]]
+                t_sorted = stream_cache["t_sorted"][keep]
+                k_sorted = stream_cache["k_sorted"][keep]
     else:
         with stage("stream_collect"):
             if flat_stream is not None:
@@ -297,10 +305,17 @@ def build_window_batch(alignseqs: List[AlignTags], n_pos: int,
             stream_cache["rid_sorted"] = rid_sorted
 
     with stage("find_anchors"):
+        from ..io.native import find_anchors_native
+
         startcnt = _start_counts(alignseqs, n_pos)
         if len(t_sorted):
-            anchors, colcnt = find_anchors_stream(t_sorted, k_sorted, startcnt,
-                                                  n_pos, ref_codes)
+            res = find_anchors_native(t_sorted, k_sorted, n_pos,
+                                      ref_codes, startcnt)
+            if res is not None:
+                anchors, colcnt = res
+            else:
+                anchors, colcnt = find_anchors_stream(
+                    t_sorted, k_sorted, startcnt, n_pos, ref_codes)
         else:
             anchors = np.zeros(n_pos, dtype=bool)
             colcnt = np.zeros(n_pos, dtype=np.int64)

@@ -108,3 +108,63 @@ def test_native_secondary_missing_primary(tmp_path):
                        use_secondary=True)
     with pytest.raises(RuntimeError):
         build_alignseqs_native(str(bam), 0, b"A" * 1000, cfg)
+
+
+def _random_stream(rng, n, n_pos, n_reads):
+    t = rng.integers(0, n_pos, n, dtype=np.int32)
+    t.sort(kind="stable")
+    k = rng.integers(-(2**31), 2**31, n, dtype=np.int64).astype(np.int32)
+    rid = rng.integers(0, n_reads, n, dtype=np.int32)
+    return t, k, rid
+
+
+def test_native_sort_stream_threaded_stable():
+    from nextpolish2_tpu.io.native import sort_stream_native
+
+    rng = np.random.default_rng(7)
+    n, n_pos = 1_300_000, 5_000
+    t = rng.integers(0, n_pos, n, dtype=np.int32)
+    k = rng.integers(0, 2**28, n, dtype=np.int64).astype(np.int32)
+    rid = rng.integers(0, 999, n, dtype=np.int32)
+    for thr in (1, 8):
+        ts, ks, rs, mb = sort_stream_native(t, k, rid, n_pos, n_threads=thr)
+        order = np.argsort(t, kind="stable")
+        assert np.array_equal(ts, t[order])
+        assert np.array_equal(ks, k[order])
+        assert np.array_equal(rs, rid[order])
+        assert mb == int((k.view(np.uint32).astype(np.uint64) >> 16).max())
+
+
+def test_native_find_anchors_matches_numpy():
+    from nextpolish2_tpu.io.native import find_anchors_native
+    from nextpolish2_tpu.pipeline.windows import find_anchors_stream
+
+    rng = np.random.default_rng(11)
+    n, n_pos = 1_200_000, 3_000
+    t = rng.integers(0, n_pos, n, dtype=np.int32)
+    t.sort(kind="stable")
+    # keys biased so many columns are pure matches (flags bit12 clear, b3 = ref)
+    ref = rng.integers(0, 4, n_pos).astype(np.uint8)
+    b3 = np.where(rng.random(n) < 0.9, ref[t],
+                  rng.integers(0, 4, n).astype(np.uint8))
+    flags = np.where(rng.random(n) < 0.95, 0, 0x1000).astype(np.int32)
+    k = (flags | b3.astype(np.int32)).astype(np.int32)
+    startcnt = rng.integers(0, 2, n_pos).astype(np.int64)
+    startcnt[rng.random(n_pos) < 0.8] = 0
+    anc_n, col_n = find_anchors_native(t, k, n_pos, ref, startcnt)
+    anc_p, col_p = find_anchors_stream(t, k, startcnt, n_pos, ref)
+    assert np.array_equal(col_n, col_p)
+    assert np.array_equal(anc_n, anc_p)
+
+
+def test_native_filter_stream_matches_numpy():
+    from nextpolish2_tpu.io.native import filter_stream_native
+
+    rng = np.random.default_rng(13)
+    n, n_pos, n_reads = 1_100_000, 4_000, 500
+    t, k, rid = _random_stream(rng, n, n_pos, n_reads)
+    drop = (rng.random(n_reads) < 0.3)
+    t2, k2 = filter_stream_native(t, k, rid, drop)
+    keep = ~drop[rid]
+    assert np.array_equal(t2, t[keep])
+    assert np.array_equal(k2, k[keep])
