@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="compute engine: TPU windowed (default) or host oracle.")
     p.add_argument("--window-len", type=int, default=1024,
                    help="device window target length (columns).")
+    p.add_argument("--platform", choices=["auto", "cpu", "tpu"], default="auto",
+                   help="JAX platform; 'cpu' forces host execution even when "
+                        "a TPU backend is registered (the JAX_PLATFORMS env "
+                        "var is ignored by some TPU plugins).")
     p.add_argument("--mesh", default="auto",
                    help="device mesh 'WINxKMER' (e.g. 4x2), 'auto' (all "
                         "devices on the win axis), or 'off' (single device).")
@@ -113,6 +117,11 @@ def main(argv=None) -> int:
         print(f"{args.out!r} already exists!", file=sys.stderr)  # option.rs:312-316
         return 2
     cfg = args_to_config(args)
+
+    if args.platform != "auto":
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from .pipeline.orchestrator import PolishStats, completed_contigs, polish
     from .utils.resource import resource_str

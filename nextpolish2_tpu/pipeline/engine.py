@@ -74,12 +74,16 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
 
     # Fixed device shapes: B is always CHUNK_B windows and width one of two
     # tiers, so a whole multi-contig assembly compiles at most two DP shapes
-    # (compiles on the tunneled TPU cost minutes each). Windows wider than the
-    # chosen tier are flagged by aggregate_host and take the host fallback.
+    # (compiles on the tunneled TPU cost minutes each). The tier is chosen PER
+    # CHUNK from that chunk's widest window: a handful of anchor-poor outlier
+    # windows must not double the DP width of every chunk in the contig.
+    # Windows wider than tier 2 are flagged by aggregate_host and take the
+    # host fallback.
     CHUNK_B = 16 if nw <= 16 else 128
     tiers = [bucket(cfg.window_len + 256, 128), bucket(2 * cfg.window_len + 512, 128)]
-    span_max = int(wb.width)
-    width = tiers[0] if span_max <= tiers[0] else tiers[1]
+
+    def tier_for(span: int) -> int:
+        return tiers[0] if span <= tiers[0] else tiers[1]
 
     # multi-chip: shard each chunk's batch dim over the mesh's 'win' axis
     # (SURVEY §2 parallelism table; the DP/backtrack are per-window, so GSPMD
@@ -103,7 +107,7 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
     lead_all = np.maximum(wb.window_start - 2, 0)
     seed_all = wb.window_start > 0
     last_all = (wb.window_start + wb.window_len - 1 - lead_all).astype(np.int32)
-    max_steps = int(width + 128)
+    span_all = last_all + 1  # columns each window needs
 
     import jax
 
@@ -135,14 +139,16 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
         futs = []
         for c0 in range(0, nw, SUB):
             c1 = min(c0 + SUB, nw)
+            swidth = tier_for(int(span_all[c0:c1].max()))
 
-            def agg(c0=c0, c1=c1):
+            def agg(c0=c0, c1=c1, swidth=swidth):
                 with stage("aggregate_pileup"):
-                    return aggregate_host(wb, K, width=width, n_windows=c1 - c0,
+                    return aggregate_host(wb, K, width=swidth,
+                                          n_windows=c1 - c0,
                                           win_lo=c0, win_hi=c1)
 
             futs.append((c0, batcher.submit(
-                width, c1 - c0, agg, lead_all[c0:c1], seed_all[c0:c1],
+                swidth, c1 - c0, agg, lead_all[c0:c1], seed_all[c0:c1],
                 last_all[c0:c1])))
         for c0, fut in futs:
             for i, (cols_r, base_r, cnt_r, cov_r, ok_r, best_sc, truncated,
@@ -176,9 +182,11 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
         for c0 in range(0, nw, CHUNK_B):
             c1 = min(c0 + CHUNK_B, nw)
             n = c1 - c0
+            cwidth = tier_for(int(span_all[c0:c1].max()))
+            max_steps = int(cwidth + 128)
             with stage("aggregate_pileup"):
                 key_tab, cnt_tab, coverage, n_slots, overflow = aggregate_host(
-                    wb, K, width=width, n_windows=CHUNK_B, win_lo=c0, win_hi=c1)
+                    wb, K, width=cwidth, n_windows=CHUNK_B, win_lo=c0, win_hi=c1)
             lead = np.zeros(CHUNK_B, dtype=np.int64)
             lead[:n] = lead_all[c0:c1]
             seed = np.zeros(CHUNK_B, dtype=bool)

@@ -125,3 +125,41 @@ def test_tpu_equals_oracle_het_phasing(tmp_path):
     b = polish_contig_tpu(hap1, recs, [table], cfg, fallback=False)
     _assert_same(a, b)
     assert consensus_to_bytes(b) == hap1
+
+
+def test_tpu_mixed_width_tiers(tmp_path):
+    """Chunks in ONE contig pick different width tiers (engine.tier_for):
+    an uncovered stretch has no anchors (pure columns need >= 2 entries and
+    only the reference row spans it), forcing one window to exceed tier 1
+    while neighboring windows stay narrow."""
+    rng = np.random.default_rng(33)
+    t = rand_seq(rng, 6000)
+    table = make_table(tmp_path, [t])
+    gap_lo, gap_hi = 2200, 3400
+    recs = []
+    for s, r in tiled(t, length=800, step=300):
+        # leave [gap_lo, gap_hi) read-free: only the reference row remains
+        if s + 800 > gap_lo and s < gap_hi:
+            continue
+        recs.append(rec(s, [(0, len(r))], r, qname=f"r{s}".encode()))
+    recs.sort(key=lambda r: r.pos)
+    cfg = cfg_small(window_len=256)
+
+    # confirm the construction really yields mixed tiers
+    from nextpolish2_tpu.models.oracle import build_alignseqs
+    from nextpolish2_tpu.pipeline.windows import build_window_batch
+    from nextpolish2_tpu.utils.jaxcfg import bucket
+    from nextpolish2_tpu.utils.seqcodes import ASCII2CODE
+
+    aligns = build_alignseqs(t, recs, cfg)
+    ref_codes = ASCII2CODE[np.frombuffer(t, dtype=np.uint8)]
+    wb = build_window_batch(aligns, len(t), ref_codes, target=cfg.window_len)
+    lead = np.maximum(wb.window_start - 2, 0)
+    spans = wb.window_start + wb.window_len - lead
+    tier1 = bucket(cfg.window_len + 256, 128)
+    assert spans.max() > tier1, "construction must exceed tier 1"
+    assert spans.min() <= tier1, "construction must also use tier 1"
+
+    a = polish_contig(t, recs, [table], cfg)
+    b = polish_contig_tpu(t, recs, [table], cfg, fallback=False)
+    _assert_same(a, b)
