@@ -265,6 +265,111 @@ def phase_reads_by_lqseqs(lqseqs: List[LqRegion], asref: bool,
 
     Returns read orders to invalidate (their alignments removed from iteration 2).
     """
+    data, ref_weight, invalid_ids = _phase_edges_vec(lqseqs, asref,
+                                                     use_all_reads)
+    new_invalid = phase_communities(data, ref_weight)
+    new_invalid.extend(invalid_ids)
+    return new_invalid
+
+
+def _phase_edges_vec(lqseqs: List[LqRegion], asref: bool,
+                     use_all_reads: bool):
+    """Vectorized agreement-graph builder; returns (data, ref_weight,
+    invalid_ids) identical to _phase_edges_scalar.
+
+    Vectorized edge accumulation: per het interval the O(n^2) candidate pairs
+    are generated with numpy (allele identity compared once per seq via a
+    group-id table, not once per pair), all intervals' edge triplets are
+    reduced in a single unique+bincount pass, and the Graph dicts are built
+    once from the reduced sums. All weights are +/-1 counts summed exactly in
+    f64 and the Louvain stage iterates in canonical sorted order, so edge
+    VALUES are the only thing that matters — bit-identical to the pair-loop
+    reference semantics (see _phase_edges_scalar, kept for the differential
+    test in tests/test_lq_units.py)."""
+    e1_parts: List[np.ndarray] = []  # non-ref pair endpoints + weights
+    e2_parts: List[np.ndarray] = []
+    ew_parts: List[np.ndarray] = []
+    r2_parts: List[np.ndarray] = []  # ref-pair partner order + weight
+    rw_parts: List[np.ndarray] = []
+    for lqseq in lqseqs:
+        if not lqseq.label & L_HETE:
+            continue
+        seqs = [s for s in lqseq.seqs if s.kscore != 0]
+        if len(seqs) < 2:
+            continue
+        orders = np.array([s.order for s in seqs], dtype=np.int64)
+        gid_map: Dict[bytes, int] = {}
+        gids = np.array([gid_map.setdefault(s.seq, len(gid_map))
+                         for s in seqs], dtype=np.int64)
+        ii, jj = np.triu_indices(len(seqs), 1)
+        w = np.where(gids[ii] == gids[jj], 1.0, -1.0)
+        assert not (orders[1:] == 0).any(), "seq2 order must be nonzero"
+        if orders[0] == 0:  # reference allele survives the kscore filter
+            ref_pair = ii == 0
+            r2_parts.append(orders[jj[ref_pair]])
+            rw_parts.append(w[ref_pair])
+            ii, jj, w = ii[~ref_pair], jj[~ref_pair], w[~ref_pair]
+        e1_parts.append(orders[ii])
+        e2_parts.append(orders[jj])
+        ew_parts.append(w)
+
+    def _cat(parts, dtype):
+        return (np.concatenate(parts) if parts
+                else np.zeros(0, dtype=dtype))
+
+    n1 = _cat(e1_parts, np.int64)
+    n2 = _cat(e2_parts, np.int64)
+    ew = _cat(ew_parts, np.float64)
+    # reduce unordered (n1, n2) -> summed agreement weight and negative-pair
+    # count (the scalar loop inserts both directions, so orientation is
+    # irrelevant to the sums)
+    packed = (np.minimum(n1, n2) << 32) | np.maximum(n1, n2)
+    uniq, inv = np.unique(packed, return_inverse=True)
+    wsum = np.bincount(inv, weights=ew, minlength=len(uniq))
+    negcnt = np.bincount(inv, weights=(ew < 0).astype(np.float64),
+                         minlength=len(uniq))
+    u1 = (uniq >> 32).astype(np.int64)
+    u2 = (uniq & 0xFFFFFFFF).astype(np.int64)
+    # >=3 conflicting het sites -> hard conflict override (main.rs:994-1002)
+    val = np.where(negcnt >= 3.0, -negcnt, wsum)
+
+    invalid_ids: set[int] = set()
+    rr2 = _cat(r2_parts, np.int64)
+    rrw = _cat(rw_parts, np.float64)
+    if not use_all_reads:
+        invalid_ids.update(int(o) for o in rr2[rrw < 0])
+
+    # Build the symmetric Graph; ids whose every edge was invalidated must
+    # still get an (empty) top-level row — the scalar filter only pops the
+    # invalid ids themselves, and empty rows become singleton Louvain nodes
+    # that participate in decluster renumbering.
+    data = new_data()
+    for a, b, v in zip(u1.tolist(), u2.tolist(), val.tolist()):
+        a_ok = a not in invalid_ids
+        b_ok = b not in invalid_ids
+        if a_ok:
+            row = data.setdefault(a, {})
+            if b_ok:
+                row[b] = v
+        if b_ok:
+            row = data.setdefault(b, {})
+            if a_ok:
+                row[a] = v
+
+    ref_weight = None
+    if asref and len(rr2):
+        ru, rinv = np.unique(rr2, return_inverse=True)
+        rsum = np.bincount(rinv, weights=rrw, minlength=len(ru))
+        ref_weight = dict(zip(ru.tolist(), rsum.tolist()))
+
+    return data, ref_weight, invalid_ids
+
+
+def _phase_edges_scalar(lqseqs: List[LqRegion], asref: bool,
+                        use_all_reads: bool):
+    """Reference pair-loop edge builder (main.rs:948-1002), kept as the
+    executable spec for the vectorized phase_reads_by_lqseqs; returns
+    (data, ref_weight, invalid_ids) ready for phase_communities."""
     data = new_data()
     dif = new_data()
     ref_data = new_data()
@@ -288,18 +393,17 @@ def phase_reads_by_lqseqs(lqseqs: List[LqRegion], asref: bool,
                     if w < 0 and not use_all_reads:
                         invalid_ids.add(s2.order)
                     continue
-                assert s2.order != 0, "seq2 order is equal to 0"
+                assert s2.order != 0, "seq2 order must be nonzero"
                 if w == -1.0:
                     insert_data(dif, s1.order, s2.order, -1.0)
                     insert_data(dif, s2.order, s1.order, -1.0)
                 insert_data(data, s1.order, s2.order, w)
                 insert_data(data, s2.order, s1.order, w)
 
-    # >=3 conflicting het sites -> hard conflict override (main.rs:994-1002)
-    for n1 in sorted(dif):
-        for n2 in sorted(dif[n1]):
-            if dif[n1][n2] <= -3.0:
-                assign_data(data, n1, n2, dif[n1][n2])
+    for key1 in sorted(dif):
+        for key2 in sorted(dif[key1]):
+            if dif[key1][key2] <= -3.0:
+                assign_data(data, key1, key2, dif[key1][key2])
 
     if not use_all_reads:
         for k in invalid_ids:
@@ -309,9 +413,7 @@ def phase_reads_by_lqseqs(lqseqs: List[LqRegion], asref: bool,
                 row.pop(k, None)
 
     ref_weight = next(iter(ref_data.values()), None) if ref_data else None
-    new_invalid = phase_communities(data, ref_weight)
-    new_invalid.extend(invalid_ids)
-    return new_invalid
+    return data, ref_weight, invalid_ids
 
 
 def fill_seed_lqseqs(lqseqs: List[LqRegion], max_indel_len: int,

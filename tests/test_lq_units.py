@@ -101,3 +101,47 @@ def test_phase_communities_ref_model_overrides_weight():
     ref_weight = {4: 1.0, 5: 1.0, 1: -1.0, 2: -1.0, 3: -1.0}
     dropped = phase_communities(data, ref_weight)
     assert sorted(dropped) == [1, 2, 3]
+
+
+def test_phase_reads_vectorized_matches_scalar_edges():
+    """The vectorized phase_reads_by_lqseqs edge builder must reproduce the
+    scalar pair-loop's (data, ref_weight, invalid_ids) exactly, across random
+    het scenarios (incl. ref alleles, kscore-zero skips, >=3-conflict
+    overrides, and invalidated reads that leave empty rows)."""
+    from nextpolish2_tpu.models.oracle_lq import (L_HETE, _phase_edges_scalar,
+                                                  _phase_edges_vec,
+                                                  phase_reads_by_lqseqs)
+    from nextpolish2_tpu.models.louvain import phase_communities
+
+    rng = np.random.default_rng(44)
+    alleles = [b"ACGT", b"AGGT", b"ACT", b"ACGTT"]
+    for trial in range(30):
+        n_reads = int(rng.integers(4, 30))
+        lqseqs = []
+        for _ in range(int(rng.integers(1, 12))):
+            label = L_HETE if rng.random() < 0.8 else 0
+            members = rng.choice(np.arange(1, n_reads + 1),
+                                 size=int(rng.integers(2, min(n_reads, 12))),
+                                 replace=False)
+            members = np.sort(members)
+            seqs = []
+            if rng.random() < 0.7:  # ref allele first (order 0)
+                seqs.append(LqSeq(order=0, kscore=int(rng.random() < 0.8),
+                                  kmer=0,
+                                  seq=alleles[int(rng.integers(4))]))
+            for m in members:
+                seqs.append(LqSeq(order=int(m),
+                                  kscore=int(rng.random() < 0.8), kmer=0,
+                                  seq=alleles[int(rng.integers(4))]))
+            lqseqs.append(LqRegion(start=0, end=1, label=label, seqs=seqs))
+        for asref in (False, True):
+            for use_all in (False, True):
+                data, ref_w, inv = _phase_edges_scalar(lqseqs, asref, use_all)
+                vdata, vref_w, vinv = _phase_edges_vec(lqseqs, asref, use_all)
+                # exact graph equality, including empty rows and edge values
+                assert vdata == data, (trial, asref, use_all)
+                assert vref_w == ref_w, (trial, asref, use_all)
+                assert vinv == inv, (trial, asref, use_all)
+                expect = sorted(phase_communities(data, ref_w) + list(inv))
+                got = sorted(phase_reads_by_lqseqs(lqseqs, asref, use_all))
+                assert got == expect, (trial, asref, use_all)
