@@ -52,7 +52,59 @@ class Louvain:
     def first_stage(self) -> bool:
         """Local moving phase (louvain.rs:72-117): visit vertices in sorted order,
         move each to the neighboring community with max positive connection weight
-        (ties -> smaller community id), repeat until stable."""
+        (ties -> smaller community id), repeat until stable.
+
+        Vectorized inner loop: each vertex's connection weight to every
+        neighboring community is one bincount of its neighbor weights by the
+        neighbors' current community (the scalar spec, _first_stage_scalar,
+        recomputes the same sums per distinct community: O(deg x comms)).
+        Weights are +/-1 counts summed exactly in f64, and dense indices are
+        assigned in ascending vertex-id order so the (weight, Reverse(id))
+        tie-break is order-isomorphic — results are identical; a differential
+        test drives both on random graphs."""
+        import numpy as np
+
+        visit_ids = sorted(self.data.keys())
+        n = len(visit_ids)
+        idx = {v: i for i, v in enumerate(visit_ids)}
+        nbr_idx = [np.fromiter((idx[w] for w in self.data[v]), np.int64,
+                               len(self.data[v])) for v in visit_ids]
+        nbr_w = [np.fromiter(self.data[v].values(), np.float64,
+                             len(self.data[v])) for v in visit_ids]
+        # community of vertex i, as a dense index (community ids ARE vertex ids)
+        comm = np.fromiter((idx[self.node[v].id] for v in visit_ids),
+                           np.int64, n)
+        mod_inc = False
+        while True:
+            can_stop = True
+            for i in range(n):
+                nbrs = nbr_idx[i]
+                if not len(nbrs):
+                    continue
+                sums = np.bincount(comm[nbrs], weights=nbr_w[i], minlength=n)
+                cands = np.unique(comm[nbrs])
+                cw = sums[cands]
+                # max by (weight, Reverse(id)) (louvain.rs:99-102): cands is
+                # ascending, so the FIRST argmax is the smallest community id
+                best = int(np.argmax(cw))
+                best_w = float(cw[best])
+                best_ci = int(cands[best])
+                v_ci = int(comm[i])
+                if best_w > 0.0 and best_ci != v_ci:
+                    comm[i] = best_ci
+                    v_id = visit_ids[i]
+                    self.node[v_id].id = visit_ids[best_ci]
+                    self.communities[visit_ids[best_ci]].add(v_id)
+                    self.communities[visit_ids[v_ci]].discard(v_id)
+                    can_stop = False
+                    mod_inc = True
+            if can_stop:
+                break
+        return mod_inc
+
+    def _first_stage_scalar(self) -> bool:
+        """Reference pair-loop local moving phase (louvain.rs:72-117); the
+        executable spec for the vectorized first_stage above."""
         mod_inc = False
         visit_ids = sorted(self.data.keys())
         while True:

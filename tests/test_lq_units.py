@@ -145,3 +145,65 @@ def test_phase_reads_vectorized_matches_scalar_edges():
                 expect = sorted(phase_communities(data, ref_w) + list(inv))
                 got = sorted(phase_reads_by_lqseqs(lqseqs, asref, use_all))
                 assert got == expect, (trial, asref, use_all)
+
+
+def test_louvain_vectorized_first_stage_matches_scalar():
+    """Vectorized first_stage must reproduce the scalar local-moving phase
+    exactly (same final communities AND phase_communities output) on random
+    signed graphs, including multi-level aggregation + decluster paths."""
+    from nextpolish2_tpu.models.louvain import (Louvain, insert_data,
+                                                new_data, phase_communities)
+
+    rng = np.random.default_rng(55)
+    for trial in range(40):
+        n = int(rng.integers(3, 40))
+        data = new_data()
+        for _ in range(int(rng.integers(n, 4 * n))):
+            a, b = rng.integers(1, n + 1, size=2)
+            if a == b:
+                continue
+            w = float(rng.integers(1, 4)) * (1.0 if rng.random() < 0.6
+                                             else -1.0)
+            insert_data(data, int(a), int(b), w)
+            insert_data(data, int(b), int(a), w)
+        if not data:
+            continue
+
+        import copy
+        lv_v = Louvain(copy.deepcopy(data))
+        lv_s = Louvain(copy.deepcopy(data))
+        lv_s.first_stage = lv_s._first_stage_scalar  # type: ignore
+        moved_v = lv_v.first_stage()
+        moved_s = lv_s._first_stage_scalar()
+        assert moved_v == moved_s, trial
+        assert {k: v for k, v in lv_v.communities.items() if v} == \
+               {k: v for k, v in lv_s.communities.items() if v}, trial
+        assert {k: lv_v.node[k].id for k in lv_v.node} == \
+               {k: lv_s.node[k].id for k in lv_s.node}, trial
+
+        # end-to-end: full execute via the production path vs a Louvain
+        # whose every level runs the scalar stage
+        out_v = phase_communities(copy.deepcopy(data), None)
+
+        class ScalarLouvain(Louvain):
+            first_stage = Louvain._first_stage_scalar
+
+        lv = ScalarLouvain(copy.deepcopy(data))
+        data2, communities = lv.execute()
+        communities.sort(key=lambda x: x.weight, reverse=True)
+        invalid_ids = set()
+        for p, community in enumerate(communities):
+            if community.id in invalid_ids:
+                continue
+            id_vs = data2.get(community.id)
+            if id_vs:
+                for check in communities[p + 1:]:
+                    if check.id in invalid_ids:
+                        continue
+                    if check.id in id_vs:
+                        invalid_ids.add(check.id)
+        expect = []
+        for community in communities:
+            if community.id in invalid_ids:
+                expect.extend(community.nodes)
+        assert sorted(out_v) == sorted(expect), trial
