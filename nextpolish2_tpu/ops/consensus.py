@@ -295,21 +295,27 @@ def backtrack(tables: SlotTables, scores: jnp.ndarray, besti: jnp.ndarray,
             maxv, n_steps, still_alive)
 
 
-@functools.partial(jax.jit, static_argnames=("max_steps", "use_pallas"))
+@functools.partial(jax.jit,
+                   static_argnames=("max_steps", "use_pallas", "dynamic_k"))
 def dp_backtrack(tables: SlotTables, lead_abs: jnp.ndarray,
                  seed_anchor: jnp.ndarray, last_col: jnp.ndarray,
-                 max_steps: int, use_pallas: bool = False):
+                 max_steps: int, use_pallas: bool = False,
+                 dynamic_k: bool = False):
     """Fused DP + backtrack: one device program per chunk instead of two.
 
     On the tunneled TPU each dispatch pays round-trip latency, so the engine,
     the cross-contig batcher, and bench.py all call this single jitted
     program (one compile per (B, width) shape; intermediates never leave the
-    device). Returns (backtrack outputs, lvl_over)."""
+    device). dynamic_k selects the Pallas kernel whose per-column slot loop
+    stops at the column's real max slot count. Returns (backtrack outputs,
+    lvl_over)."""
     if use_pallas:
         from .consensus_pallas import consensus_dp_pallas
 
         scores, besti, lvl_over = consensus_dp_pallas(
-            tables.key, tables.count, tables.coverage, lead_abs, seed_anchor)
+            tables.key, tables.count, tables.coverage, lead_abs, seed_anchor,
+            n_slots_bw=tables.n_slots if dynamic_k else None,
+            dynamic_k=dynamic_k)
         besti = besti.astype(jnp.int8)
     else:
         scores, besti, lvl_over = consensus_dp(tables, lead_abs, seed_anchor)

@@ -149,9 +149,115 @@ def _dp_kernel(K, chunk_w, n_chunks,
     jax.lax.fori_loop(0, chunk_w, col_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk_w", "interpret"))
+def _dp_kernel_dynk(K, chunk_w, n_chunks,
+                    key_ref, cnt_ref, cov_ref, ns_ref, lead_ref, seed_ref,
+                    scores_out, besti_out,
+                    p_scores, p_b2key, p_b3key, p_b1head, p_b1nongap):
+    """Dynamic-K variant of _dp_kernel: the per-column slot unroll runs only
+    up to this column's max active slot count across the 128 lanes (mean ~6 of
+    K=16 on real 74x HiFi pileups), with per-slot queries re-decoded from a
+    dynamically indexed row instead of a static slice. Rows past the bound
+    keep their init (scores NEG_INF, besti 0) — exactly what the static
+    kernel computes for them, since invalid slots score NEG_INF and their
+    besti is never followed by the backtrack."""
+    wchunk = pl.program_id(1)
+
+    @pl.when(wchunk == 0)
+    def _init():
+        p_scores[:] = jnp.full((K, LANES), NEG_INF, jnp.int32)
+        p_b2key[:] = jnp.full((K, LANES), -7, jnp.int32)
+        p_b3key[:] = jnp.full((K, LANES), -8, jnp.int32)
+        p_b1head[:] = jnp.zeros((K, LANES), jnp.int32)
+        p_b1nongap[:] = jnp.zeros((K, LANES), jnp.int32)
+
+    lead = lead_ref[0, :]          # [L]
+    seed = seed_ref[0, :] != 0     # [L]
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (K, LANES), 0)
+
+    def col_body(c, _):
+        abs_col = wchunk * chunk_w + c
+        key = key_ref[c]           # [K, L]
+        cov = cov_ref[c]           # [L]
+        valid = key >= 0
+        # match TARGETS still need the full tile decode
+        _b1key, b2key, b3key, q1, _q2, _q3, _b3d = _decode_tile(key, abs_col)
+        b2key_m = jnp.where(valid, b2key, -7)
+        b3key_m = jnp.where(valid, b3key, -8)
+        b1head = (q1 == HEAD_Q).astype(jnp.int32)
+        b1nongap = (q1 != 4).astype(jnp.int32)
+        colge3 = (lead[None, :] + abs_col) >= 3  # [1, L]
+
+        pv_scores = p_scores[:]
+        pv_b2key = p_b2key[:]
+        pv_b3key = p_b3key[:]
+        pv_guard = (p_b1head[:] != 0) & colge3
+        pv_nongap = p_b1nongap[:] != 0
+        cur_guard = (b1head != 0) & colge3
+        cur_nongap = b1nongap != 0
+        cov_row = cov[None, :]
+
+        kmax = jnp.minimum(jnp.max(ns_ref[c]), K)
+
+        def slot_body(i, carry):
+            sc, bi = carry
+            k_i = key_ref[c, pl.ds(i, 1), :]     # [1, L] dynamic row read
+            cnt_i = cnt_ref[c, pl.ds(i, 1), :]
+            flags = (k_i >> 12) & 0xF
+            delta = (k_i >> 16) & 0xFFFF
+            iq1 = (k_i >> 8) & 0xF
+            iq2 = (k_i >> 4) & 0xF
+            both = (flags & 0b0101) == 0b0101
+            f23 = (flags & 0b0001) != 0
+            f12 = (flags & 0b0100) != 0
+            b1_t = jnp.where(both, abs_col,
+                             jnp.where(f23 | f12, abs_col - 1, abs_col - 2))
+            b2_t = jnp.where(both | f23, abs_col, abs_col - 1)
+            b2_d = jnp.where(both, delta + 1,
+                             jnp.where(f23, 0, jnp.where(f12, delta + 1, 0)))
+            i_b1 = (b1_t << 18) | (delta << 4) | iq1
+            i_b2 = (b2_t << 18) | (b2_d << 4) | iq2
+            m_p = (pv_b2key == i_b1) & (pv_b3key == i_b2) & ~pv_guard
+            cand_p = jnp.where(m_p, pv_scores, NEG_INF - 1)
+            best_p, j_p, has_p = _pick(m_p, cand_p, pv_nongap, K)
+            m_c = (b2key_m == i_b1) & (b3key_m == i_b2) & ~cur_guard
+            cand_c = jnp.where(m_c, sc, NEG_INF - 1)
+            best_c, j_c, has_c = _pick(m_c, cand_c, cur_nongap, K)
+            use_c = f23  # flag bit 0: pred pool is this column
+            best = jnp.where(use_c, best_c, best_p)
+            j = jnp.where(use_c, j_c, j_p)
+            has = jnp.where(use_c, has_c, has_p)
+            i_gain = 10 * cnt_i - 4 * cov_row
+            s_new = jnp.where(iq2 == HEAD_Q, i_gain,
+                              jnp.where(has != 0, best + i_gain, NEG_INF))
+            s_new = jnp.where(k_i >= 0, s_new, NEG_INF)
+            is_row = row_iota == i
+            sc = jnp.where(is_row, s_new, sc)
+            bi = jnp.where(is_row, j, bi)
+            return sc, bi
+
+        sc0 = jnp.full((K, LANES), NEG_INF, jnp.int32)
+        bi0 = jnp.zeros((K, LANES), jnp.int32)
+        sc, bi = jax.lax.fori_loop(0, kmax, slot_body, (sc0, bi0))
+        # anchor seeding (relative col 2 of seeded windows)
+        sc = jnp.where((seed[None, :]) & (abs_col == 2) & valid, 0, sc)
+
+        scores_out[c] = sc
+        besti_out[c] = bi.astype(jnp.int8)
+        p_scores[:] = sc
+        p_b2key[:] = b2key_m
+        p_b3key[:] = b3key_m
+        p_b1head[:] = b1head
+        p_b1nongap[:] = b1nongap
+        return 0
+
+    jax.lax.fori_loop(0, chunk_w, col_body, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("chunk_w", "interpret", "dynamic_k"))
 def consensus_dp_pallas(key_bwk, cnt_bwk, cov_bw, lead, seed,
-                        chunk_w: int = 32, interpret: bool = False):
+                        chunk_w: int = 32, interpret: bool = False,
+                        n_slots_bw=None, dynamic_k: bool = False):
     """Drop-in DP replacement: [B, W, K] tables -> (scores, besti, lvl_overflow).
 
     B is padded to a multiple of 128 internally; W to a multiple of chunk_w.
@@ -179,6 +285,52 @@ def consensus_dp_pallas(key_bwk, cnt_bwk, cov_bw, lead, seed,
     n_btiles = Bp // LANES
     n_chunks = Wp // chunk_w
     grid = (n_btiles, n_chunks)
+
+    if dynamic_k:
+        assert n_slots_bw is not None, "dynamic_k requires n_slots"
+        ns_p = jnp.zeros((Bp, Wp), jnp.int32).at[:B, :W].set(
+            n_slots_bw.astype(jnp.int32))
+        ns_wb = jnp.transpose(ns_p, (1, 0))
+        kernel = functools.partial(_dp_kernel_dynk, K, chunk_w, n_chunks)
+        scores, besti = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((chunk_w, K, LANES), lambda b, w: (w, 0, b),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((chunk_w, K, LANES), lambda b, w: (w, 0, b),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((chunk_w, LANES), lambda b, w: (w, b),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((chunk_w, LANES), lambda b, w: (w, b),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, LANES), lambda b, w: (0, b),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, LANES), lambda b, w: (0, b),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((chunk_w, K, LANES), lambda b, w: (w, 0, b),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((chunk_w, K, LANES), lambda b, w: (w, 0, b),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((Wp, K, Bp), jnp.int32),
+                jax.ShapeDtypeStruct((Wp, K, Bp), jnp.int8),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((K, LANES), jnp.int32),
+                pltpu.VMEM((K, LANES), jnp.int32),
+                pltpu.VMEM((K, LANES), jnp.int32),
+                pltpu.VMEM((K, LANES), jnp.int32),
+                pltpu.VMEM((K, LANES), jnp.int32),
+            ],
+            interpret=interpret,
+        )(key_wkb, cnt_wkb, cov_wb, ns_wb, lead_2d, seed_2d)
+        scores_bwk = jnp.transpose(scores, (2, 0, 1))[:B, :W]
+        besti_bwk = jnp.transpose(besti, (2, 0, 1))[:B, :W]
+        return scores_bwk, besti_bwk, lvl_overflow
 
     kernel = functools.partial(_dp_kernel, K, chunk_w, n_chunks)
     scores, besti = pl.pallas_call(

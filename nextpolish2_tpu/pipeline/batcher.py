@@ -299,8 +299,11 @@ class DeviceBatcher:
                             coverage=jput(coverage), n_slots=jput(n_slots),
                             overflow=jput(overflow))
         max_steps = int(width + 128)
+        from .engine import _dynamic_k
+
         return dp_backtrack(tables, jput(lead), jput(seed), jput(last),
-                            max_steps, use_pallas=_use_pallas())
+                            max_steps, use_pallas=_use_pallas(),
+                            dynamic_k=_dynamic_k())
 
     def _device_get(self, dev) -> tuple:
         import jax

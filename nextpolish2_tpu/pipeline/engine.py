@@ -51,6 +51,16 @@ def _use_pallas() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+def _dynamic_k() -> bool:
+    """Opt-in dynamic-K Pallas kernel (NP2_DP_DYNK=1): per-column slot loop
+    bounded by the column's real max slot count instead of K. Bit-exact to
+    the static kernel (tests/test_pallas_dp.py); off by default until its
+    on-chip speedup is confirmed."""
+    import os
+
+    return bool(os.environ.get("NP2_DP_DYNK"))
+
+
 def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
                             ref_codes: np.ndarray, cfg: PolishConfig,
                             stream_cache: Optional[dict] = None,
@@ -200,7 +210,8 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
                 overflow=jput(overflow))
             dev = dp_backtrack(tables, jput(lead), jput(seed),
                                jput(last_col), max_steps,
-                               use_pallas=_use_pallas())
+                               use_pallas=_use_pallas(),
+                               dynamic_k=_dynamic_k())
             if pending is not None:
                 harvest(pending)
             pending = (c0, c1, overflow, dev)

@@ -76,3 +76,30 @@ def test_pallas_dp_matches_xla():
                                   np.where(valid, sc_p, 0))
     np.testing.assert_array_equal(np.where(valid, bi_x, 0),
                                   np.where(valid, bi_p.astype(np.int64), 0))
+
+
+def test_pallas_dynamic_k_matches_static():
+    """Dynamic-K kernel (per-column slot-loop bound = column's real max slot
+    count) must be bit-identical to the static kernel on real-shaped tables,
+    including slots at/above the bound (init rows: NEG_INF scores, besti 0)."""
+    import jax.numpy as jnp
+
+    from nextpolish2_tpu.ops.consensus_pallas import consensus_dp_pallas
+
+    key, cnt, cov, lead, seed_anchor = build_tables(seed=71)
+    ns = (key >= 0).sum(2).astype(np.int32)
+    sc_s, bi_s, _ = consensus_dp_pallas(
+        jnp.asarray(key), jnp.asarray(cnt), jnp.asarray(cov),
+        jnp.asarray(lead), jnp.asarray(seed_anchor), interpret=True)
+    sc_d, bi_d, _ = consensus_dp_pallas(
+        jnp.asarray(key), jnp.asarray(cnt), jnp.asarray(cov),
+        jnp.asarray(lead), jnp.asarray(seed_anchor), interpret=True,
+        n_slots_bw=jnp.asarray(ns), dynamic_k=True)
+    valid = key >= 0
+    np.testing.assert_array_equal(np.asarray(sc_s), np.asarray(sc_d))
+    np.testing.assert_array_equal(
+        np.where(valid, np.asarray(bi_s), 0),
+        np.where(valid, np.asarray(bi_d), 0))
+    # rows past each column's bound must be untouched init values
+    past = ~valid
+    assert (np.asarray(sc_d)[past] == -(1 << 30)).all()
