@@ -272,7 +272,13 @@ def backtrack(tables: SlotTables, scores: jnp.ndarray, besti: jnp.ndarray,
         cnt = tables.count[bidx, c, s]
         cov = tables.coverage[bidx, c]
         emit_valid = alive & (q3 != 4)
-        out = (c, q3, cnt, cov, emit_valid, alive)
+        # small emission dtypes: the tunneled device->host pull is ~2x
+        # cheaper (col < width <= 2560 fits i16; q3 <= 15; count/coverage
+        # fit u16 - aggregate_host flags >65535-coverage windows to the
+        # host fallback before dispatch)
+        out = (c.astype(jnp.int16), q3.astype(jnp.int8),
+               cnt.astype(jnp.uint16), cov.astype(jnp.uint16),
+               emit_valid, alive)
         # b2 column: same col if flags bit0 or both-bits, else col-1
         both = (flags & 0b0101) == 0b0101
         f23 = (flags & 1) != 0

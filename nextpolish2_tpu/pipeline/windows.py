@@ -188,7 +188,12 @@ def aggregate_host(wb: "WindowBatch", K: int, width: int | None = None,
         res = aggregate3_native(wb.t_sorted, wb.k_sorted, lo, hi, lead,
                                 B, W, K)
         if res is not None:
-            return res
+            key_tab, cnt_tab, coverage, n_slots, overflow = res
+            # the device backtrack emits count/coverage as u16; send the
+            # (pathological) >65535-coverage windows to the host fallback
+            if coverage.size and int(coverage.max()) > 0xFFFF:
+                overflow = overflow | (coverage.max(axis=1) > 0xFFFF)
+            return key_tab, cnt_tab, coverage, n_slots, overflow
     # numpy fallback: materialize this chunk's flat (win, col, key) triples
     nw = win_hi - win_lo
     counts = (hi - lo).astype(np.int64)
@@ -239,6 +244,8 @@ def aggregate_host(wb: "WindowBatch", K: int, width: int | None = None,
     np.add.at(coverage, (uw[d0], uc[d0]), counts_u[d0].astype(np.int32))
     n_slots = np.zeros((B, W), dtype=np.int32)
     np.add.at(n_slots, (kw, kc), 1)
+    if coverage.size and int(coverage.max()) > 0xFFFF:  # u16 emission guard
+        overflow = overflow | (coverage.max(axis=1) > 0xFFFF)
     return key_tab, cnt_tab, coverage, n_slots, overflow
 
 

@@ -26,7 +26,9 @@ def test_backtrack_pallas_matches_xla():
     ok_a, ok_b = np.asarray(a[4]), np.asarray(b[4])
     np.testing.assert_array_equal(ok_a, ok_b)
     for i in range(4):
-        np.testing.assert_array_equal(np.where(ok_a, np.asarray(a[i]), -1),
-                                      np.where(ok_b, np.asarray(b[i]), -1))
+        # compare in int64: the wired backtrack emits small dtypes (i16/u16)
+        np.testing.assert_array_equal(
+            np.where(ok_a, np.asarray(a[i]).astype(np.int64), -1),
+            np.where(ok_b, np.asarray(b[i]).astype(np.int64), -1))
     np.testing.assert_array_equal(np.asarray(a[5]), np.asarray(b[5]))
     np.testing.assert_array_equal(np.asarray(a[7]), np.asarray(b[7]))
