@@ -50,13 +50,15 @@ def extract_alleles(alignseqs: List[AlignTags], lqseqs: List[LqRegion],
     pseudo-alignment (order 0). Appends LqSeq entries in read order.
     """
     ksize = table.ksize
-    if ksize >= 32:
-        # the reference's per-allele rolling k-mer (main.rs:1488-1492) packs
-        # 2 bits/base into a u64 and cannot represent k >= 32; every documented
-        # config includes a k < 32 table, which sorts first (option.rs:238)
-        raise ValueError("smallest yak table must have k < 32")
-    shift = 2 * (ksize - 1)
-    mask = (1 << (2 * ksize)) - 1
+    # The reference's per-allele rolling k-mer (main.rs:1433-1434, 1488-1492)
+    # packs 2 bits/base into a u64 unconditionally. With a k >= 32 smallest
+    # table (no documented config does this; option.rs:238 sorts tables by k)
+    # a release Rust build still runs: `<<` masks the shift amount mod 64
+    # (RFC 560), so for k = 32 `mask = (1 << 64) - 1` becomes 0 (fwd k-mer
+    # pinned at 0) and for k > 32 `shift`/`mask` wrap mod 64. We mirror those
+    # exact wrapped semantics for behavioral parity.
+    shift = (2 * (ksize - 1)) & 63
+    mask = ((1 << ((2 * ksize) & 63)) - 1) & 0xFFFFFFFFFFFFFFFF
     s = len(lqseqs) - 1
     for idx, a in enumerate(alignseqs):
         if a.dropped or len(a) == 0:
@@ -96,7 +98,7 @@ def extract_alleles(alignseqs: List[AlignTags], lqseqs: List[LqRegion],
                     # raw rolling (q_base used unchecked, incl N/M codes —
                     # reference main.rs:1488-1492 does the same)
                     k_fwd = ((k_fwd << 2) | qb) & mask
-                    k_rev = (k_rev >> 2) | ((3 ^ qb) << shift)
+                    k_rev = ((k_rev >> 2) | ((3 ^ qb) << shift)) & 0xFFFFFFFFFFFFFFFF
                 kmer = min(k_fwd, k_rev)
             else:
                 kmer = INVALID
