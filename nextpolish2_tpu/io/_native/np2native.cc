@@ -890,6 +890,261 @@ int np2_aggregate3(const int32_t* t_sorted, const int32_t* k_sorted,
   return 0;
 }
 
+// Per-absolute-column distinct-key counts over the whole t-sorted contig
+// stream. A column's (t, key) distinct set is window-independent (keys pack
+// per-column deltas, not window offsets), so one pass yields every window's
+// max-slot bound for per-chunk K tiering (pipeline/engine.py): the DP kernel's
+// unrolled slot loop costs O(K^2) per column, and most real HiFi columns carry
+// <= 8 distinct 3-mers while pathological pileups need the full K. Counts are
+// clamped to 0x7FFF (tier decisions only compare against small K tiers).
+int np2_col_slots(const int32_t* t_sorted, const int32_t* k_sorted,
+                  int64_t n, int64_t n_pos, int64_t n_threads,
+                  int32_t* out_counts) {
+  std::fill(out_counts, out_counts + n_pos, 0);
+  int T = (int)(n_threads < 1 ? 1 : (n_threads > 16 ? 16 : n_threads));
+  if (n < (int64_t)1 << 16) T = 1;
+  // split the stream at column boundaries
+  std::vector<int64_t> sb(T + 1, n);
+  sb[0] = 0;
+  for (int t = 1; t < T; t++) {
+    int64_t i = n / T * t;
+    while (i < n && i > 0 && t_sorted[i] == t_sorted[i - 1]) i++;
+    sb[t] = i;
+  }
+  for (int t = 1; t < T; t++) if (sb[t] < sb[t - 1]) sb[t] = sb[t - 1];
+  auto work = [&](int t) {
+    const int HB = 13, HN = 1 << HB;
+    const int64_t CAP = 0x7FFF;
+    std::vector<int32_t> hkey(HN);
+    std::vector<uint32_t> hgen(HN, 0);
+    uint32_t gen = 0;
+    int64_t i = sb[t], end = sb[t + 1];
+    while (i < end) {
+      int32_t tp = t_sorted[i];
+      gen++;
+      int64_t cnt = 0;
+      int64_t j = i;
+      for (; j < end && t_sorted[j] == tp; j++) {
+        int32_t k = k_sorted[j];
+        uint32_t h = ((uint32_t)k * 2654435761u) >> (32 - HB);
+        for (;;) {
+          if (hgen[h] != gen) {
+            hgen[h] = gen;
+            hkey[h] = k;
+            cnt++;
+            break;
+          }
+          if (hkey[h] == k) break;
+          h = (h + 1) & (HN - 1);
+          if (cnt >= (HN >> 1)) break;  // load cap: count saturates
+        }
+        if (cnt >= (HN >> 1)) {
+          // saturated column: skip its remaining entries
+          while (j < end && t_sorted[j] == tp) j++;
+          cnt = CAP;
+          break;
+        }
+      }
+      if (tp >= 0 && tp < n_pos)
+        out_counts[tp] = (int32_t)(cnt > CAP ? CAP : cnt);
+      i = j;
+    }
+  };
+  if (T == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < T; t++) threads.emplace_back(work, t);
+    for (auto& th : threads) th.join();
+  }
+  return 0;
+}
+
+// Host-fallback windowed Viterbi DP for windows exceeding the device's
+// static slot bound (structural-variant pileup columns with hundreds to
+// thousands of distinct 3-mers). Exact twin of pipeline/host_fallback.py
+// (itself the no-caps mirror of the device DP, reference main.rs:1645-1687):
+// variable-length slot lists, no delta-level cap, anchor seeding, identical
+// tie rules (strict >, or == with non-gap predecessor first base, last such j
+// winning). Predecessor matching is hash-bucketed per column — the match key
+// (b2 tuple + b3d/q3) packs exactly into 62 bits, so bucketing cannot change
+// results — which removes the O(slots^2) scan the Python fallback pays on
+// 32k-slot columns. cols must be nondecreasing (the t-sorted window stream).
+// Emits the reversed walk into caller buffers of capacity out_cap; returns 0,
+// or -1 on invalid input / -2 if out_cap is too small / -3 width too wide.
+int np2_host_window_dp(const int32_t* cols, const int32_t* keys, int64_t n,
+                       int64_t width, int64_t lead_abs, int64_t last_col,
+                       int32_t seed_anchor,
+                       int32_t* out_col, int32_t* out_q3,
+                       int32_t* out_cnt, int32_t* out_cov,
+                       int64_t* out_n, int64_t* out_best, int64_t out_cap) {
+  if (n <= 0 || width <= 0) return -1;
+  if (width >= ((int64_t)1 << 20)) return -3;  // b2_t must fit 20 bits
+  const int64_t NEG = -((int64_t)1 << 40);
+  const int HEAD_Q = 15;
+
+  struct Slot {
+    int32_t key;
+    int64_t count;
+    int32_t b3d;    // clamped to i32 (delta < 2^16)
+  };
+  // per-column slot lists in reference order (b3d, then first occurrence)
+  std::vector<std::vector<Slot>> col_slots((size_t)width);
+  std::vector<int64_t> coverage((size_t)width, 0);
+  {
+    // dedup per column segment (stream is col-sorted; within a column the
+    // order is first-occurrence), then stable-sort by b3d
+    std::unordered_map<int32_t, size_t> seen;
+    int64_t i = 0;
+    while (i < n) {
+      int32_t c = cols[i];
+      if (c < 0 || c >= width) return -1;
+      seen.clear();
+      auto& slots = col_slots[(size_t)c];
+      int64_t j = i;
+      for (; j < n && cols[j] == c; j++) {
+        int32_t k = keys[j];
+        auto it = seen.find(k);
+        if (it == seen.end()) {
+          seen.emplace(k, slots.size());
+          slots.push_back({k, 1, (int32_t)b3d_of_key((int64_t)(uint32_t)k)});
+        } else {
+          slots[it->second].count++;
+        }
+      }
+      std::stable_sort(slots.begin(), slots.end(),
+                       [](const Slot& a, const Slot& b) { return a.b3d < b.b3d; });
+      int64_t cov = 0;
+      for (auto& s : slots) if (s.b3d == 0) cov += s.count;
+      coverage[(size_t)c] = cov;
+      i = j;
+    }
+  }
+
+  // decoded per-slot fields + DP state, column-local
+  auto decode = [](int32_t key, int64_t col, int64_t& b1t, int64_t& b1d,
+                   int64_t& b1q, int64_t& b2t, int64_t& b2d, int64_t& b2q,
+                   int64_t& q3) {
+    int64_t k = (int64_t)(uint32_t)key;
+    int64_t flags = (k >> 12) & 0xF;
+    int64_t delta = (k >> 16) & 0xFFFF;
+    b1q = (k >> 8) & 0xF;
+    b2q = (k >> 4) & 0xF;
+    q3 = k & 0xF;
+    if ((flags & 0b0101) == 0b0101) {
+      b1t = col; b1d = delta; b2t = col; b2d = delta + 1;
+    } else if (flags & 0b0001) {
+      b1t = col - 1; b1d = delta; b2t = col; b2d = 0;
+    } else if (flags & 0b0100) {
+      b1t = col - 1; b1d = delta; b2t = col - 1; b2d = delta + 1;
+    } else {
+      b1t = col - 2; b1d = delta; b2t = col - 1; b2d = 0;
+    }
+  };
+  // 62-bit exact pack of (b2 tuple, b3d, q3): t 20 | d 17 | q 4 | b3d 17 | q3 4
+  auto combo = [](int64_t t, int64_t d, int64_t q, int64_t b3d, int64_t q3) {
+    return ((uint64_t)t << 42) | ((uint64_t)d << 25) | ((uint64_t)q << 21) |
+           ((uint64_t)b3d << 4) | (uint64_t)q3;
+  };
+
+  std::vector<std::vector<int64_t>> score((size_t)width);
+  std::vector<std::vector<int32_t>> besti((size_t)width);
+  // per-column bucket: combo(j.b2, j.b3d, j.q3) -> ascending slot indices
+  std::vector<std::unordered_map<uint64_t, std::vector<int32_t>>> bucket(
+      (size_t)width);
+  for (int64_t c = 0; c < width; c++) {
+    auto& slots = col_slots[(size_t)c];
+    if (slots.empty()) continue;
+    score[(size_t)c].assign(slots.size(), NEG);
+    besti[(size_t)c].assign(slots.size(), 0);
+    auto& bk = bucket[(size_t)c];
+    bk.reserve(slots.size() * 2);
+    for (size_t si = 0; si < slots.size(); si++) {
+      int64_t b1t, b1d, b1q, b2t, b2d, b2q, q3;
+      decode(slots[si].key, c, b1t, b1d, b1q, b2t, b2d, b2q, q3);
+      bk[combo(b2t, b2d, b2q, slots[si].b3d, q3)].push_back((int32_t)si);
+    }
+    int64_t cov = coverage[(size_t)c];
+    for (size_t si = 0; si < slots.size(); si++) {
+      int64_t b1t, b1d, b1q, b2t, b2d, b2q, q3;
+      decode(slots[si].key, c, b1t, b1d, b1q, b2t, b2d, b2q, q3);
+      int64_t gain = 10 * slots[si].count - 4 * cov;
+      if (b2q == HEAD_Q) {
+        score[(size_t)c][si] = gain;
+        continue;
+      }
+      int64_t pt = b2t;
+      if (pt < 0 || pt >= width) continue;  // stays NEG
+      // match: j.b2 == my b1 and (pt, j.b3d, j.q3) == my b2 — my b2's t is
+      // pt by pool choice, so the bucket key is (b1 tuple, b2d, b2q)
+      auto& pbk = bucket[(size_t)pt];
+      auto it = pbk.find(combo(b1t, b1d, b1q, b2d, b2q));
+      if (it == pbk.end()) continue;
+      auto& pslots = col_slots[(size_t)pt];
+      auto& pscore = score[(size_t)pt];
+      bool head_guard = (pt + lead_abs) >= 3;
+      int64_t best = NEG;
+      int32_t bj = 0;
+      for (int32_t j : it->second) {
+        int64_t jb1t, jb1d, jb1q, jb2t, jb2d, jb2q, jq3;
+        decode(pslots[(size_t)j].key, pt, jb1t, jb1d, jb1q, jb2t, jb2d,
+               jb2q, jq3);
+        if (head_guard && jb1q == HEAD_Q) continue;
+        int64_t cand = pscore[(size_t)j] + gain;
+        // reference tie rule verbatim (host_fallback.py:105): strict >, or
+        // == with the predecessor's first base a non-gap (last such j wins)
+        if (cand > best || (cand == best && jb1q != 4)) {
+          best = cand;
+          bj = j;
+        }
+      }
+      score[(size_t)c][si] = best;
+      besti[(size_t)c][si] = bj;
+    }
+    if (seed_anchor && c == 2)
+      for (size_t si = 0; si < slots.size(); si++) score[(size_t)c][si] = 0;
+  }
+
+  // backtrack: last-max slot at last_col (>= scan keeps the LAST max)
+  if (last_col < 0 || last_col >= width || col_slots[(size_t)last_col].empty())
+    return -1;
+  {
+    auto& fs = score[(size_t)last_col];
+    int64_t mx = NEG;
+    size_t si = 0;
+    for (size_t k = 0; k < fs.size(); k++)
+      if (fs[k] >= mx) { mx = fs[k]; si = k; }
+    *out_best = mx;
+    int64_t c = last_col;
+    int32_t i = (int32_t)si;
+    int64_t m = 0;
+    for (;;) {
+      const Slot& s = col_slots[(size_t)c][(size_t)i];
+      int64_t b1t, b1d, b1q, b2t, b2d, b2q, q3;
+      decode(s.key, c, b1t, b1d, b1q, b2t, b2d, b2q, q3);
+      if (q3 != 4) {
+        if (m >= out_cap) return -2;
+        out_col[m] = (int32_t)c;
+        out_q3[m] = (int32_t)q3;
+        out_cnt[m] = (int32_t)(s.count > 0x7FFFFFFF ? 0x7FFFFFFF : s.count);
+        out_cov[m] = (int32_t)(coverage[(size_t)c] > 0x7FFFFFFF
+                                   ? 0x7FFFFFFF : coverage[(size_t)c]);
+        m++;
+      }
+      if (b2q == HEAD_Q || (seed_anchor && c == 2)) break;
+      int64_t nc = b2t;
+      if (nc < 0) break;
+      int32_t ni = besti[(size_t)c][(size_t)i];
+      if (nc >= width || (size_t)ni >= col_slots[(size_t)nc].size())
+        return -1;  // inconsistent stream (the Python spec would throw too)
+      i = ni;
+      c = nc;
+    }
+    *out_n = m;
+  }
+  return 0;
+}
+
 // ---------- memory prefault ----------
 
 // Grow the process heap by `bytes` and fault it in with `threads` threads and

@@ -55,6 +55,8 @@ def load() -> Optional[ctypes.CDLL]:
     lib.np2_extract_fetch3.restype = ctypes.c_int
     lib.np2_sort_stream.restype = ctypes.c_int
     lib.np2_aggregate3.restype = ctypes.c_int
+    lib.np2_col_slots.restype = ctypes.c_int
+    lib.np2_host_window_dp.restype = ctypes.c_int
     lib.np2_prefault.restype = ctypes.c_int
     lib.np2_find_anchors.restype = ctypes.c_int
     lib.np2_filter_stream.restype = ctypes.c_int64
@@ -295,3 +297,57 @@ def aggregate3_native(t_sorted: np.ndarray, k_sorted: np.ndarray,
     return (key_tab.reshape(B, W, K), cnt_tab.reshape(B, W, K),
             coverage.reshape(B, W), n_slots.reshape(B, W),
             overflow.astype(bool))
+
+
+def host_window_dp_native(cols: np.ndarray, keys: np.ndarray, width: int,
+                          lead_abs: int, last_col: int, seed_anchor: bool):
+    """Native host-fallback windowed DP (np2_host_window_dp); returns the
+    reversed emission arrays (col, q3, count, coverage) + best score, or None
+    if the library is unavailable / the window exceeds native bounds (the
+    caller then runs the Python twin, pipeline/host_fallback.py)."""
+    lib = load()
+    if lib is None or width >= (1 << 20) or len(cols) == 0:
+        return None
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    keys = np.ascontiguousarray(keys, dtype=np.int32)
+    cap = len(cols) + 8
+    out_col = np.empty(cap, dtype=np.int32)
+    out_q3 = np.empty(cap, dtype=np.int32)
+    out_cnt = np.empty(cap, dtype=np.int32)
+    out_cov = np.empty(cap, dtype=np.int32)
+    out_n = ctypes.c_int64(0)
+    out_best = ctypes.c_int64(0)
+    rc = lib.np2_host_window_dp(
+        _p(cols, ctypes.c_int32), _p(keys, ctypes.c_int32),
+        ctypes.c_int64(len(cols)), ctypes.c_int64(width),
+        ctypes.c_int64(lead_abs), ctypes.c_int64(last_col),
+        ctypes.c_int32(1 if seed_anchor else 0),
+        _p(out_col, ctypes.c_int32), _p(out_q3, ctypes.c_int32),
+        _p(out_cnt, ctypes.c_int32), _p(out_cov, ctypes.c_int32),
+        ctypes.byref(out_n), ctypes.byref(out_best), ctypes.c_int64(cap))
+    if rc != 0:
+        return None
+    m = out_n.value
+    return (out_col[:m].astype(np.int64), out_q3[:m].astype(np.int64),
+            out_cnt[:m].astype(np.int64), out_cov[:m].astype(np.int64),
+            int(out_best.value))
+
+
+def col_slots_native(t_sorted: np.ndarray, k_sorted: np.ndarray,
+                     n_pos: int, n_threads: int = 4) -> Optional[np.ndarray]:
+    """Per-absolute-column distinct-key counts over the whole t-sorted stream
+    (np2_col_slots) — the per-window max-slot bound used for K tiering; None
+    if the library is unavailable. Counts saturate at 0x7FFF."""
+    lib = load()
+    if lib is None:
+        return None
+    t_sorted = np.ascontiguousarray(t_sorted, dtype=np.int32)
+    k_sorted = np.ascontiguousarray(k_sorted, dtype=np.int32)
+    out = np.empty(n_pos, dtype=np.int32)
+    rc = lib.np2_col_slots(
+        _p(t_sorted, ctypes.c_int32), _p(k_sorted, ctypes.c_int32),
+        ctypes.c_int64(len(t_sorted)), ctypes.c_int64(n_pos),
+        ctypes.c_int64(n_threads), _p(out, ctypes.c_int32))
+    if rc != 0:
+        raise RuntimeError(f"np2_col_slots failed rc={rc}")
+    return out

@@ -74,8 +74,8 @@ class DeviceBatcher:
         # agg_threads=1: the native aggregator is internally multithreaded
         self._lock = threading.Lock()
         self._wake = threading.Condition(self._lock)
-        # per width tier: list of (request, row_offset) cursors
-        self._queues: Dict[int, List[Tuple[_Request, int]]] = {}
+        # per (width, K) tier: list of (request, row_offset) cursors
+        self._queues: Dict[tuple, List[Tuple[_Request, int]]] = {}
         self._stop = False
         self._idle_flush_s = idle_flush_s
         self._jput = jput
@@ -88,18 +88,21 @@ class DeviceBatcher:
         self._worker.start()
 
     # ---- producer side -------------------------------------------------
-    def submit(self, width: int, n: int, aggregate: Callable[[], tuple],
+    def submit(self, tier, n: int, aggregate: Callable[[], tuple],
                lead: np.ndarray, seed: np.ndarray, last: np.ndarray) -> Future:
-        """Queue `n` windows for the `width` tier. `aggregate()` must return
-        unpadded [n, ...] slot tables. Returns a Future resolving to a list of
-        n per-window tuples (cols_r, base_r, cnt_r, cov_r, ok_r, best_sc,
-        truncated, lvl_over, overflow)."""
+        """Queue `n` windows for `tier` = (width, K) (a bare int width is
+        accepted for K = the aggregation's own K). `aggregate()` must return
+        unpadded [n, ...] slot tables with that K. Returns a Future resolving
+        to a list of n per-window tuples (cols_r, base_r, cnt_r, cov_r, ok_r,
+        best_sc, truncated, lvl_over, overflow)."""
+        if not isinstance(tier, tuple):
+            tier = (int(tier), None)
         req = _Request(n=n, aggregate=aggregate, lead=np.asarray(lead),
                        seed=np.asarray(seed), last=np.asarray(last))
         with self._wake:
             if self._error is not None:
                 raise RuntimeError("batcher worker died") from self._error
-            self._queues.setdefault(int(width), []).append((req, 0))
+            self._queues.setdefault(tier, []).append((req, 0))
             self._wake.notify()
         return req.future
 
@@ -136,9 +139,10 @@ class DeviceBatcher:
             del self._queues[best_w]
         return best_w, take
 
-    def _aggregate(self, width: int,
+    def _aggregate(self, tier,
                    take: List[Tuple[_Request, int, int]]) -> tuple:
         """Build the padded [LANE_B, ...] batch arrays for `take`."""
+        width = tier[0]
         # aggregate whole requests once; slice rows after (requests are small)
         uniq: Dict[int, Future] = {}
         for req, lo, hi in take:
@@ -240,10 +244,10 @@ class DeviceBatcher:
                     inflight = None
                     self._resolve(take, batch, dev)
                     continue
-                width, take = got
+                tier, take = got
                 try:
-                    batch = self._aggregate(width, take)
-                    dev = self._dispatch(width, batch)
+                    batch = self._aggregate(tier, take)
+                    dev = self._dispatch(tier[0], batch)
                 except BaseException as e:
                     for req, _, _ in take:  # fail just this batch's owners
                         if not req.future.done():

@@ -61,6 +61,53 @@ def _dynamic_k() -> bool:
     return bool(os.environ.get("NP2_DP_DYNK"))
 
 
+def plan_tiered_chunks(span_all: np.ndarray, ktier_all: np.ndarray,
+                       tiers: List[int], chunk_b: int) -> List[tuple]:
+    """Group windows by (width tier, K tier) into device chunks of
+    <= chunk_b window ids: (ids, width, K) triples. Regrouping is exact:
+    DP/backtrack lanes are independent, and a window's slot tables are
+    identical at any K >= its max column slot count (slots are per-column;
+    K only truncates; width only pads).
+
+    Only FULL chunks are emitted per tier; all leftovers merge into combined
+    tail chunks at their members' max (width, K). The kernel pads every batch
+    to 128 lanes, so an underfull small-K chunk costs as much as a full one —
+    splitting a small contig's windows across tiers would only add dispatches.
+    """
+    wtier_all = np.where(span_all <= tiers[0], tiers[0], tiers[1])
+    chunks = []
+    leftover: List[np.ndarray] = []
+    for wt in tiers:
+        for kt in sorted(set(ktier_all.tolist())):
+            ids_g = np.nonzero((wtier_all == wt) & (ktier_all == kt))[0]
+            n_full = len(ids_g) // chunk_b * chunk_b
+            for c0 in range(0, n_full, chunk_b):
+                chunks.append((ids_g[c0 : c0 + chunk_b], int(wt), int(kt)))
+            if len(ids_g) > n_full:
+                leftover.append(ids_g[n_full:])
+    if leftover:
+        rest = np.concatenate(leftover)
+        for c0 in range(0, len(rest), chunk_b):
+            ids = np.sort(rest[c0 : c0 + chunk_b])
+            chunks.append((ids, int(wtier_all[ids].max()),
+                           int(ktier_all[ids].max())))
+    return chunks
+
+
+def window_ktiers(wb, n_pos: int, K: int, k_small: int = 8) -> np.ndarray:
+    """Per-window K tier: k_small where no column exceeds k_small slots
+    (one stream pass, window-independent), else the full K."""
+    from .windows import col_slot_counts, window_max_slots
+
+    if K <= k_small:
+        return np.full(wb.n_windows, K, dtype=np.int64)
+    lead_all = np.maximum(wb.window_start - 2, 0)
+    ends_all = wb.window_start + wb.window_len - 1
+    colslots = col_slot_counts(wb.t_sorted, wb.k_sorted, n_pos)
+    wmax_slots = window_max_slots(colslots, lead_all, ends_all)
+    return np.where(wmax_slots <= k_small, k_small, K)
+
+
 def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
                             ref_codes: np.ndarray, cfg: PolishConfig,
                             stream_cache: Optional[dict] = None,
@@ -119,6 +166,14 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
     last_all = (wb.window_start + wb.window_len - 1 - lead_all).astype(np.int32)
     span_all = last_all + 1  # columns each window needs
 
+    # K tier per window: the DP kernel's slot unroll costs O(K^2) per column,
+    # and most real HiFi windows never exceed 8 slots in any column (79% on
+    # the bundled 74x data) while K=48 covers pathological pileups. One stream
+    # pass bounds every window; windows are REGROUPED by (width, K) tier so
+    # fat windows don't drag whole chunks to K=48.
+    with stage("plan_ktiers"):
+        ktier_all = window_ktiers(wb, n_pos, K)
+
     import jax
 
     host_results = {}
@@ -142,67 +197,69 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
 
     batcher = get_active_batcher()
     if batcher is not None:
-        # cross-contig batching: hand window ranges (aggregation deferred) to
+        # cross-contig batching: hand window subsets (aggregation deferred) to
         # the shared DeviceBatcher, which packs full 128-lane batches across
-        # concurrently-polished contigs (pipeline/batcher.py)
+        # concurrently-polished contigs per (width, K) tier (pipeline/batcher.py)
         SUB = 32
         futs = []
         for c0 in range(0, nw, SUB):
             c1 = min(c0 + SUB, nw)
             swidth = tier_for(int(span_all[c0:c1].max()))
+            for kt in sorted(set(ktier_all[c0:c1].tolist())):
+                ids = c0 + np.nonzero(ktier_all[c0:c1] == kt)[0]
 
-            def agg(c0=c0, c1=c1, swidth=swidth):
-                with stage("aggregate_pileup"):
-                    return aggregate_host(wb, K, width=swidth,
-                                          n_windows=c1 - c0,
-                                          win_lo=c0, win_hi=c1)
+                def agg(ids=ids, swidth=swidth, kt=kt):
+                    with stage("aggregate_pileup"):
+                        return aggregate_host(wb, kt, width=swidth,
+                                              n_windows=len(ids),
+                                              win_idx=ids)
 
-            futs.append((c0, batcher.submit(
-                swidth, c1 - c0, agg, lead_all[c0:c1], seed_all[c0:c1],
-                last_all[c0:c1])))
-        for c0, fut in futs:
+                futs.append((ids, batcher.submit(
+                    (swidth, kt), len(ids), agg, lead_all[ids],
+                    seed_all[ids], last_all[ids])))
+        for ids, fut in futs:
             for i, (cols_r, base_r, cnt_r, cov_r, ok_r, best_sc, truncated,
                     lvl_over, overflow) in enumerate(fut.result()):
-                w = c0 + i
+                w = int(ids[i])
                 win_rows[w] = (cols_r, base_r, cnt_r, cov_r, ok_r)
                 best_all[w] = best_sc
                 if overflow or lvl_over or truncated:
                     run_host_fallback(w)
     else:
         def harvest(pend) -> None:
-            c0, c1, overflow, dev = pend
-            n = c1 - c0
+            ids, overflow, dev = pend
+            n = len(ids)
             # ONE device->host transfer per chunk (tunnel round trips cost)
             with stage("device_dp_backtrack"):
                 (cols_r, base_r, cnt_r, cov_r, ok_r, best_sc, _n_steps,
                  truncated), lvl_over = jax.device_get(dev)
-            best_all[c0:c1] = best_sc[:n].astype(np.int64)
+            best_all[ids] = best_sc[:n].astype(np.int64)
             needs_host = overflow[:n] | lvl_over[:n] | truncated[:n]
             for wl in range(n):
-                w = c0 + wl
+                w = int(ids[wl])
                 win_rows[w] = (cols_r[wl], base_r[wl], cnt_r[wl], cov_r[wl],
                                ok_r[wl])
                 if needs_host[wl]:
                     run_host_fallback(w)
 
+        chunks = plan_tiered_chunks(span_all, ktier_all, tiers, CHUNK_B)
+
         # depth-2 software pipeline: aggregate + dispatch chunk i+1 BEFORE
         # pulling chunk i, so host pileup prep overlaps device DP + the
         # tunnel round trip (same overlap the cross-contig batcher does)
         pending = None
-        for c0 in range(0, nw, CHUNK_B):
-            c1 = min(c0 + CHUNK_B, nw)
-            n = c1 - c0
-            cwidth = tier_for(int(span_all[c0:c1].max()))
+        for ids, cwidth, ck in chunks:
+            n = len(ids)
             max_steps = int(cwidth + 128)
             with stage("aggregate_pileup"):
                 key_tab, cnt_tab, coverage, n_slots, overflow = aggregate_host(
-                    wb, K, width=cwidth, n_windows=CHUNK_B, win_lo=c0, win_hi=c1)
+                    wb, ck, width=cwidth, n_windows=CHUNK_B, win_idx=ids)
             lead = np.zeros(CHUNK_B, dtype=np.int64)
-            lead[:n] = lead_all[c0:c1]
+            lead[:n] = lead_all[ids]
             seed = np.zeros(CHUNK_B, dtype=bool)
-            seed[:n] = seed_all[c0:c1]
+            seed[:n] = seed_all[ids]
             last_col = np.zeros(CHUNK_B, dtype=np.int32)
-            last_col[:n] = last_all[c0:c1]
+            last_col[:n] = last_all[ids]
 
             tables = SlotTables(
                 key=jput(key_tab), count=jput(cnt_tab),
@@ -214,7 +271,7 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
                                dynamic_k=_dynamic_k())
             if pending is not None:
                 harvest(pending)
-            pending = (c0, c1, overflow, dev)
+            pending = (ids, overflow, dev)
         if pending is not None:
             harvest(pending)
 

@@ -166,7 +166,8 @@ def plan_windows(anchors: np.ndarray, n_pos: int, target: int = 1024) -> WindowP
 def aggregate_host(wb: "WindowBatch", K: int, width: int | None = None,
                    n_windows: int | None = None,
                    win_lo: int = 0, win_hi: int | None = None,
-                   use_native: bool = True):
+                   use_native: bool = True,
+                   win_idx: np.ndarray | None = None):
     """Host pileup aggregation: per-window (col, key) stream ranges ->
     [B, width, K] slot tables + coverage, in the reference's slot order
     (stable by (b3-delta, first occurrence); Msa::push + Msa::sort semantics).
@@ -174,14 +175,25 @@ def aggregate_host(wb: "WindowBatch", K: int, width: int | None = None,
     Same result as ops.consensus.aggregate_windows; exists because XLA's TPU sort
     compile blows up for streams >~100k entries. win_lo/win_hi select a window
     subrange (fixed-size device chunks); window w maps to row w - win_lo.
+    win_idx instead selects an ARBITRARY window subset (row i = window
+    win_idx[i]) — the K-tier regrouping path (engine.py).
     Returns (key_tab, cnt_tab, coverage, n_slots, overflow)."""
-    if win_hi is None:
-        win_hi = wb.n_windows
-    B = n_windows if n_windows is not None else (win_hi - win_lo)
-    W = width if width is not None else wb.width
-    lo = wb.lo[win_lo:win_hi]
-    hi = wb.hi[win_lo:win_hi]
-    lead = wb.lead[win_lo:win_hi]
+    if win_idx is not None:
+        win_idx = np.asarray(win_idx, dtype=np.int64)
+        B = n_windows if n_windows is not None else len(win_idx)
+        W = width if width is not None else wb.width
+        lo = wb.lo[win_idx]
+        hi = wb.hi[win_idx]
+        lead = wb.lead[win_idx]
+        win_hi = win_lo = None
+    else:
+        if win_hi is None:
+            win_hi = wb.n_windows
+        B = n_windows if n_windows is not None else (win_hi - win_lo)
+        W = width if width is not None else wb.width
+        lo = wb.lo[win_lo:win_hi]
+        hi = wb.hi[win_lo:win_hi]
+        lead = wb.lead[win_lo:win_hi]
     if use_native:
         from ..io.native import aggregate3_native
 
@@ -195,7 +207,7 @@ def aggregate_host(wb: "WindowBatch", K: int, width: int | None = None,
                 overflow = overflow | (coverage.max(axis=1) > 0xFFFF)
             return key_tab, cnt_tab, coverage, n_slots, overflow
     # numpy fallback: materialize this chunk's flat (win, col, key) triples
-    nw = win_hi - win_lo
+    nw = len(lo)
     counts = (hi - lo).astype(np.int64)
     idx = np.concatenate([np.arange(lo[w], hi[w]) for w in range(nw)]) if nw \
         else np.zeros(0, dtype=np.int64)
@@ -247,6 +259,35 @@ def aggregate_host(wb: "WindowBatch", K: int, width: int | None = None,
     if coverage.size and int(coverage.max()) > 0xFFFF:  # u16 emission guard
         overflow = overflow | (coverage.max(axis=1) > 0xFFFF)
     return key_tab, cnt_tab, coverage, n_slots, overflow
+
+
+def col_slot_counts(t_sorted: np.ndarray, k_sorted: np.ndarray,
+                    n_pos: int) -> np.ndarray:
+    """Distinct-key count per absolute column (saturating), the per-window
+    max-slot bound for K tiering. A column's distinct (t, key) set is
+    window-independent — keys pack per-column deltas, not window offsets —
+    so one stream pass bounds every window."""
+    from ..io.native import col_slots_native
+
+    res = col_slots_native(t_sorted, k_sorted, n_pos)
+    if res is not None:
+        return res
+    if not len(t_sorted):
+        return np.zeros(n_pos, dtype=np.int32)
+    packed = (t_sorted.astype(np.int64) << 32) | \
+        k_sorted.view(np.uint32).astype(np.int64)
+    cols = (np.unique(packed) >> 32).astype(np.int64)
+    return np.minimum(np.bincount(cols, minlength=n_pos), 0x7FFF) \
+        .astype(np.int32)
+
+
+def window_max_slots(colslots: np.ndarray, lead: np.ndarray,
+                     ends: np.ndarray) -> np.ndarray:
+    """Per-window max column slot count over [lead, end] (inclusive)."""
+    out = np.empty(len(lead), dtype=np.int32)
+    for i in range(len(lead)):
+        out[i] = colslots[lead[i] : ends[i] + 1].max(initial=0)
+    return out
 
 
 def build_window_batch(alignseqs: List[AlignTags], n_pos: int,

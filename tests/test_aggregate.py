@@ -122,3 +122,56 @@ def test_native_aggregation_beyond_cap_terminates():
                             np.array([n_distinct], dtype=np.int64),
                             np.array([0], dtype=np.int64), B=1, W=8, K=16)
     assert res is not None and bool(res[4][0])
+
+
+def test_col_slot_counts_native_vs_numpy():
+    """Per-column distinct-key counts: native == numpy fallback on a random
+    stream, and both bound every window's aggregated n_slots."""
+    from nextpolish2_tpu.io.native import available, col_slots_native
+    from nextpolish2_tpu.pipeline.windows import col_slot_counts
+
+    rng = np.random.default_rng(51)
+    n_pos = 300
+    n = 20000
+    t_sorted = np.sort(rng.integers(0, n_pos, size=n)).astype(np.int32)
+    k_sorted = (rng.integers(0, 12, size=n, dtype=np.int64) << 16
+                | rng.integers(0, 2, size=n, dtype=np.int64) << 12
+                | rng.integers(0, 4096, size=n, dtype=np.int64)
+                ).astype(np.int32)
+    ref = col_slot_counts(t_sorted, k_sorted, n_pos)  # native if available
+    # independent numpy model
+    packed = (t_sorted.astype(np.int64) << 32) | \
+        k_sorted.view(np.uint32).astype(np.int64)
+    cols = (np.unique(packed) >> 32).astype(np.int64)
+    expect = np.bincount(cols, minlength=n_pos).astype(np.int32)
+    np.testing.assert_array_equal(ref, expect)
+    if available():
+        nat = col_slots_native(t_sorted, k_sorted, n_pos)
+        np.testing.assert_array_equal(nat, expect)
+
+
+def test_aggregate_win_idx_matches_range():
+    """aggregate_host(win_idx=...) == the range path row-for-row, for an
+    arbitrary (unsorted) window subset — the K-tier regrouping contract."""
+    rng = np.random.default_rng(52)
+    t = bytes(rng.choice(list(b"ACGT"), size=2000).astype(np.uint8))
+    reads = []
+    for s in range(0, 1500, 150):
+        seq = bytearray(t[s : s + 600])
+        for _ in range(3):
+            i = int(rng.integers(len(seq)))
+            seq[i] = int(rng.choice(list(b"ACGT")))
+        reads.append(BamRecord(qname=f"r{s}".encode(), flag=0, tid=0, pos=s,
+                               mapq=60, cigar=[(0, 600)], seq=bytes(seq)))
+    cfg = PolishConfig(min_ctg_len=0, min_read_len=100, min_map_len=50)
+    aligns = build_alignseqs(t, reads, cfg)
+    ref_codes = ASCII2CODE[np.frombuffer(t, dtype=np.uint8)]
+    wb = build_window_batch(aligns, len(t), ref_codes, target=512)
+    K = 16
+    full = aggregate_host(wb, K, n_windows=wb.n_windows)
+    idx = rng.permutation(wb.n_windows)[: max(2, wb.n_windows // 2)]
+    for use_native in (False, True):
+        sub = aggregate_host(wb, K, n_windows=len(idx), win_idx=idx,
+                             use_native=use_native)
+        for fi, si in zip(full, sub):
+            np.testing.assert_array_equal(fi[idx], si)
