@@ -49,10 +49,30 @@ def _b3d(key: int) -> int:
 def host_window_dp(cols: np.ndarray, keys: np.ndarray, width: int,
                    lead_abs: int, last_col: int, seed_anchor: bool,
                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """One window's stream -> reversed emission arrays (col, q3, count, coverage).
+    """One window's stream -> reversed emission arrays (col, q3, count,
+    coverage) + best score.
 
-    Mirrors ops.consensus.{aggregate_windows, consensus_dp, backtrack} without
-    static slot/level caps. cols/keys: the window's valid stream entries.
+    The native twin (np2_host_window_dp, hash-bucketed predecessor lookup)
+    handles the hot path; host_window_dp_py below is the executable spec and
+    the fallback for windows outside native bounds. Differential-tested in
+    tests/test_native.py.
+    """
+    from ..io.native import host_window_dp_native
+
+    res = host_window_dp_native(cols, keys, width, lead_abs, last_col,
+                                seed_anchor)
+    if res is not None:
+        return res
+    return host_window_dp_py(cols, keys, width, lead_abs, last_col,
+                             seed_anchor)
+
+
+def host_window_dp_py(cols: np.ndarray, keys: np.ndarray, width: int,
+                      lead_abs: int, last_col: int, seed_anchor: bool,
+                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Pure-Python spec: mirrors ops.consensus.{aggregate_windows,
+    consensus_dp, backtrack} without static slot/level caps. cols/keys: the
+    window's valid stream entries.
     """
     packed = (cols.astype(np.int64) << 32) | keys.astype(np.int64)
     uniq, first_idx, counts = np.unique(packed, return_index=True,

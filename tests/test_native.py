@@ -168,3 +168,80 @@ def test_native_filter_stream_matches_numpy():
     keep = ~drop[rid]
     assert np.array_equal(t2, t[keep])
     assert np.array_equal(k2, k[keep])
+
+
+def _edit_read(rng, t, s, L):
+    """Random edit script over t[s:s+L] -> (seq, cigar) with valid lengths."""
+    seq = bytearray()
+    cig = []
+    i = s
+
+    def add(op, n):
+        if cig and cig[-1][0] == op:
+            cig[-1] = (op, cig[-1][1] + n)
+        else:
+            cig.append((op, n))
+
+    while i < s + L:
+        r = rng.random()
+        if r < 0.015:
+            n = int(rng.integers(1, 4))
+            seq.extend(rng.choice(list(b"ACGT"), size=n).astype(np.uint8))
+            add(1, n)
+        elif r < 0.03:
+            n = min(int(rng.integers(1, 4)), s + L - i)
+            add(2, n)
+            i += n
+        else:
+            b = t[i]
+            if rng.random() < 0.01:
+                b = int(rng.choice(list(b"ACGT")))
+            seq.append(b)
+            add(0, 1)
+            i += 1
+    return bytes(seq), cig
+
+
+def test_host_window_dp_native_vs_python():
+    """Native host-fallback DP (np2_host_window_dp) is bit-identical to the
+    Python spec on windows from random indel-bearing pileups."""
+    from nextpolish2_tpu.config import PolishConfig
+    from nextpolish2_tpu.io.bam import BamRecord
+    from nextpolish2_tpu.io.native import available, host_window_dp_native
+    from nextpolish2_tpu.models.oracle import build_alignseqs
+    from nextpolish2_tpu.pipeline.host_fallback import host_window_dp_py
+    from nextpolish2_tpu.pipeline.windows import build_window_batch
+    from nextpolish2_tpu.utils.seqcodes import ASCII2CODE
+
+    if not available():
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    tot = 0
+    for trial in range(4):
+        n_pos = int(rng.integers(600, 2000))
+        t = bytes(rng.choice(list(b"ACGT"), size=n_pos).astype(np.uint8))
+        reads = []
+        for s in range(0, n_pos - 400, 130):
+            L = min(int(rng.integers(300, 500)), n_pos - s)
+            seq, cig = _edit_read(rng, t, s, L)
+            reads.append(BamRecord(qname=f"r{s}".encode(), flag=0, tid=0,
+                                   pos=s, mapq=60, cigar=cig, seq=seq))
+        cfg = PolishConfig(min_ctg_len=0, min_read_len=50, min_map_len=30)
+        aligns = build_alignseqs(t, reads, cfg)
+        ref_codes = ASCII2CODE[np.frombuffer(t, dtype=np.uint8)]
+        wb = build_window_batch(aligns, n_pos, ref_codes, target=256)
+        for w in range(wb.n_windows):
+            cols, keys = wb.window_stream(w)
+            if not len(cols):
+                continue
+            lead = int(max(wb.window_start[w] - 2, 0))
+            last = int(wb.window_start[w] + wb.window_len[w] - 1 - lead)
+            seed = bool(wb.window_start[w] > 0)
+            a = host_window_dp_py(cols, keys, wb.width, lead, last, seed)
+            b = host_window_dp_native(cols, keys, wb.width, lead, last, seed)
+            assert b is not None
+            for x, y in zip(a, b):
+                np.testing.assert_array_equal(x, y)
+            tot += 1
+    assert tot > 20
