@@ -57,9 +57,14 @@ def extract_alleles(alignseqs: List[AlignTags], lqseqs: List[LqRegion],
     # (RFC 560), so for k = 32 `mask = (1 << 64) - 1` becomes 0 (fwd k-mer
     # pinned at 0) and for k > 32 `shift`/`mask` wrap mod 64. We mirror those
     # exact wrapped semantics for behavioral parity.
-    shift = (2 * (ksize - 1)) & 63
-    mask = ((1 << ((2 * ksize) & 63)) - 1) & 0xFFFFFFFFFFFFFFFF
+    shift = np.uint64((2 * (ksize - 1)) & 63)
+    mask = np.uint64(((1 << ((2 * ksize) & 63)) - 1) & 0xFFFFFFFFFFFFFFFF)
     s = len(lqseqs) - 1
+    # pass 1: per alignment, vectorized region slicing; the k-mer rolling and
+    # yak hashing are deferred so they run ONCE over all alleles (pass 2)
+    pend: List[tuple] = []   # (lqseq, order, chars, kb_row index or -1)
+    kb_rows: List[np.ndarray] = []
+    n_queued: Dict[int, int] = {}  # id(lqseq) -> queued append count
     for idx, a in enumerate(alignseqs):
         if a.dropped or len(a) == 0:
             continue
@@ -84,30 +89,47 @@ def extract_alleles(alignseqs: List[AlignTags], lqseqs: List[LqRegion],
         vpos = t_pos[vi]
         vq = q_base[vi]
 
-        for lqseq in lqseqs[j : s + 1]:
-            if len(lqseq.seqs) >= max_can:
+        regs = lqseqs[j : s + 1]
+        starts = np.fromiter((r.start for r in regs), np.int64, len(regs))
+        ends = np.fromiter((r.end for r in regs), np.int64, len(regs))
+        i0s = np.searchsorted(vpos, starts, side="left")
+        i1s = np.searchsorted(vpos, ends, side="right")
+        for r, lqseq in enumerate(regs):
+            if len(lqseq.seqs) + n_queued.get(id(lqseq), 0) >= max_can:
                 continue
-            i0 = int(np.searchsorted(vpos, lqseq.start, side="left"))
-            i1 = int(np.searchsorted(vpos, lqseq.end, side="right"))
+            i0, i1 = int(i0s[r]), int(i1s[r])
+            if i1 <= i0:
+                continue  # empty allele -> the reference appends nothing
             chars = CODE2ASCII[vq[i0:i1]].tobytes()
-            kb = vq[i0 : i0 + ksize]
-            if len(kb) >= ksize:
-                k_fwd = 0
-                k_rev = 0
-                for qb in kb.tolist():
-                    # raw rolling (q_base used unchecked, incl N/M codes —
-                    # reference main.rs:1488-1492 does the same)
-                    k_fwd = ((k_fwd << 2) | qb) & mask
-                    k_rev = ((k_rev >> 2) | ((3 ^ qb) << shift)) & 0xFFFFFFFFFFFFFFFF
-                kmer = min(k_fwd, k_rev)
+            if i0 + ksize <= len(vq):
+                kb_rows.append(vq[i0 : i0 + ksize])
+                row = len(kb_rows) - 1
             else:
-                kmer = INVALID
-            if chars:
-                lqseq.seqs.append(LqSeq(
-                    order=idx, kscore=0,
-                    kmer=int(table.to_hash(np.uint64(kmer))) if kmer != INVALID else INVALID,
-                    seq=chars,
-                ))
+                row = -1
+            pend.append((lqseq, idx, chars, row))
+            n_queued[id(lqseq)] = n_queued.get(id(lqseq), 0) + 1
+
+    # pass 2: one vectorized rolling over all k-mer windows + one batched
+    # to_hash. Raw rolling with q_base used unchecked incl N/M codes —
+    # reference main.rs:1488-1492 does the same; numpy uint64 shifts wrap
+    # like Rust release shl, preserving the k >= 32 wrapped semantics.
+    hashes = np.zeros(0, np.uint64)
+    if kb_rows:
+        kb = np.stack(kb_rows).astype(np.uint64)
+        k_fwd = np.zeros(len(kb), np.uint64)
+        k_rev = np.zeros(len(kb), np.uint64)
+        three, two = np.uint64(3), np.uint64(2)
+        for step in range(ksize):
+            qb = kb[:, step]
+            k_fwd = ((k_fwd << two) | qb) & mask
+            k_rev = (k_rev >> two) | ((three ^ qb) << shift)
+        hashes = table.to_hash(np.minimum(k_fwd, k_rev)).astype(np.uint64)
+    for lqseq, idx, chars, row in pend:
+        lqseq.seqs.append(LqSeq(
+            order=idx, kscore=0,
+            kmer=int(hashes[row]) if row >= 0 else INVALID,
+            seq=chars,
+        ))
 
 
 def batch_min_kscores(seqs: List[bytes], table: KmerTable,

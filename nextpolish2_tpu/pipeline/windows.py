@@ -53,8 +53,6 @@ class WindowBatch:
     lead: np.ndarray                 # int64 [nw] = max(window_start - 2, 0)
     window_start: np.ndarray         # int64 [nw] absolute start col
     window_len: np.ndarray           # int32 [nw] = end - start + 1
-    anchor_key: np.ndarray           # int32 [nw] synthesized anchor kmer key
-    anchor_count: np.ndarray         # int32 [nw]
 
     @property
     def n_tags(self) -> np.ndarray:
@@ -380,22 +378,10 @@ def build_window_batch(alignseqs: List[AlignTags], n_pos: int,
     T = int(counts.max()) if nw else 0
     width = int((ends - starts).max()) + 3 if nw else 0  # +2 lead +1 inclusive
 
-    # anchor kmer: (ref[t-2], ref[t-1], ref[t]) with deltas 0 -> flags 0,
-    # b1.delta 0; count = column coverage at the anchor
-    anchor_key = np.zeros(nw, dtype=np.int32)
-    anchor_count = np.zeros(nw, dtype=np.int32)
-    interior = starts > 0
-    sidx = starts[interior]
-    anchor_key[interior] = (
-        (ref_codes[sidx - 2].astype(np.int32) << 8)
-        | (ref_codes[sidx - 1].astype(np.int32) << 4)
-        | ref_codes[sidx].astype(np.int32))
-    anchor_count[interior] = colcnt[sidx]
     return WindowBatch(
         plan=plan, n_windows=nw, width=width, stream_len=T,
         t_sorted=t_sorted, k_sorted=k_sorted, lo=lo, hi=hi,
         lead=lead.astype(np.int64),
         window_start=starts.astype(np.int64),
         window_len=(ends - starts + 1).astype(np.int32),
-        anchor_key=anchor_key, anchor_count=anchor_count,
     )
