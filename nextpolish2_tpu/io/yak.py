@@ -272,8 +272,11 @@ class KmerTable:
                 return self.get_sharded(
                     np.atleast_1d(np.asarray(hashes, dtype=_U64)), min_count,
                     mesh)
+        # the tunneled device dispatch costs ~10-30 ms RTT; the host composite
+        # searchsorted does ~30k queries in that time, so only large batches
+        # (multi-Mb recheck cascades, human-scale scoring) go to the HBM table
         if (self.use_device and self.pre <= YAK_COUNTER_BITS
-                and len(np.atleast_1d(hashes)) >= 256):
+                and len(np.atleast_1d(hashes)) >= 32768):
             return self.get_device(np.atleast_1d(np.asarray(hashes, dtype=_U64)),
                                    min_count)
         hashes = np.atleast_1d(np.asarray(hashes, dtype=_U64))
