@@ -88,7 +88,6 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    from nextpolish2_tpu.ops.consensus import SlotTables, dp_backtrack
     from nextpolish2_tpu.pipeline.windows import aggregate_host
     from nextpolish2_tpu.utils.jaxcfg import bucket, configure_jax
 
@@ -122,26 +121,22 @@ def main() -> int:
     tiled = np.tile(np.arange(nw), REP)
     chunks = plan_tiered_chunks(span_all[tiled], ktier_all[tiled], tiers, B)
 
-    devchunks = []
+    from nextpolish2_tpu.pipeline.engine import dispatch_chunk
+
+    hostchunks = []
     n_real = 0
     for tids, cwidth, ck in chunks:
         ids = tiled[tids]
         n = len(ids)
         n_real += n
-        key_tab, cnt_tab, coverage, n_slots, overflow = aggregate_host(
-            wb, ck, width=cwidth, n_windows=B, win_idx=ids)
+        agg = aggregate_host(wb, ck, width=cwidth, n_windows=B, win_idx=ids)
         lead = np.zeros(B, dtype=np.int64)
         lead[:n] = lead_all[ids]
         seed = np.zeros(B, dtype=bool)
         seed[:n] = seed_all[ids]
         last_col = np.zeros(B, dtype=np.int32)
         last_col[:n] = last_all[ids]
-        tables = SlotTables(
-            key=jnp.asarray(key_tab), count=jnp.asarray(cnt_tab),
-            coverage=jnp.asarray(coverage), n_slots=jnp.asarray(n_slots),
-            overflow=jnp.asarray(overflow))
-        devchunks.append((tables, jnp.asarray(lead), jnp.asarray(seed),
-                          jnp.asarray(last_col), int(cwidth + 128)))
+        hostchunks.append((agg, lead, seed, last_col, int(cwidth), int(ck)))
 
     @jax.jit
     def _chk(scores, out1, out5):
@@ -151,12 +146,12 @@ def main() -> int:
                 + out5.sum(dtype=jnp.int64))
 
     def step():
-        # dispatch the SAME fused jitted programs the engine calls, one per
-        # tiered chunk (shared compile cache; one checksum pull per sweep)
+        # the EXACT production dispatch (engine.dispatch_chunk: tiered
+        # shapes, sparse fat-chunk upload, host->device transfers included);
+        # one checksum pull per sweep forces the whole chain
         c = None
-        for tables, jlead, jseed, jlast, max_steps in devchunks:
-            out, _ = dp_backtrack(tables, jlead, jseed, jlast, max_steps,
-                                  use_pallas=use_pallas)
+        for agg, lead, seed, last_col, cwidth, ck in hostchunks:
+            out, _ = dispatch_chunk(agg, lead, seed, last_col, cwidth, ck)
             s = _chk(out[0], out[1], out[5])
             c = s if c is None else c + s
         return c

@@ -247,7 +247,7 @@ class DeviceBatcher:
                 tier, take = got
                 try:
                     batch = self._aggregate(tier, take)
-                    dev = self._dispatch(tier[0], batch)
+                    dev = self._dispatch(tier, batch)
                 except BaseException as e:
                     for req, _, _ in take:  # fail just this batch's owners
                         if not req.future.done():
@@ -275,14 +275,14 @@ class DeviceBatcher:
                     r.future.set_exception(e)
 
     # ---- device dispatch (same jitted callables as engine.py) ----------
-    def _dispatch(self, width: int, batch) -> tuple:
+    def _dispatch(self, tier, batch) -> tuple:
         import jax.numpy as jnp
 
-        from ..ops.consensus import SlotTables, dp_backtrack
-        from .engine import _use_pallas
+        from .engine import dispatch_chunk
 
         (key_tab, cnt_tab, coverage, n_slots, overflow,
          lead, seed, last, _row) = batch
+        width, K = tier[0], key_tab.shape[2]
         jput = self._jput
         if jput is None:
             # same multi-chip policy as engine.py: shard the batch dim over
@@ -299,15 +299,8 @@ class DeviceBatcher:
                 jput = lambda x: jax.device_put(jnp.asarray(x), sh)  # noqa: E731
             else:
                 jput = jnp.asarray
-        tables = SlotTables(key=jput(key_tab), count=jput(cnt_tab),
-                            coverage=jput(coverage), n_slots=jput(n_slots),
-                            overflow=jput(overflow))
-        max_steps = int(width + 128)
-        from .engine import _dynamic_k
-
-        return dp_backtrack(tables, jput(lead), jput(seed), jput(last),
-                            max_steps, use_pallas=_use_pallas(),
-                            dynamic_k=_dynamic_k())
+        return dispatch_chunk((key_tab, cnt_tab, coverage, n_slots, overflow),
+                              lead, seed, last, width, K, jput=jput)
 
     def _device_get(self, dev) -> tuple:
         import jax

@@ -61,6 +61,45 @@ def _dynamic_k() -> bool:
     return bool(os.environ.get("NP2_DP_DYNK"))
 
 
+K_SMALL = 8  # dense slot tier; deeper slots ride the sparse exception path
+
+
+def dispatch_chunk(agg: tuple, lead: np.ndarray, seed: np.ndarray,
+                   last_col: np.ndarray, cwidth: int, ck: int, jput=None):
+    """ONE fused device dispatch for an aggregated chunk (the engine, the
+    cross-contig batcher and bench.py all go through here). Fat (K > K_SMALL)
+    chunks upload dense K_SMALL tables + a sparse exception list and assemble
+    the full table on device — the dense [128, 2560, 48] upload costs ~10x
+    the DP itself over the tunnel. agg = (key_tab, cnt_tab, coverage,
+    n_slots, overflow); returns the pending device output."""
+    import jax.numpy as jnp
+
+    from ..ops.consensus import SlotTables, dp_backtrack, dp_backtrack_sparse
+
+    if jput is None:
+        jput = jnp.asarray
+    key_tab, cnt_tab, coverage, n_slots, overflow = agg
+    max_steps = int(cwidth + 128)
+    dyn = _dynamic_k()
+    if ck > K_SMALL and not dyn:
+        from .windows import split_sparse
+
+        dense_key, dense_cnt, eb, ew, ek, ekey, ecnt = split_sparse(
+            key_tab, cnt_tab, n_slots, K_SMALL)
+        # exception arrays stay replicated (small); dense tables shard
+        return dp_backtrack_sparse(
+            jput(dense_key), jput(dense_cnt), jput(coverage), jput(overflow),
+            jnp.asarray(eb), jnp.asarray(ew), jnp.asarray(ek),
+            jnp.asarray(ekey), jnp.asarray(ecnt),
+            jput(lead), jput(seed), jput(last_col),
+            K=ck, max_steps=max_steps, use_pallas=_use_pallas())
+    tables = SlotTables(
+        key=jput(key_tab), count=jput(cnt_tab), coverage=jput(coverage),
+        n_slots=jput(n_slots) if dyn else None, overflow=jput(overflow))
+    return dp_backtrack(tables, jput(lead), jput(seed), jput(last_col),
+                        max_steps, use_pallas=_use_pallas(), dynamic_k=dyn)
+
+
 def plan_tiered_chunks(span_all: np.ndarray, ktier_all: np.ndarray,
                        tiers: List[int], chunk_b: int) -> List[tuple]:
     """Group windows by (width tier, K tier) into device chunks of
@@ -117,7 +156,6 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
     walk produces (genome-descending)."""
     import jax.numpy as jnp
 
-    from ..ops.consensus import SlotTables, dp_backtrack
     from ..utils.jaxcfg import bucket, configure_jax
 
     configure_jax()
@@ -250,10 +288,10 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
         pending = None
         for ids, cwidth, ck in chunks:
             n = len(ids)
-            max_steps = int(cwidth + 128)
             with stage("aggregate_pileup"):
-                key_tab, cnt_tab, coverage, n_slots, overflow = aggregate_host(
-                    wb, ck, width=cwidth, n_windows=CHUNK_B, win_idx=ids)
+                agg = aggregate_host(wb, ck, width=cwidth,
+                                     n_windows=CHUNK_B, win_idx=ids)
+            overflow = agg[4]
             lead = np.zeros(CHUNK_B, dtype=np.int64)
             lead[:n] = lead_all[ids]
             seed = np.zeros(CHUNK_B, dtype=bool)
@@ -261,14 +299,8 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
             last_col = np.zeros(CHUNK_B, dtype=np.int32)
             last_col[:n] = last_all[ids]
 
-            tables = SlotTables(
-                key=jput(key_tab), count=jput(cnt_tab),
-                coverage=jput(coverage), n_slots=jput(n_slots),
-                overflow=jput(overflow))
-            dev = dp_backtrack(tables, jput(lead), jput(seed),
-                               jput(last_col), max_steps,
-                               use_pallas=_use_pallas(),
-                               dynamic_k=_dynamic_k())
+            dev = dispatch_chunk(agg, lead, seed, last_col, cwidth, ck,
+                                 jput=jput)
             if pending is not None:
                 harvest(pending)
             pending = (ids, overflow, dev)

@@ -259,6 +259,39 @@ def aggregate_host(wb: "WindowBatch", K: int, width: int | None = None,
     return key_tab, cnt_tab, coverage, n_slots, overflow
 
 
+def split_sparse(key_tab: np.ndarray, cnt_tab: np.ndarray,
+                 n_slots: np.ndarray, k_small: int,
+                 e_bucket: int = 4096) -> tuple:
+    """Split a fat chunk's dense [B, W, K] tables into the [B, W, k_small]
+    dense part + padded exception arrays for slots >= k_small (rare columns).
+    The device scatters the exceptions back into the full table
+    (ops.consensus.dp_backtrack_sparse) — ~10x less tunnel upload per fat
+    chunk. Padding rows use eb == B, dropped by the scatter."""
+    from ..utils.jaxcfg import bucket_pow2
+
+    B, W, K = key_tab.shape
+    fb, fw = np.nonzero(n_slots > k_small)
+    nf = (n_slots[fb, fw] - k_small).astype(np.int64)
+    E = int(nf.sum())
+    off = np.repeat(np.cumsum(nf) - nf, nf)
+    eb = np.repeat(fb, nf).astype(np.int32)
+    ew = np.repeat(fw, nf).astype(np.int32)
+    ek = (k_small + np.arange(E) - off).astype(np.int32)
+    ekey = key_tab[eb, ew, ek]
+    ecnt = cnt_tab[eb, ew, ek]
+    P = bucket_pow2(max(E, 1), e_bucket)
+    pad = P - E
+    if pad:
+        eb = np.concatenate([eb, np.full(pad, B, np.int32)])
+        ew = np.concatenate([ew, np.zeros(pad, np.int32)])
+        ek = np.concatenate([ek, np.zeros(pad, np.int32)])
+        ekey = np.concatenate([ekey, np.zeros(pad, ekey.dtype)])
+        ecnt = np.concatenate([ecnt, np.zeros(pad, ecnt.dtype)])
+    return (np.ascontiguousarray(key_tab[:, :, :k_small]),
+            np.ascontiguousarray(cnt_tab[:, :, :k_small]),
+            eb, ew, ek, ekey, ecnt)
+
+
 def col_slot_counts(t_sorted: np.ndarray, k_sorted: np.ndarray,
                     n_pos: int) -> np.ndarray:
     """Distinct-key count per absolute column (saturating), the per-window

@@ -175,3 +175,62 @@ def test_aggregate_win_idx_matches_range():
                              use_native=use_native)
         for fi, si in zip(full, sub):
             np.testing.assert_array_equal(fi[idx], si)
+
+
+def test_sparse_dispatch_matches_dense():
+    """dp_backtrack_sparse (dense-8 + scattered exceptions) emits exactly
+    what the dense K-table dispatch does on a fat synthetic chunk."""
+    import jax
+    import jax.numpy as jnp
+
+    from nextpolish2_tpu.ops.consensus import (SlotTables, dp_backtrack,
+                                               dp_backtrack_sparse)
+    from nextpolish2_tpu.pipeline.windows import split_sparse
+
+    rng = np.random.default_rng(53)
+    t = bytes(rng.choice(list(b"ACGT"), size=3000).astype(np.uint8))
+    reads = []
+    for s in range(0, 2400, 120):
+        # divergent random insertions at a shared hotspot column -> many
+        # distinct (delta, base) slots there (the fat-chunk trigger)
+        ins = bytes(rng.choice(list(b"ACGT"),
+                               size=int(rng.integers(3, 12))).astype(np.uint8))
+        seq = bytearray(t[s : s + 300]) + bytearray(ins) + \
+            bytearray(t[s + 300 : s + 600])
+        for _ in range(10):
+            i = int(rng.integers(len(seq)))
+            seq[i] = int(rng.choice(list(b"ACGT")))
+        cig = [(0, 300), (1, len(ins)), (0, 300)]
+        reads.append(BamRecord(qname=f"r{s}".encode(), flag=0, tid=0, pos=s,
+                               mapq=60, cigar=cig, seq=bytes(seq)))
+    cfg = PolishConfig(min_ctg_len=0, min_read_len=100, min_map_len=50)
+    aligns = build_alignseqs(t, reads, cfg)
+    ref_codes = ASCII2CODE[np.frombuffer(t, dtype=np.uint8)]
+    wb = build_window_batch(aligns, len(t), ref_codes, target=512)
+    K = 48
+    B = wb.n_windows
+    key_tab, cnt_tab, coverage, n_slots, overflow = aggregate_host(wb, K)
+    assert int(n_slots.max()) > 8  # the fixture must actually be fat
+    lead = np.maximum(wb.window_start - 2, 0)
+    seed = wb.window_start > 0
+    last = (wb.window_start + wb.window_len - 1 - lead).astype(np.int32)
+    max_steps = wb.width + 128
+
+    tables = SlotTables(key=jnp.asarray(key_tab), count=jnp.asarray(cnt_tab),
+                        coverage=jnp.asarray(coverage), n_slots=None,
+                        overflow=jnp.asarray(overflow))
+    dense = jax.device_get(dp_backtrack(
+        tables, jnp.asarray(lead), jnp.asarray(seed), jnp.asarray(last),
+        max_steps))
+
+    dk, dc, eb, ew, ek, ekey, ecnt = split_sparse(key_tab, cnt_tab,
+                                                  n_slots, 8)
+    sparse = jax.device_get(dp_backtrack_sparse(
+        jnp.asarray(dk), jnp.asarray(dc), jnp.asarray(coverage),
+        jnp.asarray(overflow), jnp.asarray(eb), jnp.asarray(ew),
+        jnp.asarray(ek), jnp.asarray(ekey), jnp.asarray(ecnt),
+        jnp.asarray(lead), jnp.asarray(seed), jnp.asarray(last),
+        K=K, max_steps=max_steps))
+    for a, b in zip(dense[0], sparse[0]):
+        np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(dense[1], sparse[1])
