@@ -306,20 +306,24 @@ def dp_backtrack_sparse(dense_key, dense_cnt, coverage, overflow,
                         eb, ew, ek, ekey, ecnt,
                         lead_abs, seed_anchor, last_col,
                         K: int, max_steps: int, use_pallas: bool = False):
-    """Fused DP + backtrack for a fat (K > K_SMALL) chunk from a SPARSE
-    upload: dense [B, W, K_SMALL] tables hold slots 0..K_SMALL-1 (the vast
-    majority — real HiFi columns average < 2 slots) and the exception arrays
-    scatter the rare deeper slots into the full [B, W, K] table ON DEVICE.
-    This cuts the tunneled host->device transfer ~10x per fat chunk (a dense
-    [128, 2560, 48] i32 pair is 128 MB; measured 0.89 s upload vs 0.09 s
-    compute). Exception padding rows use eb == B and are dropped by the
+    """Fused DP + backtrack from a SPARSE upload: dense [B, W, K_DENSE]
+    tables hold the first K_DENSE slots per column (real HiFi columns average
+    < 2 slots) and the exception arrays scatter the rare deeper slots into
+    the full [B, W, K] table ON DEVICE. The tunneled host->device transfer is
+    the production bottleneck (a dense [128, 2560, 48] i32 pair is 128 MB;
+    measured 0.89 s upload vs 0.09 s compute), so every chunk ships this way:
+    dense counts/coverage travel as u16 (counts <= coverage, and coverage
+    > 0xFFFF windows are host-fallback-flagged by aggregate_host) and widen
+    on device. Exception padding rows use eb == B and are dropped by the
     scatter. Bit-exact: the assembled table equals the host aggregation's."""
-    B, W, K8 = dense_key.shape
-    key = jnp.full((B, W, K), -1, jnp.int32).at[:, :, :K8].set(dense_key)
-    cnt = jnp.zeros((B, W, K), jnp.int32).at[:, :, :K8].set(dense_cnt)
+    B, W, KD = dense_key.shape
+    key = jnp.full((B, W, K), -1, jnp.int32).at[:, :, :KD].set(dense_key)
+    cnt = jnp.zeros((B, W, K), jnp.int32).at[:, :, :KD].set(
+        dense_cnt.astype(jnp.int32))
     key = key.at[eb, ew, ek].set(ekey, mode="drop")
-    cnt = cnt.at[eb, ew, ek].set(ecnt, mode="drop")
-    tables = SlotTables(key=key, count=cnt, coverage=coverage,
+    cnt = cnt.at[eb, ew, ek].set(ecnt.astype(jnp.int32), mode="drop")
+    tables = SlotTables(key=key, count=cnt,
+                        coverage=coverage.astype(jnp.int32),
                         n_slots=None, overflow=overflow)
     return dp_backtrack(tables, lead_abs, seed_anchor, last_col, max_steps,
                         use_pallas=use_pallas)

@@ -61,16 +61,17 @@ def _dynamic_k() -> bool:
     return bool(os.environ.get("NP2_DP_DYNK"))
 
 
-K_SMALL = 8  # dense slot tier; deeper slots ride the sparse exception path
+K_SMALL = 8   # small DP-kernel slot tier (K tier regrouping)
+K_DENSE = 4   # dense upload width; deeper slots ride the exception scatter
 
 
 def dispatch_chunk(agg: tuple, lead: np.ndarray, seed: np.ndarray,
                    last_col: np.ndarray, cwidth: int, ck: int, jput=None):
     """ONE fused device dispatch for an aggregated chunk (the engine, the
-    cross-contig batcher and bench.py all go through here). Fat (K > K_SMALL)
-    chunks upload dense K_SMALL tables + a sparse exception list and assemble
-    the full table on device — the dense [128, 2560, 48] upload costs ~10x
-    the DP itself over the tunnel. agg = (key_tab, cnt_tab, coverage,
+    cross-contig batcher and bench.py all go through here). Every chunk
+    uploads dense K_DENSE tables (u16 counts) + a sparse exception list and
+    assembles the full [B, W, ck] table on device — the tunneled upload, not
+    the DP, is the production bottleneck. agg = (key_tab, cnt_tab, coverage,
     n_slots, overflow); returns the pending device output."""
     import jax.numpy as jnp
 
@@ -81,21 +82,22 @@ def dispatch_chunk(agg: tuple, lead: np.ndarray, seed: np.ndarray,
     key_tab, cnt_tab, coverage, n_slots, overflow = agg
     max_steps = int(cwidth + 128)
     dyn = _dynamic_k()
-    if ck > K_SMALL and not dyn:
+    if not dyn:
         from .windows import split_sparse
 
         dense_key, dense_cnt, eb, ew, ek, ekey, ecnt = split_sparse(
-            key_tab, cnt_tab, n_slots, K_SMALL)
+            key_tab, cnt_tab, n_slots, K_DENSE)
         # exception arrays stay replicated (small); dense tables shard
         return dp_backtrack_sparse(
-            jput(dense_key), jput(dense_cnt), jput(coverage), jput(overflow),
+            jput(dense_key), jput(dense_cnt.astype(np.uint16)),
+            jput(coverage.astype(np.uint16)), jput(overflow),
             jnp.asarray(eb), jnp.asarray(ew), jnp.asarray(ek),
             jnp.asarray(ekey), jnp.asarray(ecnt),
             jput(lead), jput(seed), jput(last_col),
             K=ck, max_steps=max_steps, use_pallas=_use_pallas())
     tables = SlotTables(
         key=jput(key_tab), count=jput(cnt_tab), coverage=jput(coverage),
-        n_slots=jput(n_slots) if dyn else None, overflow=jput(overflow))
+        n_slots=jput(n_slots), overflow=jput(overflow))
     return dp_backtrack(tables, jput(lead), jput(seed), jput(last_col),
                         max_steps, use_pallas=_use_pallas(), dynamic_k=dyn)
 

@@ -223,14 +223,16 @@ def test_sparse_dispatch_matches_dense():
         tables, jnp.asarray(lead), jnp.asarray(seed), jnp.asarray(last),
         max_steps))
 
-    dk, dc, eb, ew, ek, ekey, ecnt = split_sparse(key_tab, cnt_tab,
-                                                  n_slots, 8)
-    sparse = jax.device_get(dp_backtrack_sparse(
-        jnp.asarray(dk), jnp.asarray(dc), jnp.asarray(coverage),
-        jnp.asarray(overflow), jnp.asarray(eb), jnp.asarray(ew),
-        jnp.asarray(ek), jnp.asarray(ekey), jnp.asarray(ecnt),
-        jnp.asarray(lead), jnp.asarray(seed), jnp.asarray(last),
-        K=K, max_steps=max_steps))
-    for a, b in zip(dense[0], sparse[0]):
-        np.testing.assert_array_equal(a, b)
-    np.testing.assert_array_equal(dense[1], sparse[1])
+    for kd in (4, 8):
+        dk, dc, eb, ew, ek, ekey, ecnt = split_sparse(key_tab, cnt_tab,
+                                                      n_slots, kd)
+        sparse = jax.device_get(dp_backtrack_sparse(
+            jnp.asarray(dk), jnp.asarray(dc.astype(np.uint16)),
+            jnp.asarray(coverage.astype(np.uint16)),
+            jnp.asarray(overflow), jnp.asarray(eb), jnp.asarray(ew),
+            jnp.asarray(ek), jnp.asarray(ekey), jnp.asarray(ecnt),
+            jnp.asarray(lead), jnp.asarray(seed), jnp.asarray(last),
+            K=K, max_steps=max_steps))
+        for a, b in zip(dense[0], sparse[0]):
+            np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(dense[1], sparse[1])
