@@ -197,7 +197,9 @@ def main() -> int:
     # spawn (not fork): the parent holds live jax/axon tunnel threads
     with cf.ProcessPoolExecutor(max_workers=nproc,
                                 mp_context=mp.get_context("spawn")) as pool:
-        list(pool.map(_host_task, tasks[:1]))  # pool startup outside the clock
+        # spawn + import EVERY worker outside the clock (chunksize=1 fans the
+        # warmup tasks across all nproc workers)
+        list(pool.map(_host_task, tasks[:1] * nproc * 2, chunksize=1))
         t0 = time.time()
         list(pool.map(_host_task, mt_tasks, chunksize=len(tasks)))
         host_mt_wps = len(mt_tasks) / (time.time() - t0)

@@ -358,12 +358,13 @@ def polish_contig_tpu(tseq: bytes, records: Sequence[BamRecord],
     tables = sorted(tables, key=lambda t: t.ksize)
     ref_codes = ASCII2CODE[np.frombuffer(tseq, dtype=np.uint8)]
     alignseqs = None
-    if native is not None:
-        from ..models.oracle import build_alignseqs_native
+    with stage("ingest_alignseqs"):
+        if native is not None:
+            from ..models.oracle import build_alignseqs_native
 
-        alignseqs = build_alignseqs_native(native[0], native[1], tseq, cfg)
-    if alignseqs is None:
-        alignseqs = build_alignseqs(tseq, records, cfg)
+            alignseqs = build_alignseqs_native(native[0], native[1], tseq, cfg)
+        if alignseqs is None:
+            alignseqs = build_alignseqs(tseq, records, cfg)
 
     saved_drops = [a.dropped for a in alignseqs]
     try:
@@ -384,16 +385,19 @@ def polish_contig_tpu(tseq: bytes, records: Sequence[BamRecord],
             with stage("kmer_scoring"):
                 retrieve_kmer_count(lqseqs, tables[0], cfg.min_kmer_count)
             if out_cns:
-                fill_seed_lqseqs(lqseqs, cfg.max_indel_len, cfg.lqseq_max_can_count)
-                consensus = update_consensus_with_lqseqs(lqseqs, cb, L_SUCC)
-                for p, table in enumerate(tables):
-                    consensus = reupdate_consensus_with_lqseqs(
-                        lqseqs, consensus, table, cfg.min_kmer_count, p + 1,
-                        cfg.lqseq_max_can_count)
+                with stage("splice_recheck"):
+                    fill_seed_lqseqs(lqseqs, cfg.max_indel_len,
+                                     cfg.lqseq_max_can_count)
+                    consensus = update_consensus_with_lqseqs(lqseqs, cb, L_SUCC)
+                    for p, table in enumerate(tables):
+                        consensus = reupdate_consensus_with_lqseqs(
+                            lqseqs, consensus, table, cfg.min_kmer_count, p + 1,
+                            cfg.lqseq_max_can_count)
                 return consensus
-            mark_hete_lqseqs(lqseqs, cfg.lqseq_max_can_count)
-            invalid = phase_reads_by_lqseqs(lqseqs, cfg.model == "ref",
-                                            cfg.use_all_reads)
+            with stage("phasing"):
+                mark_hete_lqseqs(lqseqs, cfg.lqseq_max_can_count)
+                invalid = phase_reads_by_lqseqs(lqseqs, cfg.model == "ref",
+                                                cfg.use_all_reads)
             for order in invalid:
                 alignseqs[order].dropped = True
         raise AssertionError("unreachable")

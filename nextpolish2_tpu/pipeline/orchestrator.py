@@ -71,7 +71,10 @@ def polish(fa_path: str, bam_path: str, yak_paths: Sequence[str],
     """
     cfg = cfg or PolishConfig()
     t_start = time.time()
-    tables = [load_yak(p) for p in yak_paths]
+    from ..utils.timing import stage
+
+    with stage("load_yak_tables"):
+        tables = [load_yak(p) for p in yak_paths]
     tables.sort(key=lambda t: t.ksize)  # option.rs:238
     if engine == "tpu":
         from .engine import _use_pallas
