@@ -81,7 +81,39 @@ def main():
                                     use_pallas=True)
             return jax.device_get((out, lvl))
 
-        for name, run in (("resident", run_resident), ("upload", run_upload)):
+        from nextpolish2_tpu.ops.consensus import dp_backtrack_sparse
+        from nextpolish2_tpu.pipeline.engine import K_DENSE
+        from nextpolish2_tpu.pipeline.windows import split_sparse
+
+        dk, dc, eb, ew, ek, ekey, ecnt = split_sparse(key_tab, cnt_tab,
+                                                      n_slots, K_DENSE)
+        dc16 = dc.astype(np.uint16)
+        cov16 = coverage.astype(np.uint16)
+        sp_mb = (dk.nbytes + dc16.nbytes + cov16.nbytes + eb.nbytes * 3
+                 + ekey.nbytes + ecnt.nbytes) / 1e6
+        print(f"  sparse inputs={sp_mb:.1f} MB E={len(eb)}", flush=True)
+        sjt = tuple(jnp.asarray(a) for a in
+                    (dk, dc16, cov16, overflow, eb, ew, ek, ekey, ecnt))
+
+        def run_sparse_resident():
+            out, lvl = dp_backtrack_sparse(*sjt, jl, js, jc, K=ck,
+                                           max_steps=max_steps,
+                                           use_pallas=True)
+            return jax.device_get((out, lvl))
+
+        def run_sparse_upload():
+            t = tuple(jnp.asarray(a) for a in
+                      (dk, dc16, cov16, overflow, eb, ew, ek, ekey, ecnt))
+            out, lvl = dp_backtrack_sparse(*t, jnp.asarray(lead),
+                                           jnp.asarray(seed),
+                                           jnp.asarray(last_col), K=ck,
+                                           max_steps=max_steps,
+                                           use_pallas=True)
+            return jax.device_get((out, lvl))
+
+        for name, run in (("resident", run_resident), ("upload", run_upload),
+                          ("sp-resident", run_sparse_resident),
+                          ("sp-upload", run_sparse_upload)):
             run()
             ts = []
             for _ in range(n_iter):
