@@ -66,6 +66,24 @@ def sim_reads(rng, truth: bytes, cov: float, read_len: int, err: float = 0.001):
     return reads
 
 
+def make_hap2(rng, hap1: bytes, het_rate: float):
+    """Second haplotype: het SNPs at ~1/het_rate bp spacing. Returns
+    (hap2, het positions, hap2 alleles)."""
+    s = bytearray(hap1)
+    n_het = max(1, int(len(s) * het_rate))
+    pos = np.sort(rng.choice(np.arange(300, len(s) - 300, 50),
+                             size=min(n_het, (len(s) - 600) // 50),
+                             replace=False))
+    bases = b"ACGT"
+    alleles = []
+    for p in pos.tolist():
+        old = s[p]
+        new = next(b for b in bases if b != old)
+        s[p] = new
+        alleles.append(new)
+    return bytes(s), pos, alleles
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("prefix", help="output path prefix")
@@ -76,6 +94,12 @@ def main(argv=None) -> int:
     p.add_argument("--read-len", type=int, default=12_000)
     p.add_argument("--seed", type=int, default=7)
     p.add_argument("-k", type=int, default=21, help="yak k-mer size")
+    p.add_argument("--het-rate", type=float, default=0.0,
+                   help="diploid mode: het SNPs per bp on haplotype 2 (e.g. "
+                        "0.001); reads are drawn 50/50 from both haplotypes, "
+                        "the assembly (and .truth.fa) stays haplotype 1, and "
+                        ".het.tsv records the het sites for switch-error "
+                        "evaluation (BASELINE 'S. cerevisiae diploid' config)")
     a = p.parse_args(argv)
 
     from nextpolish2_tpu.io.yak import count_kmers, write_yak
@@ -85,6 +109,7 @@ def main(argv=None) -> int:
     os.makedirs(os.path.dirname(os.path.abspath(a.prefix)), exist_ok=True)
 
     truths, asms, all_reads = [], [], []
+    het_rows = []
     total_err = 0
     for c in range(a.contigs):
         size = int(a.size * (0.5 + rng.random()))  # vary contig sizes
@@ -94,8 +119,20 @@ def main(argv=None) -> int:
         name = f"ctg{c:03d}"
         truths.append((name, t))
         asms.append((name, asm))
-        all_reads.extend((f"{name}_{qn}", r)
-                         for qn, r in sim_reads(rng, t, a.cov, a.read_len))
+        if a.het_rate > 0:
+            hap2, hpos, halle = make_hap2(rng, t, a.het_rate)
+            for hp, hb in zip(hpos.tolist(), halle):
+                het_rows.append((name, hp, chr(t[hp]), chr(hb)))
+            # half coverage from each haplotype
+            all_reads.extend((f"{name}_h1_{qn}", r)
+                             for qn, r in sim_reads(rng, t, a.cov / 2,
+                                                    a.read_len))
+            all_reads.extend((f"{name}_h2_{qn}", r)
+                             for qn, r in sim_reads(rng, hap2, a.cov / 2,
+                                                    a.read_len))
+        else:
+            all_reads.extend((f"{name}_{qn}", r)
+                             for qn, r in sim_reads(rng, t, a.cov, a.read_len))
 
     def write_fa(path, recs):
         with open(path, "wb") as f:
@@ -111,6 +148,13 @@ def main(argv=None) -> int:
     n = align_to_bam(asms, all_reads, a.prefix + ".bam")
     print(f"mapped {n}/{len(all_reads)} reads -> {a.prefix}.bam",
           file=sys.stderr, flush=True)
+
+    if het_rows:
+        with open(a.prefix + ".het.tsv", "w") as f:
+            for name, hp, a1, a2 in het_rows:
+                f.write(f"{name}\t{hp}\t{a1}\t{a2}\n")
+        print(f"{len(het_rows)} het sites -> {a.prefix}.het.tsv",
+              file=sys.stderr)
 
     # k-mer table from the simulated reads (stands in for short-read data)
     h, c = count_kmers([r for _, r in all_reads], a.k)
