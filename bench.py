@@ -152,7 +152,7 @@ def main() -> int:
         c = None
         for agg, lead, seed, last_col, cwidth, ck in hostchunks:
             out, _ = dispatch_chunk(agg, lead, seed, last_col, cwidth, ck)
-            s = _chk(out[0], out[1], out[5])
+            s = _chk(out[0], out[1], out[3])
             c = s if c is None else c + s
         return c
 

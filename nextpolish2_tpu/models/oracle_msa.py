@@ -283,6 +283,23 @@ def lq_from_stream(pos: np.ndarray, base: np.ndarray, cnt: np.ndarray,
     pos/base/cnt/cov are parallel arrays in reverse genome order (the order the
     backtrack walk emits). Returns (genome-order Consensus, LQ regions in
     DESCENDING genome order).
+    """
+    qv = np.where(cov > 0,
+                  cnt.astype(np.int64) * 100 // np.maximum(cov, 1), 0)
+    lowcov = cov < 2
+    return lq_from_qv_stream(pos, base, qv, lowcov, hq_min_qv, lq_min_length)
+
+
+def lq_from_qv_stream(pos: np.ndarray, base: np.ndarray, qv: np.ndarray,
+                      lowcov: np.ndarray, hq_min_qv: int = 95,
+                      lq_min_length: int = 2,
+                      ) -> tuple[Consensus, List[LqRegion]]:
+    """lq_from_stream over precomputed per-position qv + coverage<2 flags.
+
+    The TPU engine emits qv (= count*100 // coverage, <= 100, u8) and the
+    lowcov bit straight from the device backtrack — the only two facts the
+    LQ state machine reads — instead of pulling 2x u16 count/coverage
+    columns over the tunnel (engine.py / ops.consensus.backtrack).
 
     Event-driven equivalent of the reference's per-base scan: state only
     changes at low-coverage / low-qv positions and at the first qualifying
@@ -293,9 +310,7 @@ def lq_from_stream(pos: np.ndarray, base: np.ndarray, cnt: np.ndarray,
     lqseqs: List[LqRegion] = []
     if n:
         L = lq_min_length
-        qv = np.where(cov > 0,
-                      cnt.astype(np.int64) * 100 // np.maximum(cov, 1), 0)
-        lowcov = cov < 2
+        lowcov = np.asarray(lowcov, dtype=bool)
         lowqv = ~lowcov & (qv < hq_min_qv)
         ev_i = np.nonzero(lowcov | lowqv)[0]
         ev_low = lowqv[ev_i]

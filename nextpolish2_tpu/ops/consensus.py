@@ -248,9 +248,13 @@ def backtrack(tables: SlotTables, scores: jnp.ndarray, besti: jnp.ndarray,
     last_col: [B] relative column of each window's final position.
     seed_anchor: [B] — anchor-seeded windows stop the walk after emitting the
     anchor column (relative col 2); the previous window emits everything below.
-    Emits per step (col, base_code, count, coverage, valid) in REVERSE genome
-    order; also returns best_score [B] (window-local max at the final column;
-    the host sums these for the reference's whole-contig `>= 0` default-kmer
+    Emits per step (col:i16, packed:u8, qv:u8) in REVERSE genome order, where
+    packed = q3 | valid<<4 | (coverage<2)<<5 and qv = count*100 // coverage
+    (0 when coverage is 0; <= 100 so it fits u8) — exactly the two facts the
+    host LQ state machine consumes (models.oracle_msa.lq_from_qv_stream), at
+    half the device->host pull of shipping u16 count/coverage columns.
+    Also returns best_score [B] (window-local max at the final column; the
+    host sums these for the reference's whole-contig `>= 0` default-kmer
     check, main.rs:1651,1680), n_steps, and a truncation flag.
     """
     key = tables.key
@@ -272,13 +276,16 @@ def backtrack(tables: SlotTables, scores: jnp.ndarray, besti: jnp.ndarray,
         cnt = tables.count[bidx, c, s]
         cov = tables.coverage[bidx, c]
         emit_valid = alive & (q3 != 4)
-        # small emission dtypes: the tunneled device->host pull is ~2x
-        # cheaper (col < width <= 2560 fits i16; q3 <= 15; count/coverage
-        # fit u16 - aggregate_host flags >65535-coverage windows to the
-        # host fallback before dispatch)
-        out = (c.astype(jnp.int16), q3.astype(jnp.int8),
-               cnt.astype(jnp.uint16), cov.astype(jnp.uint16),
-               emit_valid, alive)
+        # small emission dtypes: the tunneled device->host pull costs real
+        # wall time, so ship only what lq_from_qv_stream reads — qv (<= 100,
+        # u8; count <= coverage because every read contributes exactly one
+        # b3-delta-0 kmer per covered column) and the coverage<2 bit, packed
+        # with q3 (4 bits incl HEAD_Q=15) + the valid flag
+        qv = jnp.where(cov > 0, cnt * 100 // jnp.maximum(cov, 1), 0)
+        packed = (q3 | (emit_valid.astype(jnp.int32) << 4)
+                  | ((cov < 2).astype(jnp.int32) << 5)).astype(jnp.uint8)
+        out = (c.astype(jnp.int16), packed,
+               jnp.minimum(qv, 255).astype(jnp.uint8), alive)
         # b2 column: same col if flags bit0 or both-bits, else col-1
         both = (flags & 0b0101) == 0b0101
         f23 = (flags & 1) != 0
@@ -293,12 +300,11 @@ def backtrack(tables: SlotTables, scores: jnp.ndarray, besti: jnp.ndarray,
     init = (last_col.astype(jnp.int32), start_slot.astype(jnp.int32),
             jnp.ones(B, bool))
     (fc, fs, still_alive), outs = jax.lax.scan(step, init, None, length=max_steps)
-    cols_r, base_r, cnt_r, cov_r, ok_r, alive_r = outs
+    cols_r, packed_r, qv_r, alive_r = outs
     # [steps, B] -> [B, steps]
     tr = lambda x: jnp.moveaxis(x, 0, 1)  # noqa: E731
     n_steps = jnp.sum(tr(alive_r), axis=1)
-    return (tr(cols_r), tr(base_r), tr(cnt_r), tr(cov_r), tr(ok_r),
-            maxv, n_steps, still_alive)
+    return (tr(cols_r), tr(packed_r), tr(qv_r), maxv, n_steps, still_alive)
 
 
 @functools.partial(jax.jit, static_argnames=("K", "max_steps", "use_pallas"))
@@ -306,16 +312,18 @@ def dp_backtrack_sparse(dense_key, dense_cnt, coverage, overflow,
                         eb, ew, ek, ekey, ecnt,
                         lead_abs, seed_anchor, last_col,
                         K: int, max_steps: int, use_pallas: bool = False):
-    """Fused DP + backtrack from a SPARSE upload: dense [B, W, K_DENSE]
-    tables hold the first K_DENSE slots per column (real HiFi columns average
-    < 2 slots) and the exception arrays scatter the rare deeper slots into
-    the full [B, W, K] table ON DEVICE. The tunneled host->device transfer is
-    the production bottleneck (a dense [128, 2560, 48] i32 pair is 128 MB;
-    measured 0.89 s upload vs 0.09 s compute), so every chunk ships this way:
-    dense counts/coverage travel as u16 (counts <= coverage, and coverage
-    > 0xFFFF windows are host-fallback-flagged by aggregate_host) and widen
-    on device. Exception padding rows use eb == B and are dropped by the
-    scatter. Bit-exact: the assembled table equals the host aggregation's."""
+    """Fused DP + backtrack from a dense-K_DENSE SPARSE upload: dense
+    [B, W, K_DENSE] tables hold the first K_DENSE slots per column (real
+    HiFi columns average < 2 slots) and the exception arrays scatter the
+    rare deeper slots into the full [B, W, K] table ON DEVICE. This is the
+    MESH-SHARDED dispatch format (engine.dispatch_chunk sharded=True): every
+    per-window array shards over the 'win' axis, unlike the CSR entry stream
+    (dp_backtrack_csr, the single-device production format, ~4x less
+    transfer again). Dense counts/coverage travel as u16 (counts <=
+    coverage, and coverage > 0xFFFF windows are host-fallback-flagged by
+    aggregate_host) and widen on device. Exception padding rows use eb == B
+    and are dropped by the scatter. Bit-exact: the assembled table equals
+    the host aggregation's."""
     B, W, KD = dense_key.shape
     key = jnp.full((B, W, K), -1, jnp.int32).at[:, :, :KD].set(dense_key)
     cnt = jnp.zeros((B, W, K), jnp.int32).at[:, :, :KD].set(
@@ -324,6 +332,58 @@ def dp_backtrack_sparse(dense_key, dense_cnt, coverage, overflow,
     cnt = cnt.at[eb, ew, ek].set(ecnt.astype(jnp.int32), mode="drop")
     tables = SlotTables(key=key, count=cnt,
                         coverage=coverage.astype(jnp.int32),
+                        n_slots=None, overflow=overflow)
+    return dp_backtrack(tables, lead_abs, seed_anchor, last_col, max_steps,
+                        use_pallas=use_pallas)
+
+
+def assemble_csr(ns_u8, keylo, dlo, clo, eidx, xkey, xcnt,
+                 B: int, W: int, K: int):
+    """Rebuild the dense [B, W, K] key/count tables + per-column coverage
+    from the flat CSR upload (see dp_backtrack_csr). Trace-time code —
+    called inside the jitted dispatch; factored out so tests can bit-compare
+    the assembled tables against the host aggregation's."""
+    P = keylo.shape[0]
+    key_e = (dlo.astype(jnp.int32) << 16) | keylo.astype(jnp.int32)
+    cnt_e = clo.astype(jnp.int32)
+    key_e = key_e.at[eidx].set(xkey, mode="drop")
+    cnt_e = cnt_e.at[eidx].set(xcnt, mode="drop")
+    nb = ns_u8.astype(jnp.int32).reshape(-1)            # [B*W]
+    cum = jnp.cumsum(nb)
+    ends = jnp.zeros(P + 1, jnp.int32).at[cum].add(1, mode="drop")
+    colid = jnp.cumsum(ends)[:P]                        # pads -> B*W
+    start = cum - nb
+    slot = jnp.arange(P, dtype=jnp.int32) - start[jnp.minimum(colid, B * W - 1)]
+    flat = jnp.where(colid < B * W, colid * K + slot, B * W * K)
+    key = jnp.full((B * W * K,), -1, jnp.int32).at[flat].set(
+        key_e, mode="drop").reshape(B, W, K)
+    cnt = jnp.zeros((B * W * K,), jnp.int32).at[flat].set(
+        cnt_e, mode="drop").reshape(B, W, K)
+    coverage = jnp.sum(jnp.where(((key >> 12) & 1) == 0, cnt, 0), axis=-1)
+    return key, cnt, coverage
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("B", "W", "K", "max_steps", "use_pallas"))
+def dp_backtrack_csr(ns_u8, keylo, dlo, clo, eidx, xkey, xcnt, overflow,
+                     lead_abs, seed_anchor, last_col,
+                     B: int, W: int, K: int, max_steps: int,
+                     use_pallas: bool = False):
+    """Fused DP + backtrack from the flat CSR upload (pipeline.windows.
+    split_csr): ONE entry stream of real slots (4 bytes each: key_lo u16 +
+    delta u8 + count u8) ordered by (window, column, slot), plus per-column
+    slot counts (u8) — no dense planes, no coverage upload (recomputed here
+    from the assembled table: coverage = sum of counts whose key flag bit0 is
+    clear, i.e. b3-delta == 0; kmer.rs coverage semantics / main.rs:241).
+
+    Assembly is pure vectorized XLA: the entry->column mapping inverts the
+    cumsum of slot counts with one scatter-add + cumsum (colid[e] = #{columns
+    j with cum[j] <= e}), then two scatters place keys/counts into the
+    [B, W, K] table. Entry padding resolves to colid == B*W and exception
+    padding to index P; both drop. Bit-exact vs the dense dispatch."""
+    key, cnt, coverage = assemble_csr(ns_u8, keylo, dlo, clo, eidx, xkey,
+                                      xcnt, B, W, K)
+    tables = SlotTables(key=key, count=cnt, coverage=coverage,
                         n_slots=None, overflow=overflow)
     return dp_backtrack(tables, lead_abs, seed_anchor, last_col, max_steps,
                         use_pallas=use_pallas)

@@ -93,7 +93,7 @@ class DeviceBatcher:
         """Queue `n` windows for `tier` = (width, K) (a bare int width is
         accepted for K = the aggregation's own K). `aggregate()` must return
         unpadded [n, ...] slot tables with that K. Returns a Future resolving
-        to a list of n per-window tuples (cols_r, base_r, cnt_r, cov_r, ok_r,
+        to a list of n per-window tuples (cols_r, packed_r, qv_r,
         best_sc, truncated, lvl_over, overflow)."""
         if not isinstance(tier, tuple):
             tier = (int(tier), None)
@@ -187,8 +187,7 @@ class DeviceBatcher:
             raise
 
     def _resolve_inner(self, take, batch, host_out) -> None:
-        (cols_r, base_r, cnt_r, cov_r, ok_r, best_sc,
-         truncated, lvl_over) = host_out
+        (cols_r, packed_r, qv_r, best_sc, truncated, lvl_over) = host_out
         overflow = batch[4]
         row = 0
         for req, lo, hi in take:
@@ -196,8 +195,8 @@ class DeviceBatcher:
             rows = []
             for i in range(m):
                 r = row + i
-                rows.append((lo + i, (cols_r[r], base_r[r], cnt_r[r],
-                                      cov_r[r], ok_r[r], int(best_sc[r]),
+                rows.append((lo + i, (cols_r[r], packed_r[r], qv_r[r],
+                                      int(best_sc[r]),
                                       bool(truncated[r]), bool(lvl_over[r]),
                                       bool(overflow[r]))))
             row += m
@@ -284,6 +283,7 @@ class DeviceBatcher:
          lead, seed, last, _row) = batch
         width, K = tier[0], key_tab.shape[2]
         jput = self._jput
+        sharded = jput is not None and jput is not jnp.asarray
         if jput is None:
             # same multi-chip policy as engine.py: shard the batch dim over
             # the active mesh's 'win' axis when one is set
@@ -297,10 +297,12 @@ class DeviceBatcher:
 
                 sh = NamedSharding(mesh, P("win"))
                 jput = lambda x: jax.device_put(jnp.asarray(x), sh)  # noqa: E731
+                sharded = True
             else:
                 jput = jnp.asarray
         return dispatch_chunk((key_tab, cnt_tab, coverage, n_slots, overflow),
-                              lead, seed, last, width, K, jput=jput)
+                              lead, seed, last, width, K, jput=jput,
+                              sharded=sharded)
 
     def _device_get(self, dev) -> tuple:
         import jax
@@ -309,10 +311,9 @@ class DeviceBatcher:
 
         out, lvl_over = dev
         with stage("device_dp_backtrack"):
-            (cols_r, base_r, cnt_r, cov_r, ok_r, best_sc, _n_steps,
+            (cols_r, packed_r, qv_r, best_sc, _n_steps,
              truncated), lvl_over = jax.device_get((out, lvl_over))
-        return (cols_r, base_r, cnt_r, cov_r, ok_r, best_sc, truncated,
-                lvl_over)
+        return (cols_r, packed_r, qv_r, best_sc, truncated, lvl_over)
 
 
 # ---- active batcher (same opt-in pattern as parallel.mesh.set_active_mesh) --

@@ -33,7 +33,7 @@ from ..models.oracle_lq import (
     reupdate_consensus_with_lqseqs,
     update_consensus_with_lqseqs,
 )
-from ..models.oracle_msa import Consensus, LqRegion, lq_from_stream
+from ..models.oracle_msa import Consensus, LqRegion, lq_from_qv_stream
 from ..utils.seqcodes import ASCII2CODE, CODE2ASCII
 from ..utils.timing import stage
 from .host_fallback import host_window_dp
@@ -66,22 +66,39 @@ K_DENSE = 4   # dense upload width; deeper slots ride the exception scatter
 
 
 def dispatch_chunk(agg: tuple, lead: np.ndarray, seed: np.ndarray,
-                   last_col: np.ndarray, cwidth: int, ck: int, jput=None):
+                   last_col: np.ndarray, cwidth: int, ck: int, jput=None,
+                   sharded: bool = False):
     """ONE fused device dispatch for an aggregated chunk (the engine, the
-    cross-contig batcher and bench.py all go through here). Every chunk
-    uploads dense K_DENSE tables (u16 counts) + a sparse exception list and
-    assembles the full [B, W, ck] table on device — the tunneled upload, not
-    the DP, is the production bottleneck. agg = (key_tab, cnt_tab, coverage,
-    n_slots, overflow); returns the pending device output."""
+    cross-contig batcher and bench.py all go through here). The tunneled
+    upload, not the DP, is the production bottleneck, so single-device
+    chunks ship the flat CSR stream (4 bytes per real slot + u8 per-column
+    slot counts, no coverage plane; windows.split_csr) and the table is
+    assembled on device. Mesh-sharded chunks (sharded=True) keep the dense
+    K_DENSE + exception-scatter format: its batch-dim arrays shard cleanly
+    over the 'win' axis, while the CSR entry stream is global across the
+    batch. agg = (key_tab, cnt_tab, coverage, n_slots, overflow); returns
+    the pending device output."""
     import jax.numpy as jnp
 
-    from ..ops.consensus import SlotTables, dp_backtrack, dp_backtrack_sparse
+    from ..ops.consensus import (SlotTables, dp_backtrack, dp_backtrack_csr,
+                                 dp_backtrack_sparse)
 
     if jput is None:
         jput = jnp.asarray
     key_tab, cnt_tab, coverage, n_slots, overflow = agg
     max_steps = int(cwidth + 128)
     dyn = _dynamic_k()
+    if not dyn and not sharded:
+        from .windows import split_csr
+
+        B, W, K = key_tab.shape
+        ns_u8, keylo, dlo, clo, eidx, xkey, xcnt = split_csr(
+            key_tab, cnt_tab, n_slots)
+        return dp_backtrack_csr(
+            jput(ns_u8), jput(keylo), jput(dlo), jput(clo),
+            jput(eidx), jput(xkey), jput(xcnt), jput(overflow),
+            jput(lead), jput(seed), jput(last_col),
+            B=B, W=W, K=ck, max_steps=max_steps, use_pallas=_use_pallas())
     if not dyn:
         from .windows import split_sparse
 
@@ -154,8 +171,10 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
                             stream_cache: Optional[dict] = None,
                             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Run the device engine; return the global REVERSED backtrack stream as
-    (pos, base_ascii, count, coverage) arrays — the exact stream the reference
-    walk produces (genome-descending)."""
+    (pos, base_ascii, qv, lowcov) arrays — the exact stream the reference
+    walk produces (genome-descending), with count/coverage already reduced
+    to the two facts the LQ state machine reads (qv = count*100 // coverage
+    and coverage < 2; models.oracle_msa.lq_from_qv_stream)."""
     import jax.numpy as jnp
 
     from ..utils.jaxcfg import bucket, configure_jax
@@ -189,7 +208,8 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
 
     mesh = get_active_mesh()
     n_win_axis = axis_size(mesh, "win")
-    if mesh is not None and n_win_axis > 1 and CHUNK_B % n_win_axis == 0:
+    sharded = mesh is not None and n_win_axis > 1 and CHUNK_B % n_win_axis == 0
+    if sharded:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         _win_sharding = NamedSharding(mesh, P("win"))
@@ -218,7 +238,7 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
 
     host_results = {}
     best_all = np.zeros(nw, dtype=np.int64)
-    # per-window device rows: win_rows[w] = (cols_r, base_r, cnt_r, cov_r, ok_r)
+    # per-window device rows: win_rows[w] = (cols_r, packed_r, qv_r)
     win_rows: List[Optional[tuple]] = [None] * nw
 
     def run_host_fallback(w: int) -> None:
@@ -258,10 +278,10 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
                     (swidth, kt), len(ids), agg, lead_all[ids],
                     seed_all[ids], last_all[ids])))
         for ids, fut in futs:
-            for i, (cols_r, base_r, cnt_r, cov_r, ok_r, best_sc, truncated,
+            for i, (cols_r, packed_r, qv_r, best_sc, truncated,
                     lvl_over, overflow) in enumerate(fut.result()):
                 w = int(ids[i])
-                win_rows[w] = (cols_r, base_r, cnt_r, cov_r, ok_r)
+                win_rows[w] = (cols_r, packed_r, qv_r)
                 best_all[w] = best_sc
                 if overflow or lvl_over or truncated:
                     run_host_fallback(w)
@@ -271,14 +291,13 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
             n = len(ids)
             # ONE device->host transfer per chunk (tunnel round trips cost)
             with stage("device_dp_backtrack"):
-                (cols_r, base_r, cnt_r, cov_r, ok_r, best_sc, _n_steps,
+                (cols_r, packed_r, qv_r, best_sc, _n_steps,
                  truncated), lvl_over = jax.device_get(dev)
             best_all[ids] = best_sc[:n].astype(np.int64)
             needs_host = overflow[:n] | lvl_over[:n] | truncated[:n]
             for wl in range(n):
                 w = int(ids[wl])
-                win_rows[w] = (cols_r[wl], base_r[wl], cnt_r[wl], cov_r[wl],
-                               ok_r[wl])
+                win_rows[w] = (cols_r[wl], packed_r[wl], qv_r[wl])
                 if needs_host[wl]:
                     run_host_fallback(w)
 
@@ -302,7 +321,7 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
             last_col[:n] = last_all[ids]
 
             dev = dispatch_chunk(agg, lead, seed, last_col, cwidth, ck,
-                                 jput=jput)
+                                 jput=jput, sharded=sharded)
             if pending is not None:
                 harvest(pending)
             pending = (ids, overflow, dev)
@@ -316,30 +335,34 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
 
     # stitch in global reverse order: last window first; window w keeps
     # emissions with abs pos > window_start (w>0) / >= 0 (w==0)
-    pos_parts, base_parts, cnt_parts, cov_parts = [], [], [], []
+    pos_parts, base_parts, qv_parts, low_parts = [], [], [], []
     for w in range(wb.n_windows - 1, -1, -1):
         if w in host_results:
             hcol, hq3, hcnt, hcov = host_results[w]
             abs_pos = hcol + lead_all[w]
             emit_base = CODE2ASCII[hq3 & 0x7]
-            emit_cnt, emit_cov = hcnt, hcov
+            emit_qv = np.minimum(
+                np.where(hcov > 0, hcnt.astype(np.int64) * 100
+                         // np.maximum(hcov, 1), 0), 255).astype(np.uint8)
+            emit_low = hcov < 2
             keep = np.ones(len(abs_pos), dtype=bool)
         else:
-            cols_r, base_r, cnt_r, cov_r, ok_r = win_rows[w]
-            keep = ok_r
+            cols_r, packed_r, qv_r = win_rows[w]
+            keep = (packed_r & 0x10) != 0
             abs_pos = cols_r.astype(np.int64) + lead_all[w]
-            emit_base = CODE2ASCII[base_r & 0x7]
-            emit_cnt, emit_cov = cnt_r, cov_r
+            emit_base = CODE2ASCII[packed_r & 0x7]
+            emit_qv = qv_r
+            emit_low = (packed_r & 0x20) != 0
         if w > 0:
             keep = keep & (abs_pos > wb.window_start[w])
         else:
             keep = keep & (abs_pos >= 0)
         pos_parts.append(abs_pos[keep])
         base_parts.append(emit_base[keep])
-        cnt_parts.append(emit_cnt[keep])
-        cov_parts.append(emit_cov[keep])
+        qv_parts.append(emit_qv[keep])
+        low_parts.append(emit_low[keep])
     return (np.concatenate(pos_parts), np.concatenate(base_parts),
-            np.concatenate(cnt_parts), np.concatenate(cov_parts))
+            np.concatenate(qv_parts), np.concatenate(low_parts))
 
 
 def polish_contig_tpu(tseq: bytes, records: Sequence[BamRecord],
@@ -371,11 +394,12 @@ def polish_contig_tpu(tseq: bytes, records: Sequence[BamRecord],
         stream_cache: dict = {}
         for i in range(cfg.iter_count):
             out_cns = i + 1 == cfg.iter_count
-            pos, base, cnt, cov = device_consensus_stream(
+            pos, base, qv, lowcov = device_consensus_stream(
                 alignseqs, len(tseq), ref_codes, cfg, stream_cache)
             with stage("lq_detect"):
-                cb, lqseqs = lq_from_stream(pos, base, cnt, cov,
-                                            cfg.hq_min_qv, cfg.lq_min_length)
+                cb, lqseqs = lq_from_qv_stream(pos, base, qv, lowcov,
+                                               cfg.hq_min_qv,
+                                               cfg.lq_min_length)
             if not lqseqs:
                 if out_cns:
                     return cb

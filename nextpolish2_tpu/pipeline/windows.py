@@ -266,7 +266,9 @@ def split_sparse(key_tab: np.ndarray, cnt_tab: np.ndarray,
     dense part + padded exception arrays for slots >= k_small (rare columns).
     The device scatters the exceptions back into the full table
     (ops.consensus.dp_backtrack_sparse) — ~10x less tunnel upload per fat
-    chunk. Padding rows use eb == B, dropped by the scatter."""
+    chunk than dense-K. Used by the mesh-sharded dispatch (its arrays all
+    shard over the batch dim); single-device chunks use split_csr below.
+    Padding rows use eb == B, dropped by the scatter."""
     from ..utils.jaxcfg import bucket_pow2
 
     B, W, K = key_tab.shape
@@ -290,6 +292,62 @@ def split_sparse(key_tab: np.ndarray, cnt_tab: np.ndarray,
     return (np.ascontiguousarray(key_tab[:, :, :k_small]),
             np.ascontiguousarray(cnt_tab[:, :, :k_small]),
             eb, ew, ek, ekey, ecnt)
+
+
+def split_csr(key_tab: np.ndarray, cnt_tab: np.ndarray,
+              n_slots: np.ndarray, e_bucket: int = 1024,
+              p_bucket: int = 32768) -> tuple:
+    """Dense [B, W, K] tables -> the flat CSR upload (the production format
+    for single-device dispatch): per-column slot counts ns (u8 [B, W]) + one
+    entry stream ordered by (window, column, slot) carrying key_lo (u16, the
+    flag|q1|q2|q3 bits), delta_lo (u8) and count (u8) — 4 bytes per REAL slot
+    instead of 6 dense bytes per (column x K_DENSE) slot, and real HiFi
+    columns average well under 2 slots. Entries whose delta or count exceeds
+    a byte ride a tiny exception list (flat entry index + full i32 key/count)
+    scattered over the stream on device (ops.consensus.dp_backtrack_csr,
+    which also recomputes coverage on device so it is not uploaded at all).
+
+    Entry-stream padding rows (up to the pow2 bucket) resolve to column id
+    B*W on device and are dropped; exception padding uses index P (out of
+    range, dropped). Bit-exact: the device-assembled table equals the dense
+    one; device coverage equals the host's for every non-overflow window
+    (the native aggregator counts beyond-K slots into coverage on OVERFLOW
+    windows, but those are host-fallback lanes whose device output is
+    discarded)."""
+    from ..utils.jaxcfg import bucket_pow2
+
+    B, W, K = key_tab.shape
+    nsf = np.minimum(n_slots, K).reshape(-1).astype(np.int64)  # [B*W]
+    E = int(nsf.sum())
+    cum = np.cumsum(nsf)
+    start = cum - nsf
+    colid = np.repeat(np.arange(B * W, dtype=np.int64), nsf)
+    slot = np.arange(E, dtype=np.int64) - np.repeat(start, nsf)
+    flat_idx = colid * K + slot
+    ekey = key_tab.reshape(-1)[flat_idx].view(np.uint32)
+    ecnt = cnt_tab.reshape(-1)[flat_idx]
+    delta = ekey >> 16
+    exc = (delta > 0xFF) | (ecnt > 0xFF)
+    eidx = np.nonzero(exc)[0].astype(np.int32)
+    xkey = ekey[eidx].view(np.int32)
+    xcnt = ecnt[eidx].astype(np.int32)
+    keylo = ekey.astype(np.uint16)
+    dlo = np.minimum(delta, 0xFF).astype(np.uint8)  # exceptions overwrite
+    clo = np.minimum(ecnt, 0xFF).astype(np.uint8)
+    P = bucket_pow2(max(E, 1), p_bucket)
+    if P > E:
+        pad = P - E
+        keylo = np.concatenate([keylo, np.zeros(pad, np.uint16)])
+        dlo = np.concatenate([dlo, np.zeros(pad, np.uint8)])
+        clo = np.concatenate([clo, np.zeros(pad, np.uint8)])
+    Pe = bucket_pow2(max(len(eidx), 1), e_bucket)
+    if Pe > len(eidx):
+        pad = Pe - len(eidx)
+        eidx = np.concatenate([eidx, np.full(pad, P, np.int32)])
+        xkey = np.concatenate([xkey, np.zeros(pad, np.int32)])
+        xcnt = np.concatenate([xcnt, np.zeros(pad, np.int32)])
+    ns_u8 = np.minimum(n_slots, K).astype(np.uint8)
+    return ns_u8, keylo, dlo, clo, eidx, xkey, xcnt
 
 
 def col_slot_counts(t_sorted: np.ndarray, k_sorted: np.ndarray,

@@ -236,3 +236,55 @@ def test_sparse_dispatch_matches_dense():
         for a, b in zip(dense[0], sparse[0]):
             np.testing.assert_array_equal(a, b)
         np.testing.assert_array_equal(dense[1], sparse[1])
+
+    # the CSR upload (the production single-device format) must match too
+    from nextpolish2_tpu.ops.consensus import dp_backtrack_csr
+    from nextpolish2_tpu.pipeline.windows import split_csr
+
+    W = key_tab.shape[1]
+    csr = jax.device_get(dp_backtrack_csr(
+        *(jnp.asarray(x) for x in split_csr(key_tab, cnt_tab, n_slots)),
+        jnp.asarray(overflow), jnp.asarray(lead), jnp.asarray(seed),
+        jnp.asarray(last), B=B, W=W, K=K, max_steps=max_steps))
+    for a, b in zip(dense[0], csr[0]):
+        np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(dense[1], csr[1])
+
+
+def test_csr_assembly_exceptions_roundtrip():
+    """assemble_csr rebuilds EXACTLY the dense tables + coverage from the
+    flat 4-byte-per-slot stream, including entries whose delta or count
+    overflow a byte (the exception scatter) and zero-slot columns."""
+    import jax
+    import jax.numpy as jnp
+
+    from nextpolish2_tpu.ops.consensus import assemble_csr
+    from nextpolish2_tpu.pipeline.windows import split_csr
+
+    rng = np.random.default_rng(54)
+    B, W, K = 3, 97, 7
+    n_slots = rng.integers(0, K + 1, size=(B, W)).astype(np.int32)
+    n_slots[:, ::5] = 0  # runs of empty columns
+    key_tab = np.full((B, W, K), -1, dtype=np.int32)
+    cnt_tab = np.zeros((B, W, K), dtype=np.int32)
+    for b in range(B):
+        for w in range(W):
+            for k in range(int(n_slots[b, w])):
+                delta = int(rng.choice([0, 1, 2, 3, 300, 70000]))
+                flag = int(rng.integers(0, 6))
+                q = rng.integers(0, 16, size=3)
+                key_tab[b, w, k] = np.int32(np.uint32(
+                    (min(delta, 0xFFFF) << 16) | (flag << 12)
+                    | (int(q[0]) << 8) | (int(q[1]) << 4) | int(q[2])))
+                cnt_tab[b, w, k] = int(rng.choice([1, 2, 200, 400, 70000]))
+    parts = split_csr(key_tab, cnt_tab, n_slots, e_bucket=8, p_bucket=64)
+    n_exc = int((parts[4] < len(parts[1])).sum())
+    assert n_exc > 0, "fixture must exercise the exception scatter"
+    akey, acnt, acov = jax.device_get(jax.jit(
+        assemble_csr, static_argnames=("B", "W", "K"))(
+        *(jnp.asarray(x) for x in parts), B=B, W=W, K=K))
+    np.testing.assert_array_equal(akey, key_tab)
+    np.testing.assert_array_equal(acnt, cnt_tab)
+    exp_cov = np.where((key_tab != -1) & (((key_tab >> 12) & 1) == 0),
+                       cnt_tab, 0).sum(axis=2)
+    np.testing.assert_array_equal(acov, exp_cov)

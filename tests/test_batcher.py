@@ -96,7 +96,7 @@ def test_small_tail_uses_small_tier():
         b.shutdown()
     assert len(out) == n
     # empty windows: no overflow flags, no truncation
-    for cols_r, base_r, cnt_r, cov_r, ok_r, best, trunc, lvl, ovf in out:
+    for cols_r, packed_r, qv_r, best, trunc, lvl, ovf in out:
         assert not trunc and not lvl and not ovf
     assert b.stats.lanes_dispatched == LANE_SMALL
     assert b.stats.batches == 1

@@ -117,7 +117,7 @@ def main():
                               use_pallas=use_pallas)
         return (out[0].sum(dtype=jnp.int64) + out[1].sum(dtype=jnp.int64)
                 + out[2].sum(dtype=jnp.int64) + out[3].sum(dtype=jnp.int64)
-                + out[5].sum(dtype=jnp.int64))
+                + out[4].sum(dtype=jnp.int64))
     timeit("dp+backtrack: fused (chk only)", dpbt_chk, n_iter, sync)
 
     # 4. forward-only program: besti + last-col scores (the native-backtrack

@@ -75,7 +75,7 @@ def main():
     def dp_bt_chk():
         out, _ = dp_backtrack(jt, jl, js, jc, max_steps, use_pallas=True)
         return (out[0].sum(dtype=jnp.int64) + out[1].sum(dtype=jnp.int64)
-                + out[5].sum(dtype=jnp.int64))
+                + out[3].sum(dtype=jnp.int64))
 
     @jax.jit
     def bt_only():
@@ -83,7 +83,7 @@ def main():
         s, b, _ = consensus_dp_pallas(jt.key, jt.count, jt.coverage, jl, js)
         s = jax.lax.stop_gradient(s)
         out = backtrack(jt, s, b.astype(jnp.int8), jc, js, max_steps)
-        return out[0].sum(dtype=jnp.int64) + out[5].sum(dtype=jnp.int64)
+        return out[0].sum(dtype=jnp.int64) + out[3].sum(dtype=jnp.int64)
 
     def full_pull():
         out, lvl = dp_backtrack(jt, jl, js, jc, max_steps, use_pallas=True)
