@@ -890,6 +890,153 @@ int np2_aggregate3(const int32_t* t_sorted, const int32_t* k_sorted,
   return 0;
 }
 
+// CSR-direct pileup aggregation: same per-column dedup + b3-delta stable
+// sort as np2_aggregate3, but emits the flat CSR entry stream the device
+// dispatch uploads (pipeline/windows.split_csr format) WITHOUT materializing
+// the dense [B, W, K] host tables: per-column slot counts ns (u8 [B*W]) and
+// one (window, column, slot)-ordered stream of key_lo u16 / delta u8 /
+// count u8. Entries whose delta or count exceeds a byte are appended to a
+// shared exception list as (window, col, slot, full key, full count); the
+// Python wrapper converts those to flat stream indices via the ns cumsum.
+//
+// Threads own contiguous window ranges and write their stream entries
+// densely into private regions of the shared output buffers (region t
+// starts at the prefix sum of the per-window bounds min(hi-lo, W*K));
+// toffs/tcounts report each region's start and real length so the wrapper
+// can compact with T<=16 slice copies. Returns the thread count, or
+// -2 (nw > B) / -3 (exception list overflow; caller falls back).
+int np2_aggregate_csr(const int32_t* t_sorted, const int32_t* k_sorted,
+                      const int64_t* lo, const int64_t* hi,
+                      const int64_t* lead,
+                      int64_t nw, int64_t B, int64_t W, int64_t K,
+                      int64_t n_threads,
+                      uint8_t* ns_u8, uint16_t* keylo, uint8_t* dlo,
+                      uint8_t* clo,
+                      int64_t* toffs, int64_t* tcounts,
+                      int32_t* xw, int32_t* xcol, int32_t* xslot,
+                      int32_t* xkey, int32_t* xcnt, int64_t xcap,
+                      int64_t* xcount, uint8_t* overflow) {
+  std::fill(ns_u8, ns_u8 + B * W, 0);
+  std::fill(overflow, overflow + B, 0);
+  if (nw > B) return -2;
+  if (K > 255) return -4;
+
+  int T = (int)(n_threads < 1 ? 1 : (n_threads > 16 ? 16 : n_threads));
+  int64_t total = 0;
+  for (int64_t w = 0; w < nw; w++) total += hi[w] - lo[w];
+  if (total < (int64_t)1 << 16) T = 1;
+  std::vector<int64_t> wb(T + 1, nw);
+  wb[0] = 0;
+  {
+    int64_t acc = 0, t = 1;
+    for (int64_t w = 0; w < nw && t < T; w++) {
+      acc += hi[w] - lo[w];
+      while (t < T && acc >= total / T * t) { wb[t] = w + 1; t++; }
+    }
+  }
+  for (int t = 1; t < T; t++) if (wb[t] < wb[t - 1]) wb[t] = wb[t - 1];
+  // region offsets from per-window bounds (entries per window <= stream
+  // length and <= W*K stored slots)
+  {
+    int64_t off = 0;
+    for (int t = 0; t < T; t++) {
+      toffs[t] = off;
+      for (int64_t w = wb[t]; w < wb[t + 1]; w++) {
+        int64_t m = hi[w] - lo[w], cap = W * K;
+        off += m < cap ? m : cap;
+      }
+    }
+  }
+  std::atomic<int64_t> xn(0);
+
+  auto work = [&](int t) {
+    struct Seg { int64_t key, count, b3d; };
+    std::vector<Seg> segs;
+    segs.reserve(256);
+    const int HB = 13, HN = 1 << HB;
+    const int64_t CAP = HN / 2;
+    std::vector<int32_t> hkey(HN);
+    std::vector<int32_t> hseg(HN);
+    std::vector<uint32_t> hgen(HN, 0);
+    uint32_t gen = 0;
+    int64_t p = toffs[t];
+    for (int64_t w = wb[t]; w < wb[t + 1]; w++) {
+      int64_t i = lo[w], end = hi[w];
+      int64_t ld = lead[w];
+      while (i < end) {
+        int32_t tp = t_sorted[i];
+        int64_t col = (int64_t)tp - ld;
+        segs.clear();
+        gen++;
+        bool full = false;
+        int64_t j = i;
+        for (; j < end && t_sorted[j] == tp; j++) {
+          int32_t k = k_sorted[j];
+          uint32_t h = ((uint32_t)k * 2654435761u) >> (32 - HB);
+          for (;;) {
+            if (hgen[h] != gen) {
+              if ((int64_t)segs.size() >= CAP) { full = true; break; }
+              hgen[h] = gen;
+              hkey[h] = k;
+              hseg[h] = (int32_t)segs.size();
+              segs.push_back({(int64_t)(uint32_t)k, 1,
+                              b3d_of_key((int64_t)(uint32_t)k)});
+              break;
+            }
+            if (hkey[h] == k) { segs[hseg[h]].count++; break; }
+            h = (h + 1) & (HN - 1);
+          }
+          if (full) break;
+        }
+        if (full) {
+          overflow[w] = 1;
+          while (j < end && t_sorted[j] == tp) j++;
+          i = j;
+          continue;
+        }
+        i = j;
+        if (col < 0) return;  // caller guarantees col >= 0; defensive
+        if (col >= W) { overflow[w] = 1; continue; }
+        std::stable_sort(segs.begin(), segs.end(),
+                         [](const Seg& a, const Seg& b) { return a.b3d < b.b3d; });
+        int64_t ns = segs.size() < (size_t)K ? (int64_t)segs.size() : K;
+        if ((int64_t)segs.size() > K) overflow[w] = 1;
+        for (int64_t s = 0; s < ns; s++) {
+          uint32_t key = (uint32_t)segs[s].key;
+          int64_t cnt = segs[s].count;
+          uint32_t delta = key >> 16;
+          keylo[p] = (uint16_t)(key & 0xFFFF);
+          dlo[p] = (uint8_t)(delta > 0xFF ? 0xFF : delta);
+          clo[p] = (uint8_t)(cnt > 0xFF ? 0xFF : cnt);
+          if (delta > 0xFF || cnt > 0xFF) {
+            int64_t xi = xn.fetch_add(1);
+            if (xi < xcap) {
+              xw[xi] = (int32_t)w;
+              xcol[xi] = (int32_t)col;
+              xslot[xi] = (int32_t)s;
+              xkey[xi] = (int32_t)key;
+              xcnt[xi] = (int32_t)(cnt > 0x7FFFFFFF ? 0x7FFFFFFF : cnt);
+            }
+          }
+          p++;
+        }
+        ns_u8[w * W + col] = (uint8_t)ns;
+      }
+    }
+    tcounts[t] = p - toffs[t];
+  };
+  if (T == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < T; t++) threads.emplace_back(work, t);
+    for (auto& th : threads) th.join();
+  }
+  *xcount = xn.load();
+  if (*xcount > xcap) return -3;
+  return T;
+}
+
 // Per-absolute-column distinct-key counts over the whole t-sorted contig
 // stream. A column's (t, key) distinct set is window-independent (keys pack
 // per-column deltas, not window offsets), so one pass yields every window's

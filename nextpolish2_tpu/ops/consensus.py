@@ -404,12 +404,17 @@ def dp_backtrack(tables: SlotTables, lead_abs: jnp.ndarray,
     stops at the column's real max slot count. Returns (backtrack outputs,
     lvl_over)."""
     if use_pallas:
+        import os
+
         from .consensus_pallas import consensus_dp_pallas
 
+        variant = "base" if os.environ.get("NP2_DP_BASE") else "v2"
         scores, besti, lvl_over = consensus_dp_pallas(
             tables.key, tables.count, tables.coverage, lead_abs, seed_anchor,
             n_slots_bw=tables.n_slots if dynamic_k else None,
-            dynamic_k=dynamic_k)
+            dynamic_k=dynamic_k, variant=variant,
+            span=None if (dynamic_k or variant != "v2")
+            else last_col.astype(jnp.int32) + 1)
         besti = besti.astype(jnp.int8)
     else:
         scores, besti, lvl_over = consensus_dp(tables, lead_abs, seed_anchor)

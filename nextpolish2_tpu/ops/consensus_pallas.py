@@ -149,6 +149,148 @@ def _dp_kernel(K, chunk_w, n_chunks,
     jax.lax.fori_loop(0, chunk_w, col_body, 0)
 
 
+def _dp_kernel_v2(K, chunk_w, n_chunks, use_span, *refs):
+    """Reduction-free DP kernel (the production default; _dp_kernel kept as
+    the reference formulation). Profiling on chip showed the per-column cost
+    of _dp_kernel is ~20 us regardless of K — dominated by the ~6 cross-
+    sublane reductions per slot inside _pick (min/max over the sublane axis
+    lower to rotate chains on the VPU). This variant replaces every reduction
+    with a RUNNING elementwise pick over predecessor rows j (ascending):
+
+      take = match & (cand > best  |  (cand == best & pred_nongap))
+
+    which reproduces the reference tie rule exactly (strict max; among ties
+    prefer the LAST non-gap predecessor, else the FIRST maximum —
+    main.rs:1670): a strict improvement resets the winner (first max), a tie
+    replaces it only for non-gap j (last non-gap).
+
+    Same-column (in-column insertion level) transitions exploit the slot
+    order: slots are sorted by b3-delta, so a slot's in-column predecessors
+    (level l-1) always occupy EARLIER slots. One ascending pass finalizes
+    slot i from the running same-col state, then broadcasts its final score
+    into the running state for later slots. Bit-exact vs _dp_kernel
+    (tests/test_pallas_dp.py runs both).
+
+    use_span: inner column loop stops at this tile's max window span (pad
+    columns of every lane are invalid ⇒ scores NEG_INF, besti 0 — written by
+    a block memset up front, so outputs stay bit-identical)."""
+    if use_span:
+        (key_ref, cnt_ref, cov_ref, lead_ref, seed_ref, span_ref,
+         scores_out, besti_out,
+         p_scores, p_b2key, p_b3key, p_b1head, p_b1nongap) = refs
+    else:
+        (key_ref, cnt_ref, cov_ref, lead_ref, seed_ref,
+         scores_out, besti_out,
+         p_scores, p_b2key, p_b3key, p_b1head, p_b1nongap) = refs
+        span_ref = None
+    wchunk = pl.program_id(1)
+
+    @pl.when(wchunk == 0)
+    def _init():
+        p_scores[:] = jnp.full((K, LANES), NEG_INF, jnp.int32)
+        p_b2key[:] = jnp.full((K, LANES), -7, jnp.int32)
+        p_b3key[:] = jnp.full((K, LANES), -8, jnp.int32)
+        p_b1head[:] = jnp.zeros((K, LANES), jnp.int32)
+        p_b1nongap[:] = jnp.zeros((K, LANES), jnp.int32)
+
+    lead = lead_ref[0, :]          # [L]
+    seed = seed_ref[0, :] != 0     # [L]
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (K, LANES), 0)
+    NEG1 = NEG_INF - 1
+
+    def col_body(c, _):
+        abs_col = wchunk * chunk_w + c
+        key = key_ref[c]           # [K, L]
+        cnt = cnt_ref[c]
+        cov = cov_ref[c]           # [L]
+        valid = key >= 0
+        b1key, b2key, b3key, q1, q2, _q3, _b3d = _decode_tile(key, abs_col)
+        b2key_m = jnp.where(valid, b2key, -7)
+        b3key_m = jnp.where(valid, b3key, -8)
+        b1head = (q1 == HEAD_Q).astype(jnp.int32)
+        b1nongap = (q1 != 4).astype(jnp.int32)
+        b2head = q2 == HEAD_Q
+        same_col = (key >> 12) & 0b0001 != 0  # flag bit 0: pred pool is this col
+        gains = 10 * cnt - 4 * cov[None, :]
+        colge3 = (lead[None, :] + abs_col) >= 3  # [1, L]
+
+        pv_scores = p_scores[:]
+        pv_b2key = p_b2key[:]
+        pv_b3key = p_b3key[:]
+        pv_guard = (p_b1head[:] != 0) & colge3
+        pv_nongap = p_b1nongap[:] != 0
+        cur_guard = (b1head != 0) & colge3
+        cur_nongap = b1nongap != 0
+
+        # phase 1: prev-column predecessors for ALL slots at once — loop over
+        # predecessor rows j, elementwise running pick on [K, L] tiles
+        rbest_p = jnp.full((K, LANES), NEG1, jnp.int32)
+        rj_p = jnp.zeros((K, LANES), jnp.int32)
+        rhas_p = jnp.zeros((K, LANES), jnp.int32)
+        for j in range(K):
+            m = ((pv_b2key[j : j + 1, :] == b1key)
+                 & (pv_b3key[j : j + 1, :] == b2key)
+                 & ~pv_guard[j : j + 1, :])
+            cand = pv_scores[j : j + 1, :]
+            take = m & ((cand > rbest_p)
+                        | ((cand == rbest_p) & pv_nongap[j : j + 1, :]))
+            rbest_p = jnp.where(take, cand, rbest_p)
+            rj_p = jnp.where(take, j, rj_p)
+            rhas_p = jnp.where(m, 1, rhas_p)
+
+        # phase 2: finalize slots in order; after each, fold its final score
+        # into the running same-column pick for later (deeper-level) slots
+        sc = jnp.full((K, LANES), NEG_INF, jnp.int32)
+        bi = jnp.zeros((K, LANES), jnp.int32)
+        rbest_c = jnp.full((K, LANES), NEG1, jnp.int32)
+        rj_c = jnp.zeros((K, LANES), jnp.int32)
+        rhas_c = jnp.zeros((K, LANES), jnp.int32)
+        for i in range(K):
+            use_c = same_col[i : i + 1, :]
+            best = jnp.where(use_c, rbest_c[i : i + 1, :], rbest_p[i : i + 1, :])
+            j = jnp.where(use_c, rj_c[i : i + 1, :], rj_p[i : i + 1, :])
+            has = jnp.where(use_c, rhas_c[i : i + 1, :], rhas_p[i : i + 1, :])
+            j = jnp.where(has != 0, j, 0)  # reference besti init (main.rs:1657)
+            i_gain = gains[i : i + 1, :]
+            s_new = jnp.where(b2head[i : i + 1, :], i_gain,
+                              jnp.where(has != 0, best + i_gain, NEG_INF))
+            s_new = jnp.where(valid[i : i + 1, :], s_new, NEG_INF)
+            is_row = row_iota == i
+            sc = jnp.where(is_row, s_new, sc)
+            bi = jnp.where(is_row, j, bi)
+            if i + 1 < K:  # slot i as same-col predecessor of deeper slots
+                m = ((b2key_m[i : i + 1, :] == b1key)
+                     & (b3key_m[i : i + 1, :] == b2key)
+                     & ~cur_guard[i : i + 1, :])
+                take = m & ((s_new > rbest_c)
+                            | ((s_new == rbest_c) & cur_nongap[i : i + 1, :]))
+                rbest_c = jnp.where(take, s_new, rbest_c)
+                rj_c = jnp.where(take, i, rj_c)
+                rhas_c = jnp.where(m, 1, rhas_c)
+        # anchor seeding (relative col 2 of seeded windows)
+        sc = jnp.where((seed[None, :]) & (abs_col == 2) & valid, 0, sc)
+
+        scores_out[c] = sc
+        besti_out[c] = bi.astype(jnp.int8)
+        p_scores[:] = sc
+        p_b2key[:] = b2key_m
+        p_b3key[:] = b3key_m
+        p_b1head[:] = b1head
+        p_b1nongap[:] = b1nongap
+        return 0
+
+    if use_span:
+        # pad columns are all-invalid in every lane: memset the exact values
+        # the kernel would compute for them, then scan only real columns
+        scores_out[:] = jnp.full((chunk_w, K, LANES), NEG_INF, jnp.int32)
+        besti_out[:] = jnp.zeros((chunk_w, K, LANES), jnp.int8)
+        span_max = jnp.max(span_ref[0, :])
+        hi = jnp.clip(span_max - wchunk * chunk_w, 0, chunk_w)
+        jax.lax.fori_loop(0, hi, col_body, 0)
+    else:
+        jax.lax.fori_loop(0, chunk_w, col_body, 0)
+
+
 def _dp_kernel_dynk(K, chunk_w, n_chunks,
                     key_ref, cnt_ref, cov_ref, ns_ref, lead_ref, seed_ref,
                     scores_out, besti_out,
@@ -254,15 +396,23 @@ def _dp_kernel_dynk(K, chunk_w, n_chunks,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("chunk_w", "interpret", "dynamic_k"))
+                   static_argnames=("chunk_w", "interpret", "dynamic_k",
+                                    "variant"))
 def consensus_dp_pallas(key_bwk, cnt_bwk, cov_bw, lead, seed,
                         chunk_w: int = 32, interpret: bool = False,
-                        n_slots_bw=None, dynamic_k: bool = False):
+                        n_slots_bw=None, dynamic_k: bool = False,
+                        variant: str = "v2", span=None):
     """Drop-in DP replacement: [B, W, K] tables -> (scores, besti, lvl_overflow).
 
     B is padded to a multiple of 128 internally; W to a multiple of chunk_w.
     The kernel has no delta-level cap (slot ordering covers arbitrary insertion
     depth), so lvl_overflow is always False here.
+
+    variant: "v2" (reduction-free running pick, the fast default) or "base"
+    (the reference formulation with cross-sublane reductions). span ([B] i32,
+    last_col + 1) optionally bounds the column scan per 128-window tile at
+    its max real span — pad columns get their exact all-invalid values from
+    a block memset.
     """
     B, W, K = key_bwk.shape
     Bp = ((B + LANES - 1) // LANES) * LANES
@@ -332,11 +482,15 @@ def consensus_dp_pallas(key_bwk, cnt_bwk, cov_bw, lead, seed,
         besti_bwk = jnp.transpose(besti, (2, 0, 1))[:B, :W]
         return scores_bwk, besti_bwk, lvl_overflow
 
-    kernel = functools.partial(_dp_kernel, K, chunk_w, n_chunks)
-    scores, besti = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
+    use_span = span is not None
+    if variant == "v2":
+        kernel = functools.partial(_dp_kernel_v2, K, chunk_w, n_chunks,
+                                   use_span)
+    else:
+        assert not use_span, "span bounding requires the v2 kernel"
+        kernel = functools.partial(_dp_kernel, K, chunk_w, n_chunks)
+    operands = [key_wkb, cnt_wkb, cov_wb, lead_2d, seed_2d]
+    in_specs = [
             pl.BlockSpec((chunk_w, K, LANES), lambda b, w: (w, 0, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk_w, K, LANES), lambda b, w: (w, 0, b),
@@ -347,7 +501,16 @@ def consensus_dp_pallas(key_bwk, cnt_bwk, cov_bw, lead, seed,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, LANES), lambda b, w: (0, b),
                          memory_space=pltpu.VMEM),
-        ],
+    ]
+    if use_span:
+        span_p = jnp.zeros((Bp,), jnp.int32).at[:B].set(span.astype(jnp.int32))
+        operands.append(span_p[None, :])
+        in_specs.append(pl.BlockSpec((1, LANES), lambda b, w: (0, b),
+                                     memory_space=pltpu.VMEM))
+    scores, besti = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((chunk_w, K, LANES), lambda b, w: (w, 0, b),
                          memory_space=pltpu.VMEM),
@@ -366,7 +529,7 @@ def consensus_dp_pallas(key_bwk, cnt_bwk, cov_bw, lead, seed,
             pltpu.VMEM((K, LANES), jnp.int32),
         ],
         interpret=interpret,
-    )(key_wkb, cnt_wkb, cov_wb, lead_2d, seed_2d)
+    )(*operands)
 
     scores_bwk = jnp.transpose(scores, (2, 0, 1))[:B, :W]
     besti_bwk = jnp.transpose(besti, (2, 0, 1))[:B, :W]

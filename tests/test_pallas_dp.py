@@ -103,3 +103,35 @@ def test_pallas_dynamic_k_matches_static():
     # rows past each column's bound must be untouched init values
     past = ~valid
     assert (np.asarray(sc_d)[past] == -(1 << 30)).all()
+
+
+def test_pallas_v2_span_matches_base():
+    """The reduction-free v2 kernel (production default), with and without
+    the span column bound, must be bit-identical to the base formulation —
+    including the memset values on pad columns past every window's span."""
+    import jax.numpy as jnp
+
+    from nextpolish2_tpu.ops.consensus_pallas import consensus_dp_pallas
+
+    key, cnt, cov, lead, seed_anchor = build_tables(seed=72)
+    B, W, K = key.shape
+    # real spans: last column with any real slot, +1; pad W so the span
+    # bound actually skips trailing chunks
+    span = W - np.argmax((key >= 0).any(2)[:, ::-1], axis=1)
+    Wp = W + 96
+    key_p = np.full((B, Wp, K), -1, key.dtype)
+    key_p[:, :W] = key
+    cnt_p = np.zeros((B, Wp, K), cnt.dtype)
+    cnt_p[:, :W] = cnt
+    cov_p = np.zeros((B, Wp), cov.dtype)
+    cov_p[:, :W] = cov
+    args = (jnp.asarray(key_p), jnp.asarray(cnt_p), jnp.asarray(cov_p),
+            jnp.asarray(lead), jnp.asarray(seed_anchor))
+    sc_b, bi_b, _ = consensus_dp_pallas(*args, interpret=True, variant="base")
+    sc_v, bi_v, _ = consensus_dp_pallas(*args, interpret=True, variant="v2")
+    sc_s, bi_s, _ = consensus_dp_pallas(*args, interpret=True, variant="v2",
+                                        span=jnp.asarray(span.astype(np.int32)))
+    np.testing.assert_array_equal(np.asarray(sc_b), np.asarray(sc_v))
+    np.testing.assert_array_equal(np.asarray(bi_b), np.asarray(bi_v))
+    np.testing.assert_array_equal(np.asarray(sc_b), np.asarray(sc_s))
+    np.testing.assert_array_equal(np.asarray(bi_b), np.asarray(bi_s))
