@@ -105,7 +105,9 @@ def main() -> int:
     nw = wb.n_windows
     # same fixed shapes + tiered chunk plan as the engine (one width tier on
     # this contig; windows regrouped into K=8 / K=48 chunks, engine.py)
-    from nextpolish2_tpu.pipeline.engine import plan_tiered_chunks, window_ktiers
+    from nextpolish2_tpu.pipeline.engine import (CHUNK_B_TIERS,
+                                                 plan_tiered_chunks,
+                                                 window_ktiers)
 
     tiers = [bucket(cfg.window_len + 256, 128), bucket(2 * cfg.window_len + 512, 128)]
     B = 128
@@ -114,45 +116,47 @@ def main() -> int:
     last_all = (wb.window_start + wb.window_len - 1 - lead_all).astype(np.int32)
     span_all = last_all + 1
     ktier_all = window_ktiers(wb, contig_bp, K)
-    # steady-state sweep: 8 copies of the contig's window set, so the tiered
-    # plan fills whole 128-lane chunks like a multi-Mb assembly does (a single
-    # 100 kb contig alone underfills the tiles and measures padding, not DP)
-    REP = 8
+    # steady-state sweep: 32 copies of the contig's window set, so the tiered
+    # plan fills whole chunks (incl. the K=8 tier's 512-lane chunks) like a
+    # multi-Mb assembly does (a single 100 kb contig alone underfills the
+    # tiles and measures padding, not DP)
+    REP = 32
     tiled = np.tile(np.arange(nw), REP)
-    chunks = plan_tiered_chunks(span_all[tiled], ktier_all[tiled], tiers, B)
+    chunks = plan_tiered_chunks(span_all[tiled], ktier_all[tiled], tiers, B,
+                                tier_b=CHUNK_B_TIERS)
 
     from nextpolish2_tpu.pipeline.engine import dispatch_chunk
 
     hostchunks = []
     n_real = 0
-    for tids, cwidth, ck in chunks:
+    for tids, cwidth, ck, pad_b in chunks:
         ids = tiled[tids]
         n = len(ids)
         n_real += n
-        agg = aggregate_host(wb, ck, width=cwidth, n_windows=B, win_idx=ids)
-        lead = np.zeros(B, dtype=np.int64)
+        agg = aggregate_host(wb, ck, width=cwidth, n_windows=pad_b, win_idx=ids)
+        lead = np.zeros(pad_b, dtype=np.int64)
         lead[:n] = lead_all[ids]
-        seed = np.zeros(B, dtype=bool)
+        seed = np.zeros(pad_b, dtype=bool)
         seed[:n] = seed_all[ids]
-        last_col = np.zeros(B, dtype=np.int32)
+        last_col = np.zeros(pad_b, dtype=np.int32)
         last_col[:n] = last_all[ids]
         hostchunks.append((agg, lead, seed, last_col, int(cwidth), int(ck)))
 
     @jax.jit
-    def _chk(scores, out1, out5):
+    def _chk(words, meta):
         # device-side checksum: forces full execution; only a scalar crosses
         # the tunnel (block_until_ready does NOT block on the axon backend)
-        return (scores.sum(dtype=jnp.int64) + out1.sum(dtype=jnp.int64)
-                + out5.sum(dtype=jnp.int64))
+        return words.sum(dtype=jnp.int64) + meta.sum(dtype=jnp.int64)
 
     def step():
         # the EXACT production dispatch (engine.dispatch_chunk: tiered
-        # shapes, sparse fat-chunk upload, host->device transfers included);
+        # shapes, one-blob CSR upload, host->device transfers included);
         # one checksum pull per sweep forces the whole chain
         c = None
         for agg, lead, seed, last_col, cwidth, ck in hostchunks:
-            out, _ = dispatch_chunk(agg, lead, seed, last_col, cwidth, ck)
-            s = _chk(out[0], out[1], out[3])
+            words, meta = dispatch_chunk(agg, lead, seed, last_col,
+                                         cwidth, ck)
+            s = _chk(words, meta)
             c = s if c is None else c + s
         return c
 

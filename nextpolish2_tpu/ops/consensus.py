@@ -389,6 +389,113 @@ def dp_backtrack_csr(ns_u8, keylo, dlo, clo, eidx, xkey, xcnt, overflow,
                         use_pallas=use_pallas)
 
 
+def _le16u(b: jnp.ndarray) -> jnp.ndarray:
+    """u8[2n] little-endian pairs -> u16[n] (arithmetic combine: TPU-safe,
+    fuses into the consumer; avoids width-changing bitcasts)."""
+    b = b.reshape(-1, 2).astype(jnp.uint16)
+    return b[:, 0] | (b[:, 1] << 8)
+
+
+def _le32i(b: jnp.ndarray) -> jnp.ndarray:
+    """u8[4n] little-endian quads -> i32[n]."""
+    b = b.reshape(-1, 4).astype(jnp.uint32)
+    u = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16) | (b[:, 3] << 24)
+    return jax.lax.bitcast_convert_type(u, jnp.int32)
+
+
+def pack_backtrack_out(out: tuple, lvl_over: jnp.ndarray):
+    """Pack the backtrack emission + per-window scalars into TWO arrays so
+    the device->host pull is two transfers, not seven (each tunneled
+    device_get pays a fixed per-array cost that dominated the pull):
+    words u32 [B, max_steps] = col<<16 | packed<<8 | qv  (col >= 0, < 2^16)
+    meta  i32 [B, 4]        = (best_score, n_steps, truncated, lvl_over).
+    Host decode: ops.consensus.decode_backtrack_words."""
+    cols, packed, qv, best, n_steps, trunc = out
+    words = ((cols.astype(jnp.uint32) << 16)
+             | (packed.astype(jnp.uint32) << 8) | qv.astype(jnp.uint32))
+    meta = jnp.stack([best.astype(jnp.int32), n_steps.astype(jnp.int32),
+                      trunc.astype(jnp.int32), lvl_over.astype(jnp.int32)],
+                     axis=1)
+    return words, meta
+
+
+def decode_backtrack_words(words, meta) -> tuple:
+    """Host-side inverse of pack_backtrack_out (numpy, vectorized):
+    returns (cols u16, packed u8, qv u8, best i32, truncated bool,
+    lvl_over bool)."""
+    import numpy as np
+
+    words = np.asarray(words)
+    meta = np.asarray(meta)
+    cols_r = (words >> 16).astype(np.uint16)
+    packed_r = ((words >> 8) & 0xFF).astype(np.uint8)
+    qv_r = (words & 0xFF).astype(np.uint8)
+    return (cols_r, packed_r, qv_r, meta[:, 0],
+            meta[:, 2].astype(bool), meta[:, 3].astype(bool))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("B", "W", "K", "P", "Pe", "max_steps",
+                                    "use_pallas"))
+def dp_backtrack_csr_blob(blob, B: int, W: int, K: int, P: int, Pe: int,
+                          max_steps: int, use_pallas: bool = False):
+    """Production single-device dispatch: the WHOLE chunk rides ONE uint8
+    host->device buffer (pipeline.windows.pack_csr_blob layout) and the
+    result comes back as the TWO packed arrays of pack_backtrack_out. The
+    tunneled transport pays a fixed cost per array in each direction, which
+    at CSR sizes dominated the actual bytes; slicing/recombining the blob is
+    fused elementwise work on device. Bit-exact vs dp_backtrack_csr."""
+    o = [0]
+
+    def take(n: int):
+        s = jax.lax.slice_in_dim(blob, o[0], o[0] + n)
+        o[0] += n
+        return s
+
+    ns_u8 = take(B * W).reshape(B, W)
+    keylo = _le16u(take(2 * P))
+    dlo = take(P)
+    clo = take(P)
+    eidx = _le32i(take(4 * Pe))
+    xkey = _le32i(take(4 * Pe))
+    xcnt = _le32i(take(4 * Pe))
+    lead = _le32i(take(4 * B))
+    seed = take(B).astype(bool)
+    last_col = _le32i(take(4 * B))
+    out, lvl = dp_backtrack_csr(
+        ns_u8, keylo, dlo, clo, eidx, xkey, xcnt,
+        jnp.zeros(B, bool), lead, seed, last_col,
+        B=B, W=W, K=K, max_steps=max_steps, use_pallas=use_pallas)
+    return pack_backtrack_out(out, lvl)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "max_steps", "use_pallas"))
+def dp_backtrack_sparse_packed(dense_key, dense_cnt, coverage, overflow,
+                               eb, ew, ek, ekey, ecnt,
+                               lead_abs, seed_anchor, last_col,
+                               K: int, max_steps: int,
+                               use_pallas: bool = False):
+    """Mesh-sharded dispatch with the packed two-array output (the gather
+    back to host pays the same per-array cost as single-device pulls)."""
+    out, lvl = dp_backtrack_sparse(
+        dense_key, dense_cnt, coverage, overflow, eb, ew, ek, ekey, ecnt,
+        lead_abs, seed_anchor, last_col,
+        K=K, max_steps=max_steps, use_pallas=use_pallas)
+    return pack_backtrack_out(out, lvl)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_steps", "use_pallas", "dynamic_k"))
+def dp_backtrack_packed(tables: SlotTables, lead_abs, seed_anchor, last_col,
+                        max_steps: int, use_pallas: bool = False,
+                        dynamic_k: bool = False):
+    """Dense-table dispatch (dynamic-K opt-in path) with packed output."""
+    out, lvl = dp_backtrack(tables, lead_abs, seed_anchor, last_col,
+                            max_steps, use_pallas=use_pallas,
+                            dynamic_k=dynamic_k)
+    return pack_backtrack_out(out, lvl)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("max_steps", "use_pallas", "dynamic_k"))
 def dp_backtrack(tables: SlotTables, lead_abs: jnp.ndarray,

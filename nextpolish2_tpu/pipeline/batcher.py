@@ -31,9 +31,19 @@ import numpy as np
 
 # one dispatched batch is LANE_B windows (the same compiled DP shapes as the
 # per-contig path, engine.py); a tail flush of <= LANE_SMALL lanes reuses the
-# small tier so the padding waste stays bounded
+# small tier so the padding waste stays bounded. K tiers with a bigger
+# production chunk (engine.CHUNK_B_TIERS, e.g. K=8 at 512 lanes — the axon
+# dispatch floor amortizes over lanes) pack to that size instead.
 LANE_B = 128
 LANE_SMALL = 16
+
+
+def _tier_lane_b(tier) -> int:
+    from .engine import CHUNK_B_TIERS
+
+    if isinstance(tier, tuple) and tier[1] in CHUNK_B_TIERS:
+        return max(LANE_B, int(CHUNK_B_TIERS[tier[1]]))
+    return LANE_B
 
 
 @dataclass
@@ -115,16 +125,19 @@ class DeviceBatcher:
 
     # ---- worker side ---------------------------------------------------
     def _take_batch(self, allow_partial: bool) -> Optional[tuple]:
-        """Pop up to LANE_B lanes from the fullest tier (must hold lock)."""
-        best_w, best_lanes = None, 0
+        """Pop up to the tier's lane target from the fullest tier (by fill
+        fraction of its own target; must hold lock)."""
+        best_w, best_lanes, best_frac = None, 0, 0.0
         for w, q in self._queues.items():
             lanes = sum(r.n - off for r, off in q)
-            if lanes > best_lanes:
-                best_w, best_lanes = w, lanes
-        if best_w is None or (best_lanes < LANE_B and not allow_partial):
+            frac = lanes / _tier_lane_b(w)
+            if frac > best_frac:
+                best_w, best_lanes, best_frac = w, lanes, frac
+        if best_w is None or (best_lanes < _tier_lane_b(best_w)
+                              and not allow_partial):
             return None
         take: List[Tuple[_Request, int, int]] = []  # (req, row_lo, row_hi)
-        room = LANE_B
+        room = _tier_lane_b(best_w)
         q = self._queues[best_w]
         while q and room:
             req, off = q[0]
@@ -152,7 +165,8 @@ class DeviceBatcher:
         first = aggs[id(take[0][0])]
         K = first[0].shape[2]
         lanes = sum(hi - lo for _, lo, hi in take)
-        B = LANE_SMALL if lanes <= LANE_SMALL else LANE_B
+        B = (LANE_SMALL if lanes <= LANE_SMALL
+             else LANE_B if lanes <= LANE_B else _tier_lane_b(tier))
         key_tab = np.full((B, width, K), -1, dtype=np.int32)
         cnt_tab = np.zeros((B, width, K), dtype=np.int32)
         coverage = np.zeros((B, width), dtype=np.int32)
@@ -307,13 +321,11 @@ class DeviceBatcher:
     def _device_get(self, dev) -> tuple:
         import jax
 
+        from ..ops.consensus import decode_backtrack_words
         from ..utils.timing import stage
 
-        out, lvl_over = dev
         with stage("device_dp_backtrack"):
-            (cols_r, packed_r, qv_r, best_sc, _n_steps,
-             truncated), lvl_over = jax.device_get((out, lvl_over))
-        return (cols_r, packed_r, qv_r, best_sc, truncated, lvl_over)
+            return decode_backtrack_words(*jax.device_get(dev))
 
 
 # ---- active batcher (same opt-in pattern as parallel.mesh.set_active_mesh) --

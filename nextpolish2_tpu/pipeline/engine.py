@@ -64,24 +64,39 @@ def _dynamic_k() -> bool:
 K_SMALL = 8   # small DP-kernel slot tier (K tier regrouping)
 K_DENSE = 4   # dense upload width; deeper slots ride the exception scatter
 
+def _chunk_b_k8() -> int:
+    """Full-chunk batch for the K=8 tier (most real windows). Production
+    throughput is bounded by the per-dispatch axon round trip (~25 ms
+    regardless of chunk size once the CSR upload made transfer cheap), so
+    the dominant tier ships 512-lane chunks. Overridable for A/B tooling."""
+    import os
+
+    return int(os.environ.get("NP2_CHUNK_B_K8", "512"))
+
+
+CHUNK_B_TIERS = {K_SMALL: _chunk_b_k8()}
+
 
 def dispatch_chunk(agg: tuple, lead: np.ndarray, seed: np.ndarray,
                    last_col: np.ndarray, cwidth: int, ck: int, jput=None,
                    sharded: bool = False):
     """ONE fused device dispatch for an aggregated chunk (the engine, the
     cross-contig batcher and bench.py all go through here). The tunneled
-    upload, not the DP, is the production bottleneck, so single-device
-    chunks ship the flat CSR stream (4 bytes per real slot + u8 per-column
-    slot counts, no coverage plane; windows.split_csr) and the table is
-    assembled on device. Mesh-sharded chunks (sharded=True) keep the dense
-    K_DENSE + exception-scatter format: its batch-dim arrays shard cleanly
-    over the 'win' axis, while the CSR entry stream is global across the
-    batch. agg = (key_tab, cnt_tab, coverage, n_slots, overflow); returns
-    the pending device output."""
+    TRANSPORT, not the DP, is the production bottleneck — and it charges a
+    fixed cost per array in each direction — so single-device chunks ship
+    the whole dispatch as ONE uint8 blob (flat CSR stream + per-window
+    scalars; windows.pack_csr_blob) and every path returns the TWO-array
+    packed output (words u32 [B, steps] + meta i32 [B, 4];
+    ops.consensus.pack_backtrack_out). Mesh-sharded chunks (sharded=True)
+    keep the dense K_DENSE + exception-scatter format: its batch-dim arrays
+    shard cleanly over the 'win' axis, while the CSR entry stream is global
+    across the batch. agg = (key_tab, cnt_tab, coverage, n_slots, overflow);
+    returns the pending device (words, meta)."""
     import jax.numpy as jnp
 
-    from ..ops.consensus import (SlotTables, dp_backtrack, dp_backtrack_csr,
-                                 dp_backtrack_sparse)
+    from ..ops.consensus import (SlotTables, dp_backtrack_csr_blob,
+                                 dp_backtrack_packed,
+                                 dp_backtrack_sparse_packed)
 
     if jput is None:
         jput = jnp.asarray
@@ -89,23 +104,23 @@ def dispatch_chunk(agg: tuple, lead: np.ndarray, seed: np.ndarray,
     max_steps = int(cwidth + 128)
     dyn = _dynamic_k()
     if not dyn and not sharded:
-        from .windows import split_csr
+        from .windows import pack_csr_blob, split_csr
 
         B, W, K = key_tab.shape
         ns_u8, keylo, dlo, clo, eidx, xkey, xcnt = split_csr(
             key_tab, cnt_tab, n_slots)
-        return dp_backtrack_csr(
-            jput(ns_u8), jput(keylo), jput(dlo), jput(clo),
-            jput(eidx), jput(xkey), jput(xcnt), jput(overflow),
-            jput(lead), jput(seed), jput(last_col),
-            B=B, W=W, K=ck, max_steps=max_steps, use_pallas=_use_pallas())
+        blob = pack_csr_blob(ns_u8, keylo, dlo, clo, eidx, xkey, xcnt,
+                             lead, seed, last_col)
+        return dp_backtrack_csr_blob(
+            jput(blob), B=B, W=W, K=ck, P=len(keylo), Pe=len(eidx),
+            max_steps=max_steps, use_pallas=_use_pallas())
     if not dyn:
         from .windows import split_sparse
 
         dense_key, dense_cnt, eb, ew, ek, ekey, ecnt = split_sparse(
             key_tab, cnt_tab, n_slots, K_DENSE)
         # exception arrays stay replicated (small); dense tables shard
-        return dp_backtrack_sparse(
+        return dp_backtrack_sparse_packed(
             jput(dense_key), jput(dense_cnt.astype(np.uint16)),
             jput(coverage.astype(np.uint16)), jput(overflow),
             jnp.asarray(eb), jnp.asarray(ew), jnp.asarray(ek),
@@ -115,32 +130,43 @@ def dispatch_chunk(agg: tuple, lead: np.ndarray, seed: np.ndarray,
     tables = SlotTables(
         key=jput(key_tab), count=jput(cnt_tab), coverage=jput(coverage),
         n_slots=jput(n_slots), overflow=jput(overflow))
-    return dp_backtrack(tables, jput(lead), jput(seed), jput(last_col),
-                        max_steps, use_pallas=_use_pallas(), dynamic_k=dyn)
+    return dp_backtrack_packed(tables, jput(lead), jput(seed),
+                               jput(last_col), max_steps,
+                               use_pallas=_use_pallas(), dynamic_k=dyn)
 
 
 def plan_tiered_chunks(span_all: np.ndarray, ktier_all: np.ndarray,
-                       tiers: List[int], chunk_b: int) -> List[tuple]:
-    """Group windows by (width tier, K tier) into device chunks of
-    <= chunk_b window ids: (ids, width, K) triples. Regrouping is exact:
-    DP/backtrack lanes are independent, and a window's slot tables are
-    identical at any K >= its max column slot count (slots are per-column;
-    K only truncates; width only pads).
+                       tiers: List[int], chunk_b: int,
+                       tier_b: Optional[dict] = None) -> List[tuple]:
+    """Group windows by (width tier, K tier) into device chunks:
+    (ids, width, K, pad_b) tuples, where pad_b is the chunk's static batch
+    shape. Regrouping is exact: DP/backtrack lanes are independent, and a
+    window's slot tables are identical at any K >= its max column slot count
+    (slots are per-column; K only truncates; width only pads).
+
+    tier_b maps a K tier to a LARGER full-chunk batch (production: the K=8
+    tier rides 512-lane chunks — the axon dispatch round trip is a fixed
+    ~25 ms floor per chunk, so fewer/bigger dispatches win; the fat K tier
+    stays at chunk_b to bound its dense host aggregation buffers).
 
     Only FULL chunks are emitted per tier; all leftovers merge into combined
-    tail chunks at their members' max (width, K). The kernel pads every batch
-    to 128 lanes, so an underfull small-K chunk costs as much as a full one —
-    splitting a small contig's windows across tiers would only add dispatches.
+    tail chunks of chunk_b at their members' max (width, K). The kernel pads
+    every batch to 128 lanes, so an underfull small-K chunk costs as much as
+    a full one — splitting a small contig's windows across tiers would only
+    add dispatches.
     """
+    tier_b = tier_b or {}
     wtier_all = np.where(span_all <= tiers[0], tiers[0], tiers[1])
     chunks = []
     leftover: List[np.ndarray] = []
     for wt in tiers:
         for kt in sorted(set(ktier_all.tolist())):
             ids_g = np.nonzero((wtier_all == wt) & (ktier_all == kt))[0]
-            n_full = len(ids_g) // chunk_b * chunk_b
-            for c0 in range(0, n_full, chunk_b):
-                chunks.append((ids_g[c0 : c0 + chunk_b], int(wt), int(kt)))
+            full_b = int(tier_b.get(int(kt), chunk_b))
+            n_full = len(ids_g) // full_b * full_b
+            for c0 in range(0, n_full, full_b):
+                chunks.append((ids_g[c0 : c0 + full_b], int(wt), int(kt),
+                               full_b))
             if len(ids_g) > n_full:
                 leftover.append(ids_g[n_full:])
     if leftover:
@@ -148,7 +174,7 @@ def plan_tiered_chunks(span_all: np.ndarray, ktier_all: np.ndarray,
         for c0 in range(0, len(rest), chunk_b):
             ids = np.sort(rest[c0 : c0 + chunk_b])
             chunks.append((ids, int(wtier_all[ids].max()),
-                           int(ktier_all[ids].max())))
+                           int(ktier_all[ids].max()), chunk_b))
     return chunks
 
 
@@ -287,12 +313,15 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
                     run_host_fallback(w)
     else:
         def harvest(pend) -> None:
+            from ..ops.consensus import decode_backtrack_words
+
             ids, overflow, dev = pend
             n = len(ids)
-            # ONE device->host transfer per chunk (tunnel round trips cost)
+            # TWO device->host transfers per chunk (words + meta; per-array
+            # tunnel cost dominates, pack_backtrack_out)
             with stage("device_dp_backtrack"):
-                (cols_r, packed_r, qv_r, best_sc, _n_steps,
-                 truncated), lvl_over = jax.device_get(dev)
+                cols_r, packed_r, qv_r, best_sc, truncated, lvl_over = \
+                    decode_backtrack_words(*jax.device_get(dev))
             best_all[ids] = best_sc[:n].astype(np.int64)
             needs_host = overflow[:n] | lvl_over[:n] | truncated[:n]
             for wl in range(n):
@@ -301,23 +330,25 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
                 if needs_host[wl]:
                     run_host_fallback(w)
 
-        chunks = plan_tiered_chunks(span_all, ktier_all, tiers, CHUNK_B)
+        chunks = plan_tiered_chunks(span_all, ktier_all, tiers, CHUNK_B,
+                                    tier_b=CHUNK_B_TIERS if CHUNK_B >= 128
+                                    else None)
 
         # depth-2 software pipeline: aggregate + dispatch chunk i+1 BEFORE
         # pulling chunk i, so host pileup prep overlaps device DP + the
         # tunnel round trip (same overlap the cross-contig batcher does)
         pending = None
-        for ids, cwidth, ck in chunks:
+        for ids, cwidth, ck, pad_b in chunks:
             n = len(ids)
             with stage("aggregate_pileup"):
                 agg = aggregate_host(wb, ck, width=cwidth,
-                                     n_windows=CHUNK_B, win_idx=ids)
+                                     n_windows=pad_b, win_idx=ids)
             overflow = agg[4]
-            lead = np.zeros(CHUNK_B, dtype=np.int64)
+            lead = np.zeros(pad_b, dtype=np.int64)
             lead[:n] = lead_all[ids]
-            seed = np.zeros(CHUNK_B, dtype=bool)
+            seed = np.zeros(pad_b, dtype=bool)
             seed[:n] = seed_all[ids]
-            last_col = np.zeros(CHUNK_B, dtype=np.int32)
+            last_col = np.zeros(pad_b, dtype=np.int32)
             last_col[:n] = last_all[ids]
 
             dev = dispatch_chunk(agg, lead, seed, last_col, cwidth, ck,

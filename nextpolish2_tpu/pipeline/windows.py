@@ -350,6 +350,31 @@ def split_csr(key_tab: np.ndarray, cnt_tab: np.ndarray,
     return ns_u8, keylo, dlo, clo, eidx, xkey, xcnt
 
 
+def pack_csr_blob(ns_u8: np.ndarray, keylo: np.ndarray, dlo: np.ndarray,
+                  clo: np.ndarray, eidx: np.ndarray, xkey: np.ndarray,
+                  xcnt: np.ndarray, lead: np.ndarray, seed: np.ndarray,
+                  last_col: np.ndarray) -> np.ndarray:
+    """Concatenate the CSR upload + per-window scalars into ONE little-endian
+    uint8 buffer: the tunneled device_put pays a fixed per-array cost that
+    dominated the chunk upload (7+ transfers of a few MB total), so the whole
+    dispatch ships as a single host->device copy and is sliced/recombined on
+    device (ops.consensus.dp_backtrack_csr_blob). Layout, all sizes static
+    given (B, W, P, Pe): ns u8[B*W] | keylo u16[P] | dlo u8[P] | clo u8[P] |
+    eidx i32[Pe] | xkey i32[Pe] | xcnt i32[Pe] | lead i32[B] | seed u8[B] |
+    last_col i32[B]. The host overflow flags are NOT shipped — the device
+    never reads them (harvest consumes the host copy)."""
+    return np.concatenate([
+        np.ascontiguousarray(ns_u8).reshape(-1).view(np.uint8),
+        np.ascontiguousarray(keylo).view(np.uint8),
+        dlo.view(np.uint8), clo.view(np.uint8),
+        np.ascontiguousarray(eidx).view(np.uint8),
+        np.ascontiguousarray(xkey).view(np.uint8),
+        np.ascontiguousarray(xcnt).view(np.uint8),
+        np.ascontiguousarray(lead.astype(np.int32)).view(np.uint8),
+        seed.astype(np.uint8),
+        np.ascontiguousarray(last_col.astype(np.int32)).view(np.uint8)])
+
+
 def col_slot_counts(t_sorted: np.ndarray, k_sorted: np.ndarray,
                     n_pos: int) -> np.ndarray:
     """Distinct-key count per absolute column (saturating), the per-window

@@ -250,6 +250,27 @@ def test_sparse_dispatch_matches_dense():
         np.testing.assert_array_equal(a, b)
     np.testing.assert_array_equal(dense[1], csr[1])
 
+    # the one-buffer blob dispatch (production single-device path) must
+    # match bit-for-bit after the host decode
+    from nextpolish2_tpu.ops.consensus import (decode_backtrack_words,
+                                               dp_backtrack_csr_blob)
+    from nextpolish2_tpu.pipeline.windows import pack_csr_blob
+
+    parts = split_csr(key_tab, cnt_tab, n_slots)
+    blob = pack_csr_blob(*parts, lead, seed, last)
+    words, meta = jax.device_get(dp_backtrack_csr_blob(
+        jnp.asarray(blob), B=B, W=W, K=K, P=len(parts[1]),
+        Pe=len(parts[4]), max_steps=max_steps))
+    cols_b, packed_b, qv_b, best_b, trunc_b, lvl_b = \
+        decode_backtrack_words(words, meta)
+    np.testing.assert_array_equal(cols_b.astype(np.int64),
+                                  dense[0][0].astype(np.int64))
+    np.testing.assert_array_equal(packed_b, dense[0][1])
+    np.testing.assert_array_equal(qv_b, dense[0][2])
+    np.testing.assert_array_equal(best_b, dense[0][3])
+    np.testing.assert_array_equal(trunc_b, dense[0][5])
+    np.testing.assert_array_equal(lvl_b, dense[1])
+
 
 def test_csr_assembly_exceptions_roundtrip():
     """assemble_csr rebuilds EXACTLY the dense tables + coverage from the

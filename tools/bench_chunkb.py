@@ -5,7 +5,7 @@ Fixed per-dispatch costs (tunnel round trip, backtrack scan step overhead,
 output pull latency) amortize across lane tiles; transfer bytes scale
 linearly, so the win saturates where transfer dominates.
 
-Usage: python3 tools/bench_chunkb.py [n_iter]
+Usage: python3 tools/bench_chunkb.py [n_iter] [B,B,...]
 """
 
 import os
@@ -19,6 +19,8 @@ import numpy as np  # noqa: E402
 
 def main():
     n_iter = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    bs = ([int(b) for b in sys.argv[2].split(",")]
+          if len(sys.argv) > 2 else [128, 256, 512])
     import jax
 
     from bench import build_real_windows
@@ -41,11 +43,11 @@ def main():
     ktier_all = window_ktiers(wb, n_pos, K)
     tiled = np.tile(np.arange(nw), 32)  # plenty of K=8 windows
 
-    for B in (128, 256, 512):
+    for B in bs:
         chunks = plan_tiered_chunks(span_all[tiled], ktier_all[tiled],
                                     tiers, B)
         # first full K=8 chunk only
-        sel = next((ids, w, k) for ids, w, k in chunks
+        sel = next((ids, w, k) for ids, w, k, _ in chunks
                    if k == 8 and len(ids) == B)
         tids, cwidth, ck = sel
         ids = tiled[tids]

@@ -44,8 +44,8 @@ def main():
     ktier_all = window_ktiers(wb, n_pos, K)
     tiled = np.tile(np.arange(nw), 8)
     chunks = plan_tiered_chunks(span_all[tiled], ktier_all[tiled], tiers, B)
-    tids, cwidth, ck = next(c for c in chunks
-                            if c[2] == want_k and len(c[0]) == B)
+    tids, cwidth, ck, _ = next(c for c in chunks
+                               if c[2] == want_k and len(c[0]) == B)
     ids = tiled[tids]
     agg = aggregate_host(wb, ck, width=cwidth, n_windows=B, win_idx=ids)
     key_tab, cnt_tab, coverage, n_slots, overflow = agg

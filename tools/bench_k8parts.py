@@ -4,7 +4,7 @@ Pallas DP alone, fused DP+backtrack (checksum only), + full output pull —
 decides whether the next kernel target is the DP grid, the backtrack scan,
 or the device->host pull.
 
-Usage: python3 tools/bench_k8parts.py [n_iter]
+Usage: python3 tools/bench_k8parts.py [n_iter] [B]
 """
 
 import os
@@ -35,16 +35,16 @@ def main():
     wb, cfg, n_pos = build_real_windows()
     K = cfg.max_kmers_per_col
     nw = wb.n_windows
-    B = 128
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     tiers = [bucket(cfg.window_len + 256, 128), bucket(2 * cfg.window_len + 512, 128)]
     lead_all = np.maximum(wb.window_start - 2, 0)
     seed_all = wb.window_start > 0
     last_all = (wb.window_start + wb.window_len - 1 - lead_all).astype(np.int32)
     span_all = last_all + 1
     ktier_all = window_ktiers(wb, n_pos, K)
-    tiled = np.tile(np.arange(nw), 8)
+    tiled = np.tile(np.arange(nw), 32)
     chunks = plan_tiered_chunks(span_all[tiled], ktier_all[tiled], tiers, B)
-    tids, cwidth, ck = next(c for c in chunks if c[2] == 8 and len(c[0]) == B)
+    tids, cwidth, ck, _ = next(c for c in chunks if c[2] == 8 and len(c[0]) == B)
     ids = tiled[tids]
     agg = aggregate_host(wb, ck, width=cwidth, n_windows=B, win_idx=ids)
     key_tab, cnt_tab, coverage, n_slots, overflow = agg

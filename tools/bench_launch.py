@@ -45,8 +45,8 @@ def main():
 
     def chunk_of(Bc):
         chunks = plan_tiered_chunks(span_all[tiled], ktier_all[tiled], tiers, Bc)
-        tids, cwidth, ck = next(c for c in chunks
-                                if c[2] == 8 and len(c[0]) == Bc)
+        tids, cwidth, ck, _ = next(c for c in chunks
+                                   if c[2] == 8 and len(c[0]) == Bc)
         ids = tiled[tids]
         agg = aggregate_host(wb, ck, width=cwidth, n_windows=Bc, win_idx=ids)
         return (jnp.asarray(agg[0]), jnp.asarray(agg[1]), jnp.asarray(agg[2]),

@@ -42,7 +42,7 @@ def main():
     tiled = np.tile(np.arange(nw), 8)
     chunks = plan_tiered_chunks(span_all[tiled], ktier_all[tiled], tiers, B)
 
-    for tids, cwidth, ck in chunks[:1] + chunks[-1:]:
+    for tids, cwidth, ck, _ in chunks[:1] + chunks[-1:]:
         ids = tiled[tids]
         n = len(ids)
         host = aggregate_host(wb, ck, width=cwidth, n_windows=B, win_idx=ids)
