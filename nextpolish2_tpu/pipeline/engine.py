@@ -149,16 +149,19 @@ def plan_tiered_chunks(span_all: np.ndarray, ktier_all: np.ndarray,
     ~25 ms floor per chunk, so fewer/bigger dispatches win; the fat K tier
     stays at chunk_b to bound its dense host aggregation buffers).
 
-    Only FULL chunks are emitted per tier; all leftovers merge into combined
-    tail chunks of chunk_b at their members' max (width, K). The kernel pads
-    every batch to 128 lanes, so an underfull small-K chunk costs as much as
-    a full one — splitting a small contig's windows across tiers would only
-    add dispatches.
+    Only FULL chunks are emitted per tier; a K tier's leftovers first form
+    full chunk_b chunks of their own (so a tier whose full_b is large, e.g.
+    K=8 at 512, still ships cheap same-K 128-chunks instead of dragging
+    hundreds of windows into fat-K tails), then the final sub-chunk_b rests
+    merge into combined tail chunks at their members' max (width, K). The
+    kernel pads every batch to 128 lanes, so an underfull small-K chunk
+    costs as much as a full one — splitting a small contig's windows across
+    tiers would only add dispatches.
     """
     tier_b = tier_b or {}
     wtier_all = np.where(span_all <= tiers[0], tiers[0], tiers[1])
     chunks = []
-    leftover: List[np.ndarray] = []
+    by_kt: dict = {}
     for wt in tiers:
         for kt in sorted(set(ktier_all.tolist())):
             ids_g = np.nonzero((wtier_all == wt) & (ktier_all == kt))[0]
@@ -168,7 +171,16 @@ def plan_tiered_chunks(span_all: np.ndarray, ktier_all: np.ndarray,
                 chunks.append((ids_g[c0 : c0 + full_b], int(wt), int(kt),
                                full_b))
             if len(ids_g) > n_full:
-                leftover.append(ids_g[n_full:])
+                by_kt.setdefault(int(kt), []).append(ids_g[n_full:])
+    leftover: List[np.ndarray] = []
+    for kt, parts in sorted(by_kt.items()):
+        rest_k = np.sort(np.concatenate(parts))
+        n_full = len(rest_k) // chunk_b * chunk_b
+        for c0 in range(0, n_full, chunk_b):
+            ids = rest_k[c0 : c0 + chunk_b]
+            chunks.append((ids, int(wtier_all[ids].max()), kt, chunk_b))
+        if len(rest_k) > n_full:
+            leftover.append(rest_k[n_full:])
     if leftover:
         rest = np.concatenate(leftover)
         for c0 in range(0, len(rest), chunk_b):

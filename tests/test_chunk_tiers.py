@@ -41,6 +41,21 @@ def test_plan_partition_pad_and_tiers():
                if k != 8 and len(ids) == pad_b)
 
 
+def test_plan_leftovers_keep_k_tier():
+    """A K=8 tier with >= chunk_b leftover windows (e.g. a 300 kb contig)
+    must ship them as K=8 128-chunks, not drag them into fat-K tails."""
+    tiers = [768, 1536]
+    span = np.full(350, 500)
+    ktier = np.concatenate([np.full(300, 8), np.full(50, 48)])
+    chunks = eng.plan_tiered_chunks(span, ktier, tiers, 128, tier_b={8: 512})
+    k8_chunks = [c for c in chunks if c[2] == 8]
+    assert sum(len(c[0]) for c in k8_chunks) >= 256  # 2 full 128s stay K=8
+    assert all(c[3] == 128 for c in k8_chunks)  # no underfull 512 pads
+    # every window still appears exactly once
+    seen = np.concatenate([ids for ids, *_ in chunks])
+    assert sorted(seen.tolist()) == list(range(350))
+
+
 def test_plan_int_chunk_b_unchanged():
     rng = np.random.default_rng(1)
     n = 700
