@@ -249,10 +249,16 @@ def backtrack(tables: SlotTables, scores: jnp.ndarray, besti: jnp.ndarray,
     seed_anchor: [B] — anchor-seeded windows stop the walk after emitting the
     anchor column (relative col 2); the previous window emits everything below.
     Emits per step (col:i16, packed:u8, qv:u8) in REVERSE genome order, where
-    packed = q3 | valid<<4 | (coverage<2)<<5 and qv = count*100 // coverage
-    (0 when coverage is 0; <= 100 so it fits u8) — exactly the two facts the
-    host LQ state machine consumes (models.oracle_msa.lq_from_qv_stream), at
-    half the device->host pull of shipping u16 count/coverage columns.
+    packed = q3 | valid<<4 | (coverage<2)<<5 | dec<<6 and qv = count*100 //
+    coverage (0 when coverage is 0; <= 100 so it fits u8) — exactly the two
+    facts the host LQ state machine consumes
+    (models.oracle_msa.lq_from_qv_stream), at half the device->host pull of
+    shipping u16 count/coverage columns. The dec bit records whether the walk
+    moves to col-1 AFTER this emission (vs staying in the same column or
+    freezing dead): cols[i+1] = cols[i] - dec[i] with cols[0] = last_col, so
+    the packed u16 transport (pack_backtrack_out) need not ship columns at
+    all — the host rebuilds them with one cumsum
+    (decode_backtrack_words).
     Also returns best_score [B] (window-local max at the final column; the
     host sums these for the reference's whole-contig `>= 0` default-kmer
     check, main.rs:1651,1680), n_steps, and a truncation flag.
@@ -282,10 +288,6 @@ def backtrack(tables: SlotTables, scores: jnp.ndarray, besti: jnp.ndarray,
         # b3-delta-0 kmer per covered column) and the coverage<2 bit, packed
         # with q3 (4 bits incl HEAD_Q=15) + the valid flag
         qv = jnp.where(cov > 0, cnt * 100 // jnp.maximum(cov, 1), 0)
-        packed = (q3 | (emit_valid.astype(jnp.int32) << 4)
-                  | ((cov < 2).astype(jnp.int32) << 5)).astype(jnp.uint8)
-        out = (c.astype(jnp.int16), packed,
-               jnp.minimum(qv, 255).astype(jnp.uint8), alive)
         # b2 column: same col if flags bit0 or both-bits, else col-1
         both = (flags & 0b0101) == 0b0101
         f23 = (flags & 1) != 0
@@ -294,8 +296,15 @@ def backtrack(tables: SlotTables, scores: jnp.ndarray, besti: jnp.ndarray,
         at_anchor = seed_anchor & (c == 2)
         nxt_c = jnp.where(b2_same, c, c - 1)
         nxt_s = besti[bidx, c, s].astype(jnp.int32)
-        alive = alive & ~is_head & ~at_anchor & (nxt_c >= 0)
-        return (jnp.where(alive, nxt_c, c), jnp.where(alive, nxt_s, s), alive), out
+        alive_nxt = alive & ~is_head & ~at_anchor & (nxt_c >= 0)
+        dec = alive_nxt & ~b2_same  # the walk leaves this column after emitting
+        packed = (q3 | (emit_valid.astype(jnp.int32) << 4)
+                  | ((cov < 2).astype(jnp.int32) << 5)
+                  | (dec.astype(jnp.int32) << 6)).astype(jnp.uint8)
+        out = (c.astype(jnp.int16), packed,
+               jnp.minimum(qv, 255).astype(jnp.uint8), alive)
+        return (jnp.where(alive_nxt, nxt_c, c), jnp.where(alive_nxt, nxt_s, s),
+                alive_nxt), out
 
     init = (last_col.astype(jnp.int32), start_slot.astype(jnp.int32),
             jnp.ones(B, bool))
@@ -337,15 +346,19 @@ def dp_backtrack_sparse(dense_key, dense_cnt, coverage, overflow,
                         use_pallas=use_pallas)
 
 
-def assemble_csr(ns_u8, keylo, dlo, clo, eidx, xkey, xcnt,
+def assemble_csr(ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt,
                  B: int, W: int, K: int):
     """Rebuild the dense [B, W, K] key/count tables + per-column coverage
     from the flat CSR upload (see dp_backtrack_csr). Trace-time code —
     called inside the jitted dispatch; factored out so tests can bit-compare
-    the assembled tables against the host aggregation's."""
+    the assembled tables against the host aggregation's. Deltas arrive as a
+    sparse sidecar (didx/dval) scattered over the 3-byte main stream; full
+    exceptions overwrite afterwards, so a byte-clamped sidecar delta on an
+    exception entry is harmless."""
     P = keylo.shape[0]
-    key_e = (dlo.astype(jnp.int32) << 16) | keylo.astype(jnp.int32)
+    key_e = keylo.astype(jnp.int32)
     cnt_e = clo.astype(jnp.int32)
+    key_e = key_e.at[didx].add(dval.astype(jnp.int32) << 16, mode="drop")
     key_e = key_e.at[eidx].set(xkey, mode="drop")
     cnt_e = cnt_e.at[eidx].set(xcnt, mode="drop")
     nb = ns_u8.astype(jnp.int32).reshape(-1)            # [B*W]
@@ -365,24 +378,26 @@ def assemble_csr(ns_u8, keylo, dlo, clo, eidx, xkey, xcnt,
 
 @functools.partial(jax.jit,
                    static_argnames=("B", "W", "K", "max_steps", "use_pallas"))
-def dp_backtrack_csr(ns_u8, keylo, dlo, clo, eidx, xkey, xcnt, overflow,
-                     lead_abs, seed_anchor, last_col,
+def dp_backtrack_csr(ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt,
+                     overflow, lead_abs, seed_anchor, last_col,
                      B: int, W: int, K: int, max_steps: int,
                      use_pallas: bool = False):
     """Fused DP + backtrack from the flat CSR upload (pipeline.windows.
-    split_csr): ONE entry stream of real slots (4 bytes each: key_lo u16 +
-    delta u8 + count u8) ordered by (window, column, slot), plus per-column
-    slot counts (u8) — no dense planes, no coverage upload (recomputed here
-    from the assembled table: coverage = sum of counts whose key flag bit0 is
-    clear, i.e. b3-delta == 0; kmer.rs coverage semantics / main.rs:241).
+    split_csr): ONE entry stream of real slots (3 bytes each: key_lo u16 +
+    count u8; nonzero deltas ride the sparse didx/dval sidecar) ordered by
+    (window, column, slot), plus per-column slot counts (u8) — no dense
+    planes, no coverage upload (recomputed here from the assembled table:
+    coverage = sum of counts whose key flag bit0 is clear, i.e. b3-delta ==
+    0; kmer.rs coverage semantics / main.rs:241).
 
     Assembly is pure vectorized XLA: the entry->column mapping inverts the
     cumsum of slot counts with one scatter-add + cumsum (colid[e] = #{columns
     j with cum[j] <= e}), then two scatters place keys/counts into the
-    [B, W, K] table. Entry padding resolves to colid == B*W and exception
-    padding to index P; both drop. Bit-exact vs the dense dispatch."""
-    key, cnt, coverage = assemble_csr(ns_u8, keylo, dlo, clo, eidx, xkey,
-                                      xcnt, B, W, K)
+    [B, W, K] table. Entry padding resolves to colid == B*W and
+    delta/exception padding to index P; both drop. Bit-exact vs the dense
+    dispatch."""
+    key, cnt, coverage = assemble_csr(ns_u8, keylo, clo, didx, dval, eidx,
+                                      xkey, xcnt, B, W, K)
     tables = SlotTables(key=key, count=cnt, coverage=coverage,
                         n_slots=None, overflow=overflow)
     return dp_backtrack(tables, lead_abs, seed_anchor, last_col, max_steps,
@@ -407,44 +422,52 @@ def pack_backtrack_out(out: tuple, lvl_over: jnp.ndarray):
     """Pack the backtrack emission + per-window scalars into TWO arrays so
     the device->host pull is two transfers, not seven (each tunneled
     device_get pays a fixed per-array cost that dominated the pull):
-    words u32 [B, max_steps] = col<<16 | packed<<8 | qv  (col >= 0, < 2^16)
+    words u16 [B, max_steps] = qv<<7 | packed   (packed carries the dec bit,
+      bit 6, so columns are NOT shipped — the host rebuilds them from
+      last_col with one cumsum; halves the pull vs u32 col-carrying words)
     meta  i32 [B, 4]        = (best_score, n_steps, truncated, lvl_over).
     Host decode: ops.consensus.decode_backtrack_words."""
     cols, packed, qv, best, n_steps, trunc = out
-    words = ((cols.astype(jnp.uint32) << 16)
-             | (packed.astype(jnp.uint32) << 8) | qv.astype(jnp.uint32))
+    words = ((qv.astype(jnp.uint16) << 7) | packed.astype(jnp.uint16))
     meta = jnp.stack([best.astype(jnp.int32), n_steps.astype(jnp.int32),
                       trunc.astype(jnp.int32), lvl_over.astype(jnp.int32)],
                      axis=1)
     return words, meta
 
 
-def decode_backtrack_words(words, meta) -> tuple:
+def decode_backtrack_words(words, meta, last_col) -> tuple:
     """Host-side inverse of pack_backtrack_out (numpy, vectorized):
     returns (cols u16, packed u8, qv u8, best i32, truncated bool,
-    lvl_over bool)."""
+    lvl_over bool). Columns are reconstructed from last_col (the walk's
+    start column, which the host chose at dispatch time) minus the running
+    count of dec bits: cols[i] = last_col - sum(dec[0:i])."""
     import numpy as np
 
     words = np.asarray(words)
     meta = np.asarray(meta)
-    cols_r = (words >> 16).astype(np.uint16)
-    packed_r = ((words >> 8) & 0xFF).astype(np.uint8)
-    qv_r = (words & 0xFF).astype(np.uint8)
+    packed_r = (words & 0x7F).astype(np.uint8)
+    qv_r = ((words >> 7) & 0xFF).astype(np.uint8)
+    dec = ((words >> 6) & 1).astype(np.int32)
+    cum = np.cumsum(dec, axis=1, dtype=np.int32)
+    cols_r = (np.asarray(last_col, dtype=np.int32)[:, None]
+              - (cum - dec)).astype(np.uint16)
     return (cols_r, packed_r, qv_r, meta[:, 0],
             meta[:, 2].astype(bool), meta[:, 3].astype(bool))
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("B", "W", "K", "P", "Pe", "max_steps",
-                                    "use_pallas"))
-def dp_backtrack_csr_blob(blob, B: int, W: int, K: int, P: int, Pe: int,
-                          max_steps: int, use_pallas: bool = False):
+                   static_argnames=("B", "W", "K", "P", "Pd", "Pe",
+                                    "max_steps", "use_pallas"))
+def dp_backtrack_csr_blob(blob, B: int, W: int, K: int, P: int, Pd: int,
+                          Pe: int, max_steps: int, use_pallas: bool = False):
     """Production single-device dispatch: the WHOLE chunk rides ONE uint8
     host->device buffer (pipeline.windows.pack_csr_blob layout) and the
     result comes back as the TWO packed arrays of pack_backtrack_out. The
     tunneled transport pays a fixed cost per array in each direction, which
     at CSR sizes dominated the actual bytes; slicing/recombining the blob is
-    fused elementwise work on device. Bit-exact vs dp_backtrack_csr."""
+    fused elementwise work on device. For K < 16 tiers the per-column slot
+    counts arrive nibble-packed (two columns per byte). Bit-exact vs
+    dp_backtrack_csr."""
     o = [0]
 
     def take(n: int):
@@ -452,10 +475,15 @@ def dp_backtrack_csr_blob(blob, B: int, W: int, K: int, P: int, Pe: int,
         o[0] += n
         return s
 
-    ns_u8 = take(B * W).reshape(B, W)
+    if K < 16 and (B * W) % 2 == 0:
+        ns4 = take(B * W // 2)
+        ns_u8 = jnp.stack([ns4 & 0xF, ns4 >> 4], axis=-1).reshape(B, W)
+    else:
+        ns_u8 = take(B * W).reshape(B, W)
     keylo = _le16u(take(2 * P))
-    dlo = take(P)
     clo = take(P)
+    didx = _le32i(take(4 * Pd))
+    dval = take(Pd)
     eidx = _le32i(take(4 * Pe))
     xkey = _le32i(take(4 * Pe))
     xcnt = _le32i(take(4 * Pe))
@@ -463,7 +491,7 @@ def dp_backtrack_csr_blob(blob, B: int, W: int, K: int, P: int, Pe: int,
     seed = take(B).astype(bool)
     last_col = _le32i(take(4 * B))
     out, lvl = dp_backtrack_csr(
-        ns_u8, keylo, dlo, clo, eidx, xkey, xcnt,
+        ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt,
         jnp.zeros(B, bool), lead, seed, last_col,
         B=B, W=W, K=K, max_steps=max_steps, use_pallas=use_pallas)
     return pack_backtrack_out(out, lvl)

@@ -193,7 +193,8 @@ class DeviceBatcher:
 
     def _resolve(self, take, batch, dev) -> None:
         try:
-            self._resolve_inner(take, batch, self._device_get(dev))
+            self._resolve_inner(take, batch,
+                                self._device_get(dev, batch[7]))
         except BaseException as e:
             for req, _, _ in take:
                 if not req.future.done():
@@ -318,14 +319,14 @@ class DeviceBatcher:
                               lead, seed, last, width, K, jput=jput,
                               sharded=sharded)
 
-    def _device_get(self, dev) -> tuple:
+    def _device_get(self, dev, last_col) -> tuple:
         import jax
 
         from ..ops.consensus import decode_backtrack_words
         from ..utils.timing import stage
 
         with stage("device_dp_backtrack"):
-            return decode_backtrack_words(*jax.device_get(dev))
+            return decode_backtrack_words(*jax.device_get(dev), last_col)
 
 
 # ---- active batcher (same opt-in pattern as parallel.mesh.set_active_mesh) --

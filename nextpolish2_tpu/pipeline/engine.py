@@ -107,13 +107,14 @@ def dispatch_chunk(agg: tuple, lead: np.ndarray, seed: np.ndarray,
         from .windows import pack_csr_blob, split_csr
 
         B, W, K = key_tab.shape
-        ns_u8, keylo, dlo, clo, eidx, xkey, xcnt = split_csr(
+        ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt = split_csr(
             key_tab, cnt_tab, n_slots)
-        blob = pack_csr_blob(ns_u8, keylo, dlo, clo, eidx, xkey, xcnt,
-                             lead, seed, last_col)
+        blob = pack_csr_blob(ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt,
+                             lead, seed, last_col,
+                             nibble_ns=ck < 16 and (B * W) % 2 == 0)
         return dp_backtrack_csr_blob(
-            jput(blob), B=B, W=W, K=ck, P=len(keylo), Pe=len(eidx),
-            max_steps=max_steps, use_pallas=_use_pallas())
+            jput(blob), B=B, W=W, K=ck, P=len(keylo), Pd=len(didx),
+            Pe=len(eidx), max_steps=max_steps, use_pallas=_use_pallas())
     if not dyn:
         from .windows import split_sparse
 
@@ -327,13 +328,13 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
         def harvest(pend) -> None:
             from ..ops.consensus import decode_backtrack_words
 
-            ids, overflow, dev = pend
+            ids, overflow, dev, last_col = pend
             n = len(ids)
             # TWO device->host transfers per chunk (words + meta; per-array
             # tunnel cost dominates, pack_backtrack_out)
             with stage("device_dp_backtrack"):
                 cols_r, packed_r, qv_r, best_sc, truncated, lvl_over = \
-                    decode_backtrack_words(*jax.device_get(dev))
+                    decode_backtrack_words(*jax.device_get(dev), last_col)
             best_all[ids] = best_sc[:n].astype(np.int64)
             needs_host = overflow[:n] | lvl_over[:n] | truncated[:n]
             for wl in range(n):
@@ -367,7 +368,7 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
                                  jput=jput, sharded=sharded)
             if pending is not None:
                 harvest(pending)
-            pending = (ids, overflow, dev)
+            pending = (ids, overflow, dev, last_col)
         if pending is not None:
             harvest(pending)
 

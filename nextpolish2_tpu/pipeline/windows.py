@@ -296,24 +296,27 @@ def split_sparse(key_tab: np.ndarray, cnt_tab: np.ndarray,
 
 def split_csr(key_tab: np.ndarray, cnt_tab: np.ndarray,
               n_slots: np.ndarray, e_bucket: int = 1024,
-              p_bucket: int = 32768) -> tuple:
+              p_bucket: int = 32768, d_bucket: int = 4096) -> tuple:
     """Dense [B, W, K] tables -> the flat CSR upload (the production format
     for single-device dispatch): per-column slot counts ns (u8 [B, W]) + one
     entry stream ordered by (window, column, slot) carrying key_lo (u16, the
-    flag|q1|q2|q3 bits), delta_lo (u8) and count (u8) — 4 bytes per REAL slot
-    instead of 6 dense bytes per (column x K_DENSE) slot, and real HiFi
-    columns average well under 2 slots. Entries whose delta or count exceeds
-    a byte ride a tiny exception list (flat entry index + full i32 key/count)
-    scattered over the stream on device (ops.consensus.dp_backtrack_csr,
-    which also recomputes coverage on device so it is not uploaded at all).
+    flag|q1|q2|q3 bits) and count (u8) — 3 bytes per REAL slot instead of 6
+    dense bytes per (column x K_DENSE) slot, and real HiFi columns average
+    well under 2 slots. Deltas are NOT in the main stream: only ~3-11% of
+    real entries have delta != 0 (insertion levels), so those ride a sparse
+    sidecar (entry index i32 + delta byte) OR-ed into the keys on device.
+    Entries whose delta or count exceeds a byte ride a tiny exception list
+    (flat entry index + full i32 key/count) scattered over the stream on
+    device (ops.consensus.dp_backtrack_csr, which also recomputes coverage
+    on device so it is not uploaded at all).
 
     Entry-stream padding rows (up to the pow2 bucket) resolve to column id
-    B*W on device and are dropped; exception padding uses index P (out of
-    range, dropped). Bit-exact: the device-assembled table equals the dense
-    one; device coverage equals the host's for every non-overflow window
-    (the native aggregator counts beyond-K slots into coverage on OVERFLOW
-    windows, but those are host-fallback lanes whose device output is
-    discarded)."""
+    B*W on device and are dropped; delta/exception padding uses index P (out
+    of range, dropped). Bit-exact: the device-assembled table equals the
+    dense one; device coverage equals the host's for every non-overflow
+    window (the native aggregator counts beyond-K slots into coverage on
+    OVERFLOW windows, but those are host-fallback lanes whose device output
+    is discarded)."""
     from ..utils.jaxcfg import bucket_pow2
 
     B, W, K = key_tab.shape
@@ -331,15 +334,20 @@ def split_csr(key_tab: np.ndarray, cnt_tab: np.ndarray,
     eidx = np.nonzero(exc)[0].astype(np.int32)
     xkey = ekey[eidx].view(np.int32)
     xcnt = ecnt[eidx].astype(np.int32)
+    didx = np.nonzero(delta != 0)[0].astype(np.int32)
+    dval = np.minimum(delta[didx], 0xFF).astype(np.uint8)  # exc. overwrite
     keylo = ekey.astype(np.uint16)
-    dlo = np.minimum(delta, 0xFF).astype(np.uint8)  # exceptions overwrite
     clo = np.minimum(ecnt, 0xFF).astype(np.uint8)
     P = bucket_pow2(max(E, 1), p_bucket)
     if P > E:
         pad = P - E
         keylo = np.concatenate([keylo, np.zeros(pad, np.uint16)])
-        dlo = np.concatenate([dlo, np.zeros(pad, np.uint8)])
         clo = np.concatenate([clo, np.zeros(pad, np.uint8)])
+    Pd = bucket_pow2(max(len(didx), 1), d_bucket)
+    if Pd > len(didx):
+        pad = Pd - len(didx)
+        didx = np.concatenate([didx, np.full(pad, P, np.int32)])
+        dval = np.concatenate([dval, np.zeros(pad, np.uint8)])
     Pe = bucket_pow2(max(len(eidx), 1), e_bucket)
     if Pe > len(eidx):
         pad = Pe - len(eidx)
@@ -347,26 +355,34 @@ def split_csr(key_tab: np.ndarray, cnt_tab: np.ndarray,
         xkey = np.concatenate([xkey, np.zeros(pad, np.int32)])
         xcnt = np.concatenate([xcnt, np.zeros(pad, np.int32)])
     ns_u8 = np.minimum(n_slots, K).astype(np.uint8)
-    return ns_u8, keylo, dlo, clo, eidx, xkey, xcnt
+    return ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt
 
 
-def pack_csr_blob(ns_u8: np.ndarray, keylo: np.ndarray, dlo: np.ndarray,
-                  clo: np.ndarray, eidx: np.ndarray, xkey: np.ndarray,
-                  xcnt: np.ndarray, lead: np.ndarray, seed: np.ndarray,
-                  last_col: np.ndarray) -> np.ndarray:
+def pack_csr_blob(ns_u8: np.ndarray, keylo: np.ndarray, clo: np.ndarray,
+                  didx: np.ndarray, dval: np.ndarray, eidx: np.ndarray,
+                  xkey: np.ndarray, xcnt: np.ndarray, lead: np.ndarray,
+                  seed: np.ndarray, last_col: np.ndarray,
+                  nibble_ns: bool = False) -> np.ndarray:
     """Concatenate the CSR upload + per-window scalars into ONE little-endian
     uint8 buffer: the tunneled device_put pays a fixed per-array cost that
     dominated the chunk upload (7+ transfers of a few MB total), so the whole
     dispatch ships as a single host->device copy and is sliced/recombined on
     device (ops.consensus.dp_backtrack_csr_blob). Layout, all sizes static
-    given (B, W, P, Pe): ns u8[B*W] | keylo u16[P] | dlo u8[P] | clo u8[P] |
-    eidx i32[Pe] | xkey i32[Pe] | xcnt i32[Pe] | lead i32[B] | seed u8[B] |
-    last_col i32[B]. The host overflow flags are NOT shipped — the device
-    never reads them (harvest consumes the host copy)."""
+    given (B, W, P, Pd, Pe): ns u8[B*W] (or nibble-packed u8[B*W/2] when
+    nibble_ns — slot counts <= K < 16 fit a nibble, the dominant K=8 tier) |
+    keylo u16[P] | clo u8[P] | didx i32[Pd] | dval u8[Pd] | eidx i32[Pe] |
+    xkey i32[Pe] | xcnt i32[Pe] | lead i32[B] | seed u8[B] | last_col i32[B].
+    The host overflow flags are NOT shipped — the device never reads them
+    (harvest consumes the host copy)."""
+    ns_flat = np.ascontiguousarray(ns_u8).reshape(-1).view(np.uint8)
+    if nibble_ns:
+        ns_flat = (ns_flat[0::2] | (ns_flat[1::2] << 4)).astype(np.uint8)
     return np.concatenate([
-        np.ascontiguousarray(ns_u8).reshape(-1).view(np.uint8),
+        ns_flat,
         np.ascontiguousarray(keylo).view(np.uint8),
-        dlo.view(np.uint8), clo.view(np.uint8),
+        clo.view(np.uint8),
+        np.ascontiguousarray(didx).view(np.uint8),
+        dval.view(np.uint8),
         np.ascontiguousarray(eidx).view(np.uint8),
         np.ascontiguousarray(xkey).view(np.uint8),
         np.ascontiguousarray(xcnt).view(np.uint8),

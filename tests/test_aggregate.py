@@ -257,12 +257,13 @@ def test_sparse_dispatch_matches_dense():
     from nextpolish2_tpu.pipeline.windows import pack_csr_blob
 
     parts = split_csr(key_tab, cnt_tab, n_slots)
-    blob = pack_csr_blob(*parts, lead, seed, last)
+    blob = pack_csr_blob(*parts, lead, seed, last,
+                         nibble_ns=K < 16 and (B * W) % 2 == 0)
     words, meta = jax.device_get(dp_backtrack_csr_blob(
         jnp.asarray(blob), B=B, W=W, K=K, P=len(parts[1]),
-        Pe=len(parts[4]), max_steps=max_steps))
+        Pd=len(parts[3]), Pe=len(parts[5]), max_steps=max_steps))
     cols_b, packed_b, qv_b, best_b, trunc_b, lvl_b = \
-        decode_backtrack_words(words, meta)
+        decode_backtrack_words(words, meta, last)
     np.testing.assert_array_equal(cols_b.astype(np.int64),
                                   dense[0][0].astype(np.int64))
     np.testing.assert_array_equal(packed_b, dense[0][1])
@@ -299,7 +300,7 @@ def test_csr_assembly_exceptions_roundtrip():
                     | (int(q[0]) << 8) | (int(q[1]) << 4) | int(q[2])))
                 cnt_tab[b, w, k] = int(rng.choice([1, 2, 200, 400, 70000]))
     parts = split_csr(key_tab, cnt_tab, n_slots, e_bucket=8, p_bucket=64)
-    n_exc = int((parts[4] < len(parts[1])).sum())
+    n_exc = int((parts[5] < len(parts[1])).sum())
     assert n_exc > 0, "fixture must exercise the exception scatter"
     akey, acnt, acov = jax.device_get(jax.jit(
         assemble_csr, static_argnames=("B", "W", "K"))(
@@ -309,3 +310,61 @@ def test_csr_assembly_exceptions_roundtrip():
     exp_cov = np.where((key_tab != -1) & (((key_tab >> 12) & 1) == 0),
                        cnt_tab, 0).sum(axis=2)
     np.testing.assert_array_equal(acov, exp_cov)
+
+
+def test_csr_blob_nibble_ns_k8():
+    """The K<16 blob rides nibble-packed per-column slot counts (two
+    columns per byte); the device unpack + DP must match the plain dense
+    dispatch bit-for-bit, columns reconstructed from the dec bits."""
+    import jax
+    import jax.numpy as jnp
+
+    from nextpolish2_tpu.ops.consensus import (SlotTables,
+                                               decode_backtrack_words,
+                                               dp_backtrack,
+                                               dp_backtrack_csr_blob)
+    from nextpolish2_tpu.pipeline.windows import pack_csr_blob, split_csr
+
+    rng = np.random.default_rng(55)
+    t = bytes(rng.choice(list(b"ACGT"), size=2000).astype(np.uint8))
+    reads = []
+    for s in range(0, 1500, 150):
+        seq = bytearray(t[s : s + 600])
+        for _ in range(4):
+            i = int(rng.integers(len(seq)))
+            seq[i] = int(rng.choice(list(b"ACGT")))
+        reads.append(BamRecord(qname=f"r{s}".encode(), flag=0, tid=0, pos=s,
+                               mapq=60, cigar=[(0, 600)], seq=bytes(seq)))
+    cfg = PolishConfig(min_ctg_len=0, min_read_len=100, min_map_len=50)
+    aligns = build_alignseqs(t, reads, cfg)
+    ref_codes = ASCII2CODE[np.frombuffer(t, dtype=np.uint8)]
+    wb = build_window_batch(aligns, len(t), ref_codes, target=512)
+    K = 8
+    key_tab, cnt_tab, coverage, n_slots, overflow = aggregate_host(wb, K)
+    assert int(n_slots.max()) <= K and (wb.n_windows * wb.width) % 2 == 0
+    B, W = wb.n_windows, wb.width
+    lead = np.maximum(wb.window_start - 2, 0)
+    seed = wb.window_start > 0
+    last = (wb.window_start + wb.window_len - 1 - lead).astype(np.int32)
+    max_steps = W + 128
+
+    tables = SlotTables(key=jnp.asarray(key_tab), count=jnp.asarray(cnt_tab),
+                        coverage=jnp.asarray(coverage), n_slots=None,
+                        overflow=jnp.asarray(overflow))
+    dense = jax.device_get(dp_backtrack(
+        tables, jnp.asarray(lead), jnp.asarray(seed), jnp.asarray(last),
+        max_steps))
+
+    parts = split_csr(key_tab, cnt_tab, n_slots)
+    blob = pack_csr_blob(*parts, lead, seed, last, nibble_ns=True)
+    words, meta = jax.device_get(dp_backtrack_csr_blob(
+        jnp.asarray(blob), B=B, W=W, K=K, P=len(parts[1]),
+        Pd=len(parts[3]), Pe=len(parts[5]), max_steps=max_steps))
+    cols_b, packed_b, qv_b, best_b, trunc_b, lvl_b = \
+        decode_backtrack_words(words, meta, last)
+    np.testing.assert_array_equal(cols_b.astype(np.int64),
+                                  dense[0][0].astype(np.int64))
+    np.testing.assert_array_equal(packed_b, dense[0][1])
+    np.testing.assert_array_equal(qv_b, dense[0][2])
+    np.testing.assert_array_equal(best_b, dense[0][3])
+    np.testing.assert_array_equal(lvl_b, dense[1])
