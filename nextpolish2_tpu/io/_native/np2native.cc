@@ -27,6 +27,7 @@
 #include <unordered_map>
 #include <unordered_set>
 #include <algorithm>
+#include <atomic>
 #include <sys/mman.h>
 #include <zlib.h>
 

@@ -55,6 +55,7 @@ def load() -> Optional[ctypes.CDLL]:
     lib.np2_extract_fetch3.restype = ctypes.c_int
     lib.np2_sort_stream.restype = ctypes.c_int
     lib.np2_aggregate3.restype = ctypes.c_int
+    lib.np2_aggregate_csr.restype = ctypes.c_int
     lib.np2_col_slots.restype = ctypes.c_int
     lib.np2_host_window_dp.restype = ctypes.c_int
     lib.np2_prefault.restype = ctypes.c_int
@@ -296,6 +297,80 @@ def aggregate3_native(t_sorted: np.ndarray, k_sorted: np.ndarray,
         raise RuntimeError(f"np2_aggregate3 failed rc={rc}")
     return (key_tab.reshape(B, W, K), cnt_tab.reshape(B, W, K),
             coverage.reshape(B, W), n_slots.reshape(B, W),
+            overflow.astype(bool))
+
+
+def aggregate_csr_native(t_sorted: np.ndarray, k_sorted: np.ndarray,
+                         lo: np.ndarray, hi: np.ndarray, lead: np.ndarray,
+                         B: int, W: int, K: int, n_threads: int = 4):
+    """CSR-direct native pileup aggregation (np2_aggregate_csr): emits the
+    flat entry stream the single-device dispatch uploads WITHOUT ever
+    materializing the dense [B, W, K] host tables (tens of MB per chunk) or
+    rescanning them in windows.split_csr. Returns (ns_u8 [B, W], keylo u16
+    [E], dlo u8 [E], clo u8 [E], eidx i32 (flat UNPADDED exception indices),
+    xkey, xcnt, overflow bool [B]) — the caller converts dlo to the sparse
+    delta sidecar and bucket-pads (windows.aggregate_csr_host). None when
+    the library is missing or the native pass bails (nw > B, K > 255,
+    exception-list overflow)."""
+    lib = load()
+    if lib is None or K > 255:
+        return None
+    t_sorted = np.ascontiguousarray(t_sorted, dtype=np.int32)
+    k_sorted = np.ascontiguousarray(k_sorted, dtype=np.int32)
+    lo = np.ascontiguousarray(lo, dtype=np.int64)
+    hi = np.ascontiguousarray(hi, dtype=np.int64)
+    lead = np.ascontiguousarray(lead, dtype=np.int64)
+    nw = len(lo)
+    cap = int(np.minimum(hi - lo, W * K).sum())
+    T_MAX = 16
+    ns_u8 = np.empty(B * W, dtype=np.uint8)
+    keylo = np.empty(max(cap, 1), dtype=np.uint16)
+    dlo = np.empty(max(cap, 1), dtype=np.uint8)
+    clo = np.empty(max(cap, 1), dtype=np.uint8)
+    toffs = np.zeros(T_MAX, dtype=np.int64)
+    tcounts = np.zeros(T_MAX, dtype=np.int64)
+    xcap = 1 << 16
+    xw = np.empty(xcap, dtype=np.int32)
+    xcol = np.empty(xcap, dtype=np.int32)
+    xslot = np.empty(xcap, dtype=np.int32)
+    xkey = np.empty(xcap, dtype=np.int32)
+    xcnt = np.empty(xcap, dtype=np.int32)
+    xcount = ctypes.c_int64(0)
+    overflow = np.empty(B, dtype=np.uint8)
+    rc = lib.np2_aggregate_csr(
+        _p(t_sorted, ctypes.c_int32), _p(k_sorted, ctypes.c_int32),
+        _p(lo, ctypes.c_int64), _p(hi, ctypes.c_int64),
+        _p(lead, ctypes.c_int64), ctypes.c_int64(nw), ctypes.c_int64(B),
+        ctypes.c_int64(W), ctypes.c_int64(K), ctypes.c_int64(n_threads),
+        _p(ns_u8, ctypes.c_uint8), _p(keylo, ctypes.c_uint16),
+        _p(dlo, ctypes.c_uint8), _p(clo, ctypes.c_uint8),
+        _p(toffs, ctypes.c_int64), _p(tcounts, ctypes.c_int64),
+        _p(xw, ctypes.c_int32), _p(xcol, ctypes.c_int32),
+        _p(xslot, ctypes.c_int32), _p(xkey, ctypes.c_int32),
+        _p(xcnt, ctypes.c_int32), ctypes.c_int64(xcap),
+        ctypes.byref(xcount), _p(overflow, ctypes.c_uint8))
+    if rc < 0:
+        return None
+    T = rc
+    # compact thread regions (<= 16 slice copies) into one globally
+    # (window, column, slot)-ordered stream
+    E = int(tcounts[:T].sum())
+    pos = np.zeros(T + 1, dtype=np.int64)
+    np.cumsum(tcounts[:T], out=pos[1:])
+    for t in range(T):
+        s, n = int(toffs[t]), int(tcounts[t])
+        if int(pos[t]) != s and n:
+            keylo[pos[t]:pos[t + 1]] = keylo[s:s + n]
+            dlo[pos[t]:pos[t + 1]] = dlo[s:s + n]
+            clo[pos[t]:pos[t + 1]] = clo[s:s + n]
+    # exception (window, col, slot) -> flat stream index via the ns cumsum
+    nx = int(xcount.value)
+    ns_i64 = ns_u8.astype(np.int64)
+    start = np.cumsum(ns_i64) - ns_i64  # entry offset of each (win, col)
+    eidx = (start[xw[:nx].astype(np.int64) * W + xcol[:nx]]
+            + xslot[:nx]).astype(np.int32)
+    return (ns_u8.reshape(B, W), keylo[:E], dlo[:E], clo[:E],
+            eidx, xkey[:nx].copy(), xcnt[:nx].copy(),
             overflow.astype(bool))
 
 

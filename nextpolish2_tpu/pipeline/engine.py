@@ -37,7 +37,8 @@ from ..models.oracle_msa import Consensus, LqRegion, lq_from_qv_stream
 from ..utils.seqcodes import ASCII2CODE, CODE2ASCII
 from ..utils.timing import stage
 from .host_fallback import host_window_dp
-from .windows import WindowOverflow, aggregate_host, build_window_batch
+from .windows import (WindowOverflow, aggregate_csr_host, aggregate_host,
+                      build_window_batch)
 
 
 def _use_pallas() -> bool:
@@ -134,6 +135,31 @@ def dispatch_chunk(agg: tuple, lead: np.ndarray, seed: np.ndarray,
     return dp_backtrack_packed(tables, jput(lead), jput(seed),
                                jput(last_col), max_steps,
                                use_pallas=_use_pallas(), dynamic_k=dyn)
+
+
+def dispatch_chunk_csr(csr: tuple, lead: np.ndarray, seed: np.ndarray,
+                       last_col: np.ndarray, cwidth: int, ck: int,
+                       jput=None):
+    """Single-device dispatch from an ALREADY-CSR chunk (the native
+    CSR-direct aggregation, windows.aggregate_csr_host): identical device
+    program + upload bytes as dispatch_chunk's split_csr path, minus the
+    dense host tables. csr = (ns_u8, keylo, clo, didx, dval, eidx, xkey,
+    xcnt)."""
+    import jax.numpy as jnp
+
+    from ..ops.consensus import dp_backtrack_csr_blob
+    from .windows import pack_csr_blob
+
+    if jput is None:
+        jput = jnp.asarray
+    ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt = csr
+    B, W = ns_u8.shape
+    blob = pack_csr_blob(ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt,
+                         lead, seed, last_col,
+                         nibble_ns=ck < 16 and (B * W) % 2 == 0)
+    return dp_backtrack_csr_blob(
+        jput(blob), B=B, W=W, K=ck, P=len(keylo), Pd=len(didx),
+        Pe=len(eidx), max_steps=int(cwidth + 128), use_pallas=_use_pallas())
 
 
 def plan_tiered_chunks(span_all: np.ndarray, ktier_all: np.ndarray,
@@ -350,13 +376,25 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
         # depth-2 software pipeline: aggregate + dispatch chunk i+1 BEFORE
         # pulling chunk i, so host pileup prep overlaps device DP + the
         # tunnel round trip (same overlap the cross-contig batcher does)
+        # CSR-direct native aggregation skips the dense [B, W, K] host
+        # tables entirely (single-device blob dispatch only; the sharded /
+        # dynamic-K formats still need them)
+        use_csr_direct = not sharded and not _dynamic_k()
         pending = None
         for ids, cwidth, ck, pad_b in chunks:
             n = len(ids)
-            with stage("aggregate_pileup"):
-                agg = aggregate_host(wb, ck, width=cwidth,
-                                     n_windows=pad_b, win_idx=ids)
-            overflow = agg[4]
+            csr = None
+            if use_csr_direct:
+                with stage("aggregate_pileup"):
+                    csr = aggregate_csr_host(wb, ck, width=cwidth,
+                                             n_windows=pad_b, win_idx=ids)
+            if csr is None:
+                with stage("aggregate_pileup"):
+                    agg = aggregate_host(wb, ck, width=cwidth,
+                                         n_windows=pad_b, win_idx=ids)
+                overflow = agg[4]
+            else:
+                overflow = csr[-1]
             lead = np.zeros(pad_b, dtype=np.int64)
             lead[:n] = lead_all[ids]
             seed = np.zeros(pad_b, dtype=bool)
@@ -364,8 +402,12 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
             last_col = np.zeros(pad_b, dtype=np.int32)
             last_col[:n] = last_all[ids]
 
-            dev = dispatch_chunk(agg, lead, seed, last_col, cwidth, ck,
-                                 jput=jput, sharded=sharded)
+            if csr is not None:
+                dev = dispatch_chunk_csr(csr[:-1], lead, seed, last_col,
+                                         cwidth, ck, jput=jput)
+            else:
+                dev = dispatch_chunk(agg, lead, seed, last_col, cwidth, ck,
+                                     jput=jput, sharded=sharded)
             if pending is not None:
                 harvest(pending)
             pending = (ids, overflow, dev, last_col)

@@ -338,6 +338,20 @@ def split_csr(key_tab: np.ndarray, cnt_tab: np.ndarray,
     dval = np.minimum(delta[didx], 0xFF).astype(np.uint8)  # exc. overwrite
     keylo = ekey.astype(np.uint16)
     clo = np.minimum(ecnt, 0xFF).astype(np.uint8)
+    ns_u8 = np.minimum(n_slots, K).astype(np.uint8)
+    return (ns_u8,) + _pad_csr(keylo, clo, didx, dval, eidx, xkey, xcnt,
+                               e_bucket, p_bucket, d_bucket)
+
+
+def _pad_csr(keylo, clo, didx, dval, eidx, xkey, xcnt,
+             e_bucket: int, p_bucket: int, d_bucket: int) -> tuple:
+    """Bucket-pad the CSR streams to pow2 static shapes (each distinct
+    (P, Pd, Pe) is one more device compile). Entry padding is dropped on
+    device by resolving to column id B*W; index-list padding points past the
+    entry stream (index P) and drops in the scatter."""
+    from ..utils.jaxcfg import bucket_pow2
+
+    E = len(keylo)
     P = bucket_pow2(max(E, 1), p_bucket)
     if P > E:
         pad = P - E
@@ -354,8 +368,40 @@ def split_csr(key_tab: np.ndarray, cnt_tab: np.ndarray,
         eidx = np.concatenate([eidx, np.full(pad, P, np.int32)])
         xkey = np.concatenate([xkey, np.zeros(pad, np.int32)])
         xcnt = np.concatenate([xcnt, np.zeros(pad, np.int32)])
-    ns_u8 = np.minimum(n_slots, K).astype(np.uint8)
-    return ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt
+    return keylo, clo, didx, dval, eidx, xkey, xcnt
+
+
+def aggregate_csr_host(wb: "WindowBatch", K: int, width: int,
+                       n_windows: int, win_idx: np.ndarray,
+                       e_bucket: int = 1024, p_bucket: int = 32768,
+                       d_bucket: int = 4096):
+    """CSR-DIRECT chunk aggregation: the native pass (np2_aggregate_csr)
+    emits the flat upload stream straight off the t-sorted contig stream,
+    never materializing the dense [B, W, K] host tables (tens of MB per
+    chunk) that aggregate_host + split_csr would build and rescan. Returns
+    (ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt, overflow) with the
+    same bucket padding as split_csr — the device-assembled tables are
+    bit-identical (exception-list order may differ; the scatter indices are
+    unique) — or None when the native library is unavailable (callers fall
+    back to aggregate_host + split_csr).
+
+    The >0xFFFF-coverage host-fallback flag of aggregate_host is NOT set
+    here: it exists for the mesh-sharded dense dispatch's u16 coverage
+    upload; the CSR path recomputes coverage on device in i32, so those
+    windows stay exact on the device lane."""
+    from ..io.native import aggregate_csr_native
+
+    win_idx = np.asarray(win_idx, dtype=np.int64)
+    res = aggregate_csr_native(wb.t_sorted, wb.k_sorted, wb.lo[win_idx],
+                               wb.hi[win_idx], wb.lead[win_idx],
+                               n_windows, width, K)
+    if res is None:
+        return None
+    ns_u8, keylo, dlo, clo, eidx, xkey, xcnt, overflow = res
+    didx = np.nonzero(dlo)[0].astype(np.int32)
+    dval = dlo[didx]
+    return (ns_u8,) + _pad_csr(keylo, clo, didx, dval, eidx, xkey, xcnt,
+                               e_bucket, p_bucket, d_bucket) + (overflow,)
 
 
 def pack_csr_blob(ns_u8: np.ndarray, keylo: np.ndarray, clo: np.ndarray,

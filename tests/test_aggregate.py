@@ -368,3 +368,68 @@ def test_csr_blob_nibble_ns_k8():
     np.testing.assert_array_equal(qv_b, dense[0][2])
     np.testing.assert_array_equal(best_b, dense[0][3])
     np.testing.assert_array_equal(lvl_b, dense[1])
+
+
+def test_native_csr_direct_matches_split_csr():
+    """aggregate_csr_host (native CSR-direct, no dense host tables) must
+    assemble to EXACTLY the tables aggregate_host + split_csr produce, on
+    real window streams, including exception entries and pad lanes."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from nextpolish2_tpu.io.native import available
+    from nextpolish2_tpu.ops.consensus import assemble_csr
+    from nextpolish2_tpu.pipeline.windows import (aggregate_csr_host,
+                                                  aggregate_host, split_csr)
+
+    if not available():
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(56)
+    t = bytes(rng.choice(list(b"ACGT"), size=3000).astype(np.uint8))
+    reads = []
+    for s in range(0, 2400, 120):
+        ins = bytes(rng.choice(list(b"ACGT"),
+                               size=int(rng.integers(3, 12))).astype(np.uint8))
+        seq = bytearray(t[s : s + 300]) + bytearray(ins) + \
+            bytearray(t[s + 300 : s + 600])
+        for _ in range(10):
+            i = int(rng.integers(len(seq)))
+            seq[i] = int(rng.choice(list(b"ACGT")))
+        cig = [(0, 300), (1, len(ins)), (0, 300)]
+        reads.append(BamRecord(qname=f"r{s}".encode(), flag=0, tid=0, pos=s,
+                               mapq=60, cigar=cig, seq=bytes(seq)))
+    cfg = PolishConfig(min_ctg_len=0, min_read_len=100, min_map_len=50)
+    aligns = build_alignseqs(t, reads, cfg)
+    ref_codes = ASCII2CODE[np.frombuffer(t, dtype=np.uint8)]
+    wb = build_window_batch(aligns, len(t), ref_codes, target=512)
+    K = 48
+    ids = np.arange(wb.n_windows)
+    B = wb.n_windows + 3  # pad lanes included
+    W = wb.width
+
+    key_tab, cnt_tab, cov, n_slots, ovf_d = aggregate_host(
+        wb, K, width=W, n_windows=B, win_idx=ids)
+    csr = aggregate_csr_host(wb, K, width=W, n_windows=B, win_idx=ids)
+    assert csr is not None
+    ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt, ovf_c = csr
+    np.testing.assert_array_equal(ovf_c, ovf_d)
+
+    asm = jax.jit(assemble_csr, static_argnames=("B", "W", "K"))
+    akey, acnt, acov = jax.device_get(asm(
+        *(jnp.asarray(x) for x in
+          (ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt)),
+        B=B, W=W, K=K))
+    # overflow lanes are host-fallback; their truncated tables may differ
+    ok = ~ovf_d
+    np.testing.assert_array_equal(akey[ok], key_tab[ok])
+    np.testing.assert_array_equal(acnt[ok], cnt_tab[ok])
+    np.testing.assert_array_equal(acov[ok], cov[ok])
+
+    # and the split_csr route assembles to the same thing
+    parts = split_csr(key_tab, cnt_tab, n_slots)
+    bkey, bcnt, bcov = jax.device_get(asm(
+        *(jnp.asarray(x) for x in parts), B=B, W=W, K=K))
+    np.testing.assert_array_equal(akey[ok], bkey[ok])
+    np.testing.assert_array_equal(acnt[ok], bcnt[ok])
