@@ -175,6 +175,9 @@ def main(argv=None) -> int:
     print(f"Contigs: {stats.contigs} ({stats.polished} polished, "
           f"{stats.passthrough} passthrough); bases {stats.in_bases} -> "
           f"{stats.out_bases}", file=sys.stderr)
+    if stats.batches:
+        print(f"Device batches: {stats.batches} (cross-contig lane fill "
+              f"{stats.batch_fill:.1%})", file=sys.stderr)
     return 0
 
 

@@ -40,6 +40,10 @@ class PolishStats:
     in_bases: int = 0
     out_bases: int = 0
     seconds: float = 0.0
+    # cross-contig batcher (threads > 1): dispatched DP batches and their
+    # real-lane fill rate (1.0 = every padded lane carried a real window)
+    batches: int = 0
+    batch_fill: float = 0.0
 
 
 def completed_contigs(out_path: str) -> set:
@@ -181,6 +185,8 @@ def polish(fa_path: str, bam_path: str, yak_paths: Sequence[str],
 
             set_active_batcher(None)
             batcher.shutdown()
+            stats.batches = batcher.stats.batches
+            stats.batch_fill = batcher.stats.fill
     stats.seconds = time.time() - t_start
     return results
 
