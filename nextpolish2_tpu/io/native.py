@@ -66,17 +66,28 @@ def load() -> Optional[ctypes.CDLL]:
 
 
 _handles: dict = {}
+_handles_lock = None
+
+
+def _get_handles_lock():
+    global _handles_lock
+    if _handles_lock is None:
+        import threading
+
+        _handles_lock = threading.Lock()
+    return _handles_lock
 
 
 def _handle_for(bam_path: str):
     """Cache the decompressed BAM across per-contig calls (one open per path)."""
     lib = load()
-    h = _handles.get(bam_path)
-    if h is None:
-        h = lib.np2_open(bam_path.encode())
-        if not h:
-            raise RuntimeError(f"np2_open failed for {bam_path}")
-        _handles[bam_path] = h
+    with _get_handles_lock():
+        h = _handles.get(bam_path)
+        if h is None:
+            h = lib.np2_open(bam_path.encode())
+            if not h:
+                raise RuntimeError(f"np2_open failed for {bam_path}")
+            _handles[bam_path] = h
     return h
 
 
