@@ -113,6 +113,20 @@ def main(argv=None) -> int:
         if not os.path.exists(path):
             print(f"{path!r} does not exist!", file=sys.stderr)
             return 2
+    # canonicalize inputs at parse time (option.rs:294-306 to_abspath_string):
+    # later chdirs (or worker threads with their own cwd) must not re-resolve
+    args.bam = os.path.abspath(args.bam)
+    args.fa = os.path.abspath(args.fa)
+    args.yak = [os.path.abspath(y) for y in args.yak]
+    if args.out != "stdout":
+        args.out = os.path.abspath(args.out)
+
+    from .io.native import available as native_available
+
+    if not native_available():
+        print("nextpolish2: WARNING: native io module unavailable "
+              "(io/_native build failed); falling back to the pure-Python "
+              "BAM/aggregation path, which is much slower.", file=sys.stderr)
     if args.out != "stdout" and os.path.exists(args.out) and not args.resume:
         print(f"{args.out!r} already exists!", file=sys.stderr)  # option.rs:312-316
         return 2
@@ -177,7 +191,8 @@ def main(argv=None) -> int:
           f"{stats.out_bases}", file=sys.stderr)
     if stats.batches:
         print(f"Device batches: {stats.batches} (cross-contig lane fill "
-              f"{stats.batch_fill:.1%})", file=sys.stderr)
+              f"{stats.batch_fill:.1%}, {stats.csr_batches} CSR-direct)",
+              file=sys.stderr)
     return 0
 
 

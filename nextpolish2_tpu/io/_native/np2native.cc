@@ -810,6 +810,7 @@ int np2_aggregate3(const int32_t* t_sorted, const int32_t* k_sorted,
     }
   }
   for (int t = 1; t < T; t++) if (wb[t] < wb[t - 1]) wb[t] = wb[t - 1];
+  std::atomic<int> agg_err(0);
 
   auto work = [&](int t) {
     struct Seg { int64_t key, count, b3d; };
@@ -860,7 +861,7 @@ int np2_aggregate3(const int32_t* t_sorted, const int32_t* k_sorted,
           continue;
         }
         i = j;
-        if (col < 0) return;  // caller guarantees col >= 0; defensive
+        if (col < 0) { agg_err.store(1); return; }  // violated precondition
         if (col >= W) { overflow[w] = 1; continue; }
         std::stable_sort(segs.begin(), segs.end(),
                          [](const Seg& a, const Seg& b) { return a.b3d < b.b3d; });
@@ -888,6 +889,7 @@ int np2_aggregate3(const int32_t* t_sorted, const int32_t* k_sorted,
     for (int t = 0; t < T; t++) threads.emplace_back(work, t);
     for (auto& th : threads) th.join();
   }
+  if (agg_err.load()) return -5;
   return 0;
 }
 
@@ -949,6 +951,7 @@ int np2_aggregate_csr(const int32_t* t_sorted, const int32_t* k_sorted,
     }
   }
   std::atomic<int64_t> xn(0);
+  std::atomic<int> agg_err(0);
 
   auto work = [&](int t) {
     struct Seg { int64_t key, count, b3d; };
@@ -996,7 +999,11 @@ int np2_aggregate_csr(const int32_t* t_sorted, const int32_t* k_sorted,
           continue;
         }
         i = j;
-        if (col < 0) return;  // caller guarantees col >= 0; defensive
+        if (col < 0) {  // violated precondition: flag and abandon cleanly so
+          agg_err.store(1);  // the wrapper falls back instead of consuming a
+          tcounts[t] = p - toffs[t];  // misaligned stream (tcounts stays valid)
+          return;
+        }
         if (col >= W) { overflow[w] = 1; continue; }
         std::stable_sort(segs.begin(), segs.end(),
                          [](const Seg& a, const Seg& b) { return a.b3d < b.b3d; });
@@ -1034,6 +1041,7 @@ int np2_aggregate_csr(const int32_t* t_sorted, const int32_t* k_sorted,
     for (auto& th : threads) th.join();
   }
   *xcount = xn.load();
+  if (agg_err.load()) return -5;
   if (*xcount > xcap) return -3;
   return T;
 }
@@ -1299,6 +1307,169 @@ int np2_host_window_dp(const int32_t* cols, const int32_t* keys, int64_t n,
 // 2 MB THP pages, then free (the package-level mallopt keeps it mapped for
 // reuse). Pays the hypervisor's slow page provisioning once, up front, at the
 // best achievable rate instead of lazily at ~4 MB/s inside the pipeline.
+// Greedy anchor-bounded window planning (pipeline/windows.plan_windows
+// semantics, exactly): each window ends at the last anchor within `target`
+// columns of its start (or stretches to the next anchor / contig end).
+// mode 0 counts windows into *out_n; mode 1 fills out_starts/out_ends
+// (i64[*out_n]). O(n_pos + nw log A) — replaces a Python while-loop that is
+// O(nw) interpreter work on multi-Mb contigs (human T2T ~ 3M windows).
+int np2_plan_windows(const uint8_t* anchors, int64_t n_pos, int64_t target,
+                     int mode, int64_t* out_n,
+                     int64_t* out_starts, int64_t* out_ends) {
+  std::vector<int64_t> aidx;
+  aidx.reserve(1 << 12);
+  for (int64_t i = 0; i < n_pos; i++) if (anchors[i]) aidx.push_back(i);
+  const int64_t A = (int64_t)aidx.size();
+  int64_t n = 0;
+  int64_t s = 0;
+  if (mode == 1) out_starts[0] = 0;
+  for (;;) {
+    if (s + target >= n_pos) {
+      if (mode == 1) out_ends[n] = n_pos - 1;
+      n++;
+      break;
+    }
+    int64_t e;
+    int64_t j = std::upper_bound(aidx.begin(), aidx.end(), s + target)
+                - aidx.begin() - 1;
+    if (j >= 0 && aidx[j] > s) {
+      e = aidx[j];
+    } else {
+      int64_t j2 = std::lower_bound(aidx.begin(), aidx.end(), s + 1)
+                   - aidx.begin();
+      e = j2 < A ? aidx[j2] : n_pos - 1;
+    }
+    if (mode == 1) out_ends[n] = e;
+    n++;
+    if (e >= n_pos - 1) break;
+    s = e;
+    if (mode == 1) out_starts[n] = e;
+  }
+  *out_n = n;
+  return 0;
+}
+
+// Per-window max column slot count over [lead, end] inclusive
+// (pipeline/windows.window_max_slots). Adjacent windows overlap by ~3
+// columns, so the total scan is O(n_pos); threads split the window list.
+int np2_window_max(const int32_t* colslots, int64_t n_pos,
+                   const int64_t* lead, const int64_t* ends, int64_t nw,
+                   int64_t n_threads, int32_t* out) {
+  int T = (int)(n_threads < 1 ? 1 : (n_threads > 16 ? 16 : n_threads));
+  if (nw < 256) T = 1;
+  auto work = [&](int t) {
+    int64_t w0 = nw / T * t, w1 = (t == T - 1) ? nw : nw / T * (t + 1);
+    for (int64_t w = w0; w < w1; w++) {
+      int32_t m = 0;
+      int64_t e = ends[w] < n_pos - 1 ? ends[w] : n_pos - 1;
+      for (int64_t i = lead[w]; i <= e; i++)
+        if (colslots[i] > m) m = colslots[i];
+      out[w] = m;
+    }
+  };
+  if (T == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < T; t++) threads.emplace_back(work, t);
+    for (auto& th : threads) th.join();
+  }
+  return 0;
+}
+
+// Per-read LQ candidate-allele extraction, pass 1 (the reference's hot loop 3,
+// main.rs:1429-1523; Python spec models/oracle_lq.py:extract_alleles). Walks
+// the alignments IN ORDER with the reference's sticky region cursor, slices
+// each covered region's allele (valid = non-gap bases) and rolls the first
+// ksize valid bases into the canonical pre-hash min(fwd, rev) with the
+// release-Rust wrapped-shift semantics for k >= 32 (shift amounts mod 64).
+//
+// mode 0: count pass -> *out_m (entries) and *out_bytes (total allele chars).
+// mode 1: fill pass  -> out_region i32[M] (region index, descending-order
+// array), out_order i32[M] (alignment index), out_soff i64[M+1] exclusive
+// byte offsets (out_soff[0] = 0), out_seq u8 ASCII, out_prehash u64[M],
+// out_has u8[M] (0 -> no k-mer, prehash undefined).
+// Inputs: concatenated per-alignment (t_pos i32, q_base u8) with offsets
+// aoff i64[A+1]; per-alignment aln_t_s/aln_t_e + active flags; regions
+// rstart/rend i64[R] in DESCENDING genome order with initial seq counts
+// nseq0 i32[R]; ksize; max_can (LQSEQ_MAX_CAN_COUNT = 60, main.rs:30).
+int np2_extract_alleles(const int32_t* t_pos, const uint8_t* q_base,
+                        const int64_t* aoff, int64_t A,
+                        const int64_t* aln_t_s, const int64_t* aln_t_e,
+                        const uint8_t* active,
+                        const int64_t* rstart, const int64_t* rend,
+                        const int32_t* nseq0, int64_t R,
+                        int64_t ksize, int64_t max_can, int mode,
+                        int64_t* out_m, int64_t* out_bytes,
+                        int32_t* out_region, int32_t* out_order,
+                        int64_t* out_soff, uint8_t* out_seq,
+                        uint64_t* out_prehash, uint8_t* out_has) {
+  if (R == 0 || A == 0) { *out_m = 0; *out_bytes = 0; return 0; }
+  static const char C2A[8] = {'A', 'C', 'G', 'T', '-', 'N', 'M', '-'};
+  const int shift = (int)((2 * (ksize - 1)) & 63);
+  const int msh = (int)((2 * ksize) & 63);
+  const uint64_t mask = msh ? ((1ULL << msh) - 1) : 0;  // k=32 -> 0 (RFC 560)
+  std::vector<int32_t> queued(R, 0);
+  std::vector<int32_t> vpos;
+  std::vector<uint8_t> vq;
+  int64_t s = R - 1;
+  int64_t m = 0, bytes_acc = 0;
+  if (mode == 1) out_soff[0] = 0;
+  for (int64_t a = 0; a < A; a++) {
+    if (!active[a]) continue;
+    const int64_t n = aoff[a + 1] - aoff[a];
+    if (n == 0) continue;
+    while (s > 0 && rstart[s] < aln_t_s[a]) s--;
+    if (rstart[s] < aln_t_s[a] || rend[s] > aln_t_e[a]) continue;
+    int64_t j = s;
+    while (j > 0 && rend[j] <= aln_t_e[a]) j--;
+    if (rend[j] > aln_t_e[a]) j++;
+    const int32_t* tp = t_pos + aoff[a];
+    const uint8_t* qb = q_base + aoff[a];
+    // decode tags until t_pos > rend[j] + ksize, + one extra (spec: stop+1)
+    const int32_t tlim = (int32_t)(rend[j] + ksize);
+    int64_t stop = std::upper_bound(tp, tp + n, tlim) - tp;
+    int64_t limit = stop < n ? stop + 1 : n;
+    vpos.clear(); vq.clear();
+    for (int64_t i = 0; i < limit; i++) {
+      if (qb[i] != 4) { vpos.push_back(tp[i]); vq.push_back(qb[i]); }
+    }
+    const int64_t nv = (int64_t)vpos.size();
+    for (int64_t r = j; r <= s; r++) {
+      if ((int64_t)nseq0[r] + queued[r] >= max_can) continue;
+      int64_t i0 = std::lower_bound(vpos.begin(), vpos.end(),
+                                    (int32_t)rstart[r]) - vpos.begin();
+      int64_t i1 = std::upper_bound(vpos.begin(), vpos.end(),
+                                    (int32_t)rend[r]) - vpos.begin();
+      if (i1 <= i0) continue;  // empty allele -> the reference appends nothing
+      queued[r]++;
+      if (mode == 0) { m++; bytes_acc += i1 - i0; continue; }
+      out_region[m] = (int32_t)r;
+      out_order[m] = (int32_t)a;
+      uint8_t* dst = out_seq + out_soff[m];
+      for (int64_t i = i0; i < i1; i++) dst[i - i0] = (uint8_t)C2A[vq[i] & 7];
+      out_soff[m + 1] = out_soff[m] + (i1 - i0);
+      if (i0 + ksize <= nv) {
+        uint64_t kf = 0, kr = 0;
+        for (int64_t i = i0; i < i0 + ksize; i++) {
+          const uint64_t b = vq[i];
+          kf = ((kf << 2) | b) & mask;
+          kr = (kr >> 2) | ((3ULL ^ b) << shift);
+        }
+        out_prehash[m] = kf < kr ? kf : kr;
+        out_has[m] = 1;
+      } else {
+        out_prehash[m] = 0;
+        out_has[m] = 0;
+      }
+      m++;
+    }
+  }
+  *out_m = m;
+  *out_bytes = bytes_acc;
+  return 0;
+}
+
 int np2_prefault(int64_t bytes, int64_t n_threads) {
   if (bytes <= 0) return 0;
   char* p = (char*)malloc((size_t)bytes);

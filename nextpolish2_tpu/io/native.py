@@ -61,27 +61,23 @@ def load() -> Optional[ctypes.CDLL]:
     lib.np2_prefault.restype = ctypes.c_int
     lib.np2_find_anchors.restype = ctypes.c_int
     lib.np2_filter_stream.restype = ctypes.c_int64
+    lib.np2_extract_alleles.restype = ctypes.c_int
+    lib.np2_plan_windows.restype = ctypes.c_int
+    lib.np2_window_max.restype = ctypes.c_int
     _lib = lib
     return lib
 
 
+import threading
+
 _handles: dict = {}
-_handles_lock = None
-
-
-def _get_handles_lock():
-    global _handles_lock
-    if _handles_lock is None:
-        import threading
-
-        _handles_lock = threading.Lock()
-    return _handles_lock
+_handles_lock = threading.Lock()  # eager: a lazily-built lock is itself racy
 
 
 def _handle_for(bam_path: str):
     """Cache the decompressed BAM across per-contig calls (one open per path)."""
     lib = load()
-    with _get_handles_lock():
+    with _handles_lock:
         h = _handles.get(bam_path)
         if h is None:
             h = lib.np2_open(bam_path.encode())
@@ -304,6 +300,8 @@ def aggregate3_native(t_sorted: np.ndarray, k_sorted: np.ndarray,
         _p(key_tab, ctypes.c_int32), _p(cnt_tab, ctypes.c_int32),
         _p(coverage, ctypes.c_int32), _p(n_slots, ctypes.c_int32),
         _p(overflow, ctypes.c_uint8))
+    if rc == -5:  # violated col>=0 precondition: fall back to the numpy path
+        return None
     if rc != 0:
         raise RuntimeError(f"np2_aggregate3 failed rc={rc}")
     return (key_tab.reshape(B, W, K), cnt_tab.reshape(B, W, K),
@@ -436,4 +434,111 @@ def col_slots_native(t_sorted: np.ndarray, k_sorted: np.ndarray,
         ctypes.c_int64(n_threads), _p(out, ctypes.c_int32))
     if rc != 0:
         raise RuntimeError(f"np2_col_slots failed rc={rc}")
+    return out
+
+
+def extract_alleles_native(t_pos_all: np.ndarray, q_base_all: np.ndarray,
+                           aoff: np.ndarray, aln_t_s: np.ndarray,
+                           aln_t_e: np.ndarray, active: np.ndarray,
+                           rstart: np.ndarray, rend: np.ndarray,
+                           nseq0: np.ndarray, ksize: int, max_can: int):
+    """Native per-read LQ allele extraction pass 1 (np2_extract_alleles;
+    spec models/oracle_lq.py:extract_alleles). Count-then-fill. Returns
+    (region i32[M], order i32[M], soff i64[M+1], seq u8[S] ASCII,
+    prehash u64[M], has u8[M]) or None when the library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    t_pos_all = np.ascontiguousarray(t_pos_all, dtype=np.int32)
+    q_base_all = np.ascontiguousarray(q_base_all, dtype=np.uint8)
+    aoff = np.ascontiguousarray(aoff, dtype=np.int64)
+    aln_t_s = np.ascontiguousarray(aln_t_s, dtype=np.int64)
+    aln_t_e = np.ascontiguousarray(aln_t_e, dtype=np.int64)
+    active = np.ascontiguousarray(active, dtype=np.uint8)
+    rstart = np.ascontiguousarray(rstart, dtype=np.int64)
+    rend = np.ascontiguousarray(rend, dtype=np.int64)
+    nseq0 = np.ascontiguousarray(nseq0, dtype=np.int32)
+    A = len(aln_t_s)
+    R = len(rstart)
+    m = ctypes.c_int64(0)
+    nbytes = ctypes.c_int64(0)
+    null8 = None
+
+    def _call(mode, region, order, soff, seq, prehash, has):
+        return lib.np2_extract_alleles(
+            _p(t_pos_all, ctypes.c_int32), _p(q_base_all, ctypes.c_uint8),
+            _p(aoff, ctypes.c_int64), ctypes.c_int64(A),
+            _p(aln_t_s, ctypes.c_int64), _p(aln_t_e, ctypes.c_int64),
+            _p(active, ctypes.c_uint8),
+            _p(rstart, ctypes.c_int64), _p(rend, ctypes.c_int64),
+            _p(nseq0, ctypes.c_int32), ctypes.c_int64(R),
+            ctypes.c_int64(ksize), ctypes.c_int64(max_can),
+            ctypes.c_int(mode), ctypes.byref(m), ctypes.byref(nbytes),
+            region, order, soff, seq, prehash, has)
+
+    rc = _call(0, null8, null8, null8, null8, null8, null8)
+    if rc != 0:
+        raise RuntimeError(f"np2_extract_alleles count failed rc={rc}")
+    M, S = int(m.value), int(nbytes.value)
+    region = np.empty(max(M, 1), dtype=np.int32)
+    order = np.empty(max(M, 1), dtype=np.int32)
+    soff = np.empty(M + 1, dtype=np.int64)
+    seq = np.empty(max(S, 1), dtype=np.uint8)
+    prehash = np.empty(max(M, 1), dtype=np.uint64)
+    has = np.empty(max(M, 1), dtype=np.uint8)
+    rc = _call(1, _p(region, ctypes.c_int32), _p(order, ctypes.c_int32),
+               _p(soff, ctypes.c_int64), _p(seq, ctypes.c_uint8),
+               _p(prehash, ctypes.c_uint64), _p(has, ctypes.c_uint8))
+    if rc != 0:
+        raise RuntimeError(f"np2_extract_alleles fill failed rc={rc}")
+    assert int(m.value) == M
+    return region[:M], order[:M], soff, seq[:S], prehash[:M], has[:M]
+
+
+def plan_windows_native(anchors: np.ndarray, n_pos: int, target: int):
+    """Native greedy window planner (np2_plan_windows; spec
+    pipeline/windows.plan_windows). Returns (starts i64, ends i64) or None."""
+    lib = load()
+    if lib is None:
+        return None
+    anchors = np.ascontiguousarray(anchors, dtype=np.uint8)
+    n = ctypes.c_int64(0)
+    rc = lib.np2_plan_windows(_p(anchors, ctypes.c_uint8),
+                              ctypes.c_int64(n_pos), ctypes.c_int64(target),
+                              ctypes.c_int(0), ctypes.byref(n), None, None)
+    if rc != 0:
+        raise RuntimeError(f"np2_plan_windows count failed rc={rc}")
+    nw = int(n.value)
+    starts = np.empty(max(nw, 1), dtype=np.int64)
+    ends = np.empty(max(nw, 1), dtype=np.int64)
+    rc = lib.np2_plan_windows(_p(anchors, ctypes.c_uint8),
+                              ctypes.c_int64(n_pos), ctypes.c_int64(target),
+                              ctypes.c_int(1), ctypes.byref(n),
+                              _p(starts, ctypes.c_int64),
+                              _p(ends, ctypes.c_int64))
+    if rc != 0:
+        raise RuntimeError(f"np2_plan_windows fill failed rc={rc}")
+    return starts[:nw], ends[:nw]
+
+
+def window_max_native(colslots: np.ndarray, lead: np.ndarray,
+                      ends: np.ndarray, n_threads: int = 4):
+    """Native per-window max column slot count (np2_window_max); None when
+    the library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    colslots = np.ascontiguousarray(colslots, dtype=np.int32)
+    lead = np.ascontiguousarray(lead, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    out = np.empty(len(lead), dtype=np.int32)
+    rc = lib.np2_window_max(_p(colslots, ctypes.c_int32),
+                            ctypes.c_int64(len(colslots)),
+                            _p(lead, ctypes.c_int64),
+                            _p(ends, ctypes.c_int64),
+                            ctypes.c_int64(len(lead)),
+                            ctypes.c_int64(n_threads),
+                            _p(out, ctypes.c_int32))
+    if rc != 0:
+        raise RuntimeError(f"np2_window_max failed rc={rc}")
     return out

@@ -42,13 +42,70 @@ class LqSeq:
 
 
 def extract_alleles(alignseqs: List[AlignTags], lqseqs: List[LqRegion],
-                    table: KmerTable, max_can: int = 60) -> None:
+                    table: KmerTable, max_can: int = 60,
+                    cache: Optional[dict] = None) -> None:
     """Per-read allele extraction over LQ intervals
     (generate_lqseqs_from_tags_kmer first half, main.rs:1429-1523).
 
     lqseqs are in DESCENDING genome order. alignseqs[0] must be the reference
     pseudo-alignment (order 0). Appends LqSeq entries in read order.
-    """
+
+    Dispatches to the native single-pass implementation (np2_extract_alleles)
+    when available; _extract_alleles_py below is the executable spec and the
+    fallback (differential-tested in tests/test_lq_units.py). `cache` (any
+    dict, e.g. the engine's per-contig stream_cache) persists the concatenated
+    tag arrays across phasing iterations."""
+    from ..io.native import extract_alleles_native
+
+    if len(lqseqs) and len(alignseqs):
+        cache = cache if cache is not None else {}
+        if "ea_concat" not in cache:
+            lens = np.fromiter((len(a) for a in alignseqs), np.int64,
+                               len(alignseqs))
+            aoff = np.zeros(len(alignseqs) + 1, dtype=np.int64)
+            np.cumsum(lens, out=aoff[1:])
+            t_pos_all = (np.concatenate([a.t_pos for a in alignseqs])
+                         if aoff[-1] else np.zeros(0, np.int32))
+            q_base_all = (np.concatenate([a.q_base for a in alignseqs])
+                          if aoff[-1] else np.zeros(0, np.uint8))
+            cache["ea_concat"] = (t_pos_all, q_base_all, aoff)
+        t_pos_all, q_base_all, aoff = cache["ea_concat"]
+        aln_t_s = np.fromiter((a.aln_t_s for a in alignseqs), np.int64,
+                              len(alignseqs))
+        aln_t_e = np.fromiter((a.aln_t_e for a in alignseqs), np.int64,
+                              len(alignseqs))
+        active = np.fromiter((not a.dropped and len(a) > 0
+                              for a in alignseqs), bool, len(alignseqs))
+        rstart = np.fromiter((r.start for r in lqseqs), np.int64, len(lqseqs))
+        rend = np.fromiter((r.end for r in lqseqs), np.int64, len(lqseqs))
+        nseq0 = np.fromiter((len(r.seqs) for r in lqseqs), np.int32,
+                            len(lqseqs))
+        res = extract_alleles_native(t_pos_all, q_base_all, aoff, aln_t_s,
+                                     aln_t_e, active, rstart, rend, nseq0,
+                                     table.ksize, max_can)
+        if res is not None:
+            region, order, soff, seq, prehash, has = res
+            hashes = np.zeros(len(prehash), np.uint64)
+            hi = np.nonzero(has)[0]
+            if len(hi):
+                hashes[hi] = table.to_hash(prehash[hi]).astype(np.uint64)
+            sbytes = seq.tobytes()
+            soff_l = soff.tolist()
+            has_l = has.tolist()
+            hashes_l = hashes.tolist()
+            order_l = order.tolist()
+            for i, r in enumerate(region.tolist()):
+                lqseqs[r].seqs.append(LqSeq(
+                    order=order_l[i], kscore=0,
+                    kmer=int(hashes_l[i]) if has_l[i] else INVALID,
+                    seq=sbytes[soff_l[i]:soff_l[i + 1]]))
+            return
+    _extract_alleles_py(alignseqs, lqseqs, table, max_can)
+
+
+def _extract_alleles_py(alignseqs: List[AlignTags], lqseqs: List[LqRegion],
+                        table: KmerTable, max_can: int = 60) -> None:
+    """Pure-Python spec for extract_alleles (kept as differential oracle)."""
     ksize = table.ksize
     # The reference's per-allele rolling k-mer (main.rs:1433-1434, 1488-1492)
     # packs 2 bits/base into a u64 unconditionally. With a k >= 32 smallest
@@ -225,7 +282,48 @@ def fill_order_stat(lqseq: LqRegion, stats: List[int],
 
     Returns (max1_c, max1_p, max2_c, max2_p); fills stats (per seq index) and
     order_stat (first-occurrence order -> count).
-    """
+
+    O(n) grouping formulation of the reference's O(n^2) identity scan
+    (allele bytes hashed once each instead of compared pairwise); the scan
+    order and tie rules are untouched. _fill_order_stat_scalar below is the
+    literal port, kept as the differential spec."""
+    max1_c = max1_p = max2_c = max2_p = 0
+    for i in range(len(stats)):
+        stats[i] = 0
+    order_stat.clear()
+    seqs = lqseq.seqs
+    groups: Dict[bytes, List[int]] = {}
+    for p, s in enumerate(seqs):
+        groups.setdefault(s.seq, []).append(p)
+    for p1, seq in enumerate(seqs):
+        if seq.kscore <= 0:
+            continue
+        if stats[p1] > 0:
+            continue
+        members = groups[seq.seq]  # ascending positions
+        from bisect import bisect_left
+
+        c = len(members) - bisect_left(members, p1)
+        order_stat[seq.order] = c
+        for p2 in members:
+            if p2 >= p1:
+                stats[p2] = c
+        if c > max1_c or (c == max1_c and seq.order == 0):
+            max2_c = max1_c
+            max2_p = max1_p
+            max1_c = c
+            max1_p = p1
+        elif max1_p == max2_p or c > max2_c:
+            max2_c = c
+            max2_p = p1
+    return max1_c, max1_p, max2_c, max2_p
+
+
+def _fill_order_stat_scalar(lqseq: LqRegion, stats: List[int],
+                            order_stat: Dict[int, int]
+                            ) -> tuple[int, int, int, int]:
+    """Literal port of main.rs:813-849 (differential spec for
+    fill_order_stat)."""
     max1_c = max1_p = max2_c = max2_p = 0
     for i in range(len(stats)):
         stats[i] = 0

@@ -455,6 +455,13 @@ def decode_backtrack_words(words, meta, last_col) -> tuple:
             meta[:, 2].astype(bool), meta[:, 3].astype(bool))
 
 
+def nibble_ns_for(B: int, W: int, K: int) -> bool:
+    """Single source of truth for the ns nibble-packing decision — the packer
+    (pipeline.windows.pack_csr_blob callers) and the blob parser below MUST
+    agree or every later blob field parses as garbage."""
+    return K < 16 and (B * W) % 2 == 0
+
+
 @functools.partial(jax.jit,
                    static_argnames=("B", "W", "K", "P", "Pd", "Pe",
                                     "max_steps", "use_pallas"))
@@ -475,7 +482,7 @@ def dp_backtrack_csr_blob(blob, B: int, W: int, K: int, P: int, Pd: int,
         o[0] += n
         return s
 
-    if K < 16 and (B * W) % 2 == 0:
+    if nibble_ns_for(B, W, K):
         ns4 = take(B * W // 2)
         ns_u8 = jnp.stack([ns4 & 0xF, ns4 >> 4], axis=-1).reshape(B, W)
     else:
@@ -490,6 +497,10 @@ def dp_backtrack_csr_blob(blob, B: int, W: int, K: int, P: int, Pd: int,
     lead = _le32i(take(4 * B))
     seed = take(B).astype(bool)
     last_col = _le32i(take(4 * B))
+    # trace-time layout check: a packer/parser drift would otherwise shift
+    # every field silently
+    assert o[0] == blob.shape[0], \
+        f"CSR blob layout mismatch: parsed {o[0]} of {blob.shape[0]} bytes"
     out, lvl = dp_backtrack_csr(
         ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt,
         jnp.zeros(B, bool), lead, seed, last_col,

@@ -55,6 +55,9 @@ class _Request:
     lead: np.ndarray  # [n] int64
     seed: np.ndarray  # [n] bool
     last: np.ndarray  # [n] int32
+    # optional CSR-direct range aggregation: (row_lo, row_hi) -> unpadded
+    # windows.aggregate_csr_parts tuple for those rows (None -> dense only)
+    aggregate_csr: Optional[Callable[[int, int], Optional[tuple]]] = None
     future: Future = field(default_factory=Future)
     # filled by the worker: per-lane outputs, assembled across batches
     _parts: List[Tuple[int, tuple]] = field(default_factory=list)
@@ -66,6 +69,8 @@ class BatchStats:
         self.batches = 0
         self.lanes_dispatched = 0
         self.lanes_real = 0
+        self.csr_batches = 0  # batches that shipped the CSR blob (no dense
+        #                       host tables) — the production transfer path
 
     @property
     def fill(self) -> float:
@@ -99,16 +104,21 @@ class DeviceBatcher:
 
     # ---- producer side -------------------------------------------------
     def submit(self, tier, n: int, aggregate: Callable[[], tuple],
-               lead: np.ndarray, seed: np.ndarray, last: np.ndarray) -> Future:
+               lead: np.ndarray, seed: np.ndarray, last: np.ndarray,
+               aggregate_csr=None) -> Future:
         """Queue `n` windows for `tier` = (width, K) (a bare int width is
         accepted for K = the aggregation's own K). `aggregate()` must return
-        unpadded [n, ...] slot tables with that K. Returns a Future resolving
-        to a list of n per-window tuples (cols_r, packed_r, qv_r,
-        best_sc, truncated, lvl_over, overflow)."""
+        unpadded [n, ...] slot tables with that K; `aggregate_csr(lo, hi)`,
+        when given, returns the unpadded CSR parts for a row range (the
+        production single-device upload — no dense [B, W, K] host tables
+        anywhere). Returns a Future resolving to a list of n per-window
+        tuples (cols_r, packed_r, qv_r, best_sc, truncated, lvl_over,
+        overflow)."""
         if not isinstance(tier, tuple):
             tier = (int(tier), None)
         req = _Request(n=n, aggregate=aggregate, lead=np.asarray(lead),
-                       seed=np.asarray(seed), last=np.asarray(last))
+                       seed=np.asarray(seed), last=np.asarray(last),
+                       aggregate_csr=aggregate_csr)
         with self._wake:
             if self._error is not None:
                 raise RuntimeError("batcher worker died") from self._error
@@ -152,29 +162,84 @@ class DeviceBatcher:
             del self._queues[best_w]
         return best_w, take
 
+    def _batch_b(self, tier, lanes: int) -> int:
+        return (LANE_SMALL if lanes <= LANE_SMALL
+                else LANE_B if lanes <= LANE_B else _tier_lane_b(tier))
+
     def _aggregate(self, tier,
                    take: List[Tuple[_Request, int, int]]) -> tuple:
-        """Build the padded [LANE_B, ...] batch arrays for `take`."""
-        width = tier[0]
-        # aggregate whole requests once; slice rows after (requests are small)
+        """Build the batch for `take`: ("csr", parts, ...) via the CSR-direct
+        native pass when every request supports it and the dispatch is
+        single-device (the production path — no dense [B, W, K] host tables),
+        else ("dense", tables, ...). Both carry (overflow, lead, seed, last,
+        n_real) behind the payload."""
+        width, K = tier[0], tier[1]
+        lanes = sum(hi - lo for _, lo, hi in take)
+        B = self._batch_b(tier, lanes)
+        lead = np.zeros(B, dtype=np.int64)
+        seed = np.zeros(B, dtype=bool)
+        last = np.zeros(B, dtype=np.int32)
+        overflow = np.zeros(B, dtype=bool)
+        row = 0
+        for req, lo, hi in take:
+            m = hi - lo
+            lead[row:row + m] = req.lead[lo:hi]
+            seed[row:row + m] = req.seed[lo:hi]
+            last[row:row + m] = req.last[lo:hi]
+            row += m
+
+        use_csr = (K is not None and not self._mesh_sharded()[1]
+                   and all(req.aggregate_csr is not None for req, _, _ in take))
+        if use_csr:
+            futs = [self._agg_pool.submit(req.aggregate_csr, lo, hi)
+                    for req, lo, hi in take]
+            parts = [f.result() for f in futs]
+            if all(p is not None for p in parts):
+                ns = np.zeros((B, width), dtype=np.uint8)
+                keylo_p, clo_p, didx_p, dval_p = [], [], [], []
+                eidx_p, xkey_p, xcnt_p = [], [], []
+                row = eoff = 0
+                for (req, lo, hi), part in zip(take, parts):
+                    (pns, pkeylo, pclo, pdidx, pdval, peidx, pxkey, pxcnt,
+                     pov) = part
+                    m = hi - lo
+                    ns[row:row + m] = pns
+                    overflow[row:row + m] = pov
+                    keylo_p.append(pkeylo)
+                    clo_p.append(pclo)
+                    didx_p.append(pdidx + np.int32(eoff))
+                    dval_p.append(pdval)
+                    eidx_p.append(peidx + np.int32(eoff))
+                    xkey_p.append(pxkey)
+                    xcnt_p.append(pxcnt)
+                    eoff += len(pkeylo)
+                    row += m
+
+                def cat(ps, dt):
+                    return (np.concatenate(ps) if ps
+                            else np.zeros(0, dtype=dt))
+
+                from .windows import _pad_csr
+
+                csr = _pad_csr(cat(keylo_p, np.uint16), cat(clo_p, np.uint8),
+                               cat(didx_p, np.int32), cat(dval_p, np.uint8),
+                               cat(eidx_p, np.int32), cat(xkey_p, np.int32),
+                               cat(xcnt_p, np.int32),
+                               e_bucket=1024, p_bucket=32768, d_bucket=4096)
+                return ("csr", (ns,) + csr, overflow, lead, seed, last, row)
+
+        # dense fallback: aggregate whole requests once; slice rows after
         uniq: Dict[int, Future] = {}
         for req, lo, hi in take:
             if id(req) not in uniq:
                 uniq[id(req)] = self._agg_pool.submit(req.aggregate)
         aggs = {k: f.result() for k, f in uniq.items()}
         first = aggs[id(take[0][0])]
-        K = first[0].shape[2]
-        lanes = sum(hi - lo for _, lo, hi in take)
-        B = (LANE_SMALL if lanes <= LANE_SMALL
-             else LANE_B if lanes <= LANE_B else _tier_lane_b(tier))
-        key_tab = np.full((B, width, K), -1, dtype=np.int32)
-        cnt_tab = np.zeros((B, width, K), dtype=np.int32)
+        Kd = first[0].shape[2]
+        key_tab = np.full((B, width, Kd), -1, dtype=np.int32)
+        cnt_tab = np.zeros((B, width, Kd), dtype=np.int32)
         coverage = np.zeros((B, width), dtype=np.int32)
         n_slots = np.zeros((B, width), dtype=np.int32)
-        overflow = np.zeros(B, dtype=bool)
-        lead = np.zeros(B, dtype=np.int64)
-        seed = np.zeros(B, dtype=bool)
-        last = np.zeros(B, dtype=np.int32)
         row = 0
         for req, lo, hi in take:
             kt, ct, cv, ns, ov = aggs[id(req)]
@@ -184,17 +249,14 @@ class DeviceBatcher:
             coverage[row:row + m] = cv[lo:hi]
             n_slots[row:row + m] = ns[lo:hi]
             overflow[row:row + m] = ov[lo:hi]
-            lead[row:row + m] = req.lead[lo:hi]
-            seed[row:row + m] = req.seed[lo:hi]
-            last[row:row + m] = req.last[lo:hi]
             row += m
-        return (key_tab, cnt_tab, coverage, n_slots, overflow,
-                lead, seed, last, row)
+        return ("dense", (key_tab, cnt_tab, coverage, n_slots),
+                overflow, lead, seed, last, row)
 
     def _resolve(self, take, batch, dev) -> None:
         try:
             self._resolve_inner(take, batch,
-                                self._device_get(dev, batch[7]))
+                                self._device_get(dev, batch[5]))
         except BaseException as e:
             for req, _, _ in take:
                 if not req.future.done():
@@ -203,7 +265,7 @@ class DeviceBatcher:
 
     def _resolve_inner(self, take, batch, host_out) -> None:
         (cols_r, packed_r, qv_r, best_sc, truncated, lvl_over) = host_out
-        overflow = batch[4]
+        overflow = batch[2]
         row = 0
         for req, lo, hi in take:
             m = hi - lo
@@ -268,8 +330,10 @@ class DeviceBatcher:
                             req.future.set_exception(e)
                     raise
                 self.stats.batches += 1
-                self.stats.lanes_dispatched += len(batch[4])  # padded B
-                self.stats.lanes_real += batch[8]
+                self.stats.lanes_dispatched += len(batch[2])  # padded B
+                self.stats.lanes_real += batch[6]
+                if batch[0] == "csr":
+                    self.stats.csr_batches += 1
                 if inflight is not None:
                     ptake, pbatch, pdev = inflight
                     inflight = None
@@ -289,32 +353,41 @@ class DeviceBatcher:
                     r.future.set_exception(e)
 
     # ---- device dispatch (same jitted callables as engine.py) ----------
-    def _dispatch(self, tier, batch) -> tuple:
+    def _mesh_sharded(self, n_lanes: Optional[int] = None):
+        """(jput, sharded) under the same multi-chip policy as engine.py:
+        shard the batch dim over the active mesh's 'win' axis when one is
+        set (and divides the batch)."""
         import jax.numpy as jnp
 
+        jput = self._jput
+        if jput is not None:
+            return jput, jput is not jnp.asarray
+        from ..parallel.mesh import axis_size, get_active_mesh
+
+        mesh = get_active_mesh()
+        n_win = axis_size(mesh, "win")
+        if mesh is not None and n_win > 1 and (
+                n_lanes is None or n_lanes % n_win == 0):
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(mesh, P("win"))
+            return (lambda x: jax.device_put(jnp.asarray(x), sh)), True
+        return jnp.asarray, False
+
+    def _dispatch(self, tier, batch) -> tuple:
+        kind, payload, overflow, lead, seed, last, _row = batch
+        width = tier[0]
+        if kind == "csr":
+            from .engine import dispatch_chunk_csr
+
+            return dispatch_chunk_csr(payload, lead, seed, last, width,
+                                      tier[1])
+        key_tab, cnt_tab, coverage, n_slots = payload
+        K = key_tab.shape[2]
+        jput, sharded = self._mesh_sharded(len(overflow))
         from .engine import dispatch_chunk
 
-        (key_tab, cnt_tab, coverage, n_slots, overflow,
-         lead, seed, last, _row) = batch
-        width, K = tier[0], key_tab.shape[2]
-        jput = self._jput
-        sharded = jput is not None and jput is not jnp.asarray
-        if jput is None:
-            # same multi-chip policy as engine.py: shard the batch dim over
-            # the active mesh's 'win' axis when one is set
-            from ..parallel.mesh import axis_size, get_active_mesh
-
-            mesh = get_active_mesh()
-            n_win = axis_size(mesh, "win")
-            if mesh is not None and n_win > 1 and len(overflow) % n_win == 0:
-                import jax
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                sh = NamedSharding(mesh, P("win"))
-                jput = lambda x: jax.device_put(jnp.asarray(x), sh)  # noqa: E731
-                sharded = True
-            else:
-                jput = jnp.asarray
         return dispatch_chunk((key_tab, cnt_tab, coverage, n_slots, overflow),
                               lead, seed, last, width, K, jput=jput,
                               sharded=sharded)

@@ -37,8 +37,8 @@ from ..models.oracle_msa import Consensus, LqRegion, lq_from_qv_stream
 from ..utils.seqcodes import ASCII2CODE, CODE2ASCII
 from ..utils.timing import stage
 from .host_fallback import host_window_dp
-from .windows import (WindowOverflow, aggregate_csr_host, aggregate_host,
-                      build_window_batch)
+from .windows import (WindowOverflow, aggregate_csr_host, aggregate_csr_parts,
+                      aggregate_host, build_window_batch)
 
 
 def _use_pallas() -> bool:
@@ -97,7 +97,7 @@ def dispatch_chunk(agg: tuple, lead: np.ndarray, seed: np.ndarray,
 
     from ..ops.consensus import (SlotTables, dp_backtrack_csr_blob,
                                  dp_backtrack_packed,
-                                 dp_backtrack_sparse_packed)
+                                 dp_backtrack_sparse_packed, nibble_ns_for)
 
     if jput is None:
         jput = jnp.asarray
@@ -112,7 +112,7 @@ def dispatch_chunk(agg: tuple, lead: np.ndarray, seed: np.ndarray,
             key_tab, cnt_tab, n_slots)
         blob = pack_csr_blob(ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt,
                              lead, seed, last_col,
-                             nibble_ns=ck < 16 and (B * W) % 2 == 0)
+                             nibble_ns=nibble_ns_for(B, W, ck))
         return dp_backtrack_csr_blob(
             jput(blob), B=B, W=W, K=ck, P=len(keylo), Pd=len(didx),
             Pe=len(eidx), max_steps=max_steps, use_pallas=_use_pallas())
@@ -147,7 +147,7 @@ def dispatch_chunk_csr(csr: tuple, lead: np.ndarray, seed: np.ndarray,
     xcnt)."""
     import jax.numpy as jnp
 
-    from ..ops.consensus import dp_backtrack_csr_blob
+    from ..ops.consensus import dp_backtrack_csr_blob, nibble_ns_for
     from .windows import pack_csr_blob
 
     if jput is None:
@@ -156,7 +156,7 @@ def dispatch_chunk_csr(csr: tuple, lead: np.ndarray, seed: np.ndarray,
     B, W = ns_u8.shape
     blob = pack_csr_blob(ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt,
                          lead, seed, last_col,
-                         nibble_ns=ck < 16 and (B * W) % 2 == 0)
+                         nibble_ns=nibble_ns_for(B, W, ck))
     return dp_backtrack_csr_blob(
         jput(blob), B=B, W=W, K=ck, P=len(keylo), Pd=len(didx),
         Pe=len(eidx), max_steps=int(cwidth + 128), use_pallas=_use_pallas())
@@ -339,9 +339,17 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
                                               n_windows=len(ids),
                                               win_idx=ids)
 
+                def agg_csr(lo, hi, ids=ids, swidth=swidth, kt=kt):
+                    # CSR-direct range aggregation for the packed batch: no
+                    # dense [B, W, K] host tables (windows.aggregate_csr_parts)
+                    with stage("aggregate_pileup"):
+                        return aggregate_csr_parts(wb, kt, width=swidth,
+                                                   n_windows=hi - lo,
+                                                   win_idx=ids[lo:hi])
+
                 futs.append((ids, batcher.submit(
                     (swidth, kt), len(ids), agg, lead_all[ids],
-                    seed_all[ids], last_all[ids])))
+                    seed_all[ids], last_all[ids], aggregate_csr=agg_csr)))
         for ids, fut in futs:
             for i, (cols_r, packed_r, qv_r, best_sc, truncated,
                     lvl_over, overflow) in enumerate(fut.result()):
@@ -491,7 +499,8 @@ def polish_contig_tpu(tseq: bytes, records: Sequence[BamRecord],
                     return cb
                 continue
             with stage("extract_alleles"):
-                extract_alleles(alignseqs, lqseqs, tables[0], cfg.lqseq_max_can_count)
+                extract_alleles(alignseqs, lqseqs, tables[0],
+                                cfg.lqseq_max_can_count, cache=stream_cache)
             with stage("kmer_scoring"):
                 retrieve_kmer_count(lqseqs, tables[0], cfg.min_kmer_count)
             if out_cns:

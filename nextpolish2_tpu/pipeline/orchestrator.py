@@ -44,6 +44,7 @@ class PolishStats:
     # real-lane fill rate (1.0 = every padded lane carried a real window)
     batches: int = 0
     batch_fill: float = 0.0
+    csr_batches: int = 0  # batches shipped as CSR blobs (production upload)
 
 
 def completed_contigs(out_path: str) -> set:
@@ -187,6 +188,7 @@ def polish(fa_path: str, bam_path: str, yak_paths: Sequence[str],
             batcher.shutdown()
             stats.batches = batcher.stats.batches
             stats.batch_fill = batcher.stats.fill
+            stats.csr_batches = batcher.stats.csr_batches
     stats.seconds = time.time() - t_start
     return results
 

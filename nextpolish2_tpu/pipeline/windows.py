@@ -133,7 +133,16 @@ def _collect_stream(alignseqs: List[AlignTags]
 
 def plan_windows(anchors: np.ndarray, n_pos: int, target: int = 1024) -> WindowPlan:
     """Greedy split: each window ends at the last anchor within `target` columns
-    of its start (or stretches to the next anchor / contig end)."""
+    of its start (or stretches to the next anchor / contig end).
+
+    Dispatches to the native pass (np2_plan_windows) when available — the
+    Python while-loop below is the spec and costs O(n_windows) interpreter
+    work (~3M windows on human T2T); differential test in test_windows.py."""
+    from ..io.native import plan_windows_native
+
+    res = plan_windows_native(anchors, n_pos, target)
+    if res is not None:
+        return WindowPlan(starts=res[0], ends=res[1], anchors=anchors)
     starts = [0]
     ends: List[int] = []
     anchor_idx = np.nonzero(anchors)[0]
@@ -389,6 +398,22 @@ def aggregate_csr_host(wb: "WindowBatch", K: int, width: int,
     here: it exists for the mesh-sharded dense dispatch's u16 coverage
     upload; the CSR path recomputes coverage on device in i32, so those
     windows stay exact on the device lane."""
+    parts = aggregate_csr_parts(wb, K, width, n_windows, win_idx)
+    if parts is None:
+        return None
+    ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt, overflow = parts
+    return (ns_u8,) + _pad_csr(keylo, clo, didx, dval, eidx, xkey, xcnt,
+                               e_bucket, p_bucket, d_bucket) + (overflow,)
+
+
+def aggregate_csr_parts(wb: "WindowBatch", K: int, width: int,
+                        n_windows: int, win_idx: np.ndarray):
+    """UNPADDED CSR-direct aggregation for an arbitrary window subset:
+    (ns_u8 [B, W], keylo, clo, didx, dval, eidx, xkey, xcnt, overflow) with
+    exact-size streams, or None when the native pass is unavailable. The
+    cross-contig batcher merges several requests' parts into one packed
+    batch (entry/exception indices offset by the entry-stream prefix) before
+    a single _pad_csr."""
     from ..io.native import aggregate_csr_native
 
     win_idx = np.asarray(win_idx, dtype=np.int64)
@@ -400,8 +425,7 @@ def aggregate_csr_host(wb: "WindowBatch", K: int, width: int,
     ns_u8, keylo, dlo, clo, eidx, xkey, xcnt, overflow = res
     didx = np.nonzero(dlo)[0].astype(np.int32)
     dval = dlo[didx]
-    return (ns_u8,) + _pad_csr(keylo, clo, didx, dval, eidx, xkey, xcnt,
-                               e_bucket, p_bucket, d_bucket) + (overflow,)
+    return ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt, overflow
 
 
 def pack_csr_blob(ns_u8: np.ndarray, keylo: np.ndarray, clo: np.ndarray,
@@ -459,7 +483,14 @@ def col_slot_counts(t_sorted: np.ndarray, k_sorted: np.ndarray,
 
 def window_max_slots(colslots: np.ndarray, lead: np.ndarray,
                      ends: np.ndarray) -> np.ndarray:
-    """Per-window max column slot count over [lead, end] (inclusive)."""
+    """Per-window max column slot count over [lead, end] (inclusive).
+    Native pass (np2_window_max) when available; the per-window numpy
+    slice-max below is the spec/fallback."""
+    from ..io.native import window_max_native
+
+    res = window_max_native(colslots, lead, ends)
+    if res is not None:
+        return res
     out = np.empty(len(lead), dtype=np.int32)
     for i in range(len(lead)):
         out[i] = colslots[lead[i] : ends[i] + 1].max(initial=0)

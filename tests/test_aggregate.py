@@ -414,7 +414,11 @@ def test_native_csr_direct_matches_split_csr():
     csr = aggregate_csr_host(wb, K, width=W, n_windows=B, win_idx=ids)
     assert csr is not None
     ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt, ovf_c = csr
-    np.testing.assert_array_equal(ovf_c, ovf_d)
+    # aggregate_host additionally flags >0xFFFF-coverage windows (u16 device
+    # upload guard); the CSR path recomputes coverage on device in i32 and
+    # deliberately omits that flag (windows.py docstring) — mask it out
+    ovf_cov = cov.max(axis=1) > 0xFFFF
+    np.testing.assert_array_equal(ovf_c | ovf_cov, ovf_d | ovf_cov)
 
     asm = jax.jit(assemble_csr, static_argnames=("B", "W", "K"))
     akey, acnt, acov = jax.device_get(asm(
@@ -433,3 +437,44 @@ def test_native_csr_direct_matches_split_csr():
         *(jnp.asarray(x) for x in parts), B=B, W=W, K=K))
     np.testing.assert_array_equal(akey[ok], bkey[ok])
     np.testing.assert_array_equal(acnt[ok], bcnt[ok])
+
+
+def test_csr_direct_high_coverage_divergence():
+    """Documented divergence (windows.py): aggregate_host flags windows whose
+    coverage exceeds u16 (dense-dispatch upload guard) while the CSR-direct
+    path does not (device recomputes coverage in i32). Exercise a >0xFFFF
+    coverage column and pin both behaviors."""
+    import pytest
+
+    from nextpolish2_tpu.io.native import available
+    from nextpolish2_tpu.pipeline.windows import (WindowBatch, WindowPlan,
+                                                  aggregate_csr_host,
+                                                  aggregate_host)
+
+    if not available():
+        pytest.skip("native library unavailable")
+
+    n = 70000  # one column, coverage > 0xFFFF
+    t_sorted = np.zeros(n, dtype=np.int32)
+    k_sorted = np.full(n, 1, dtype=np.int32)  # base code 1, flags 0 => delta 0
+    wb = WindowBatch(
+        plan=WindowPlan(starts=np.array([0]), ends=np.array([0]),
+                        anchors=np.zeros(1, dtype=bool)),
+        n_windows=1, width=8, stream_len=n,
+        t_sorted=t_sorted, k_sorted=k_sorted,
+        lo=np.array([0], dtype=np.int64), hi=np.array([n], dtype=np.int64),
+        lead=np.array([0], dtype=np.int64),
+        window_start=np.array([0], dtype=np.int64),
+        window_len=np.array([1], dtype=np.int32))
+    ids = np.array([0])
+    _, _, cov, _, ovf_d = aggregate_host(wb, 8, width=8, n_windows=1,
+                                         win_idx=ids)
+    assert int(cov[0, 0]) == n
+    assert bool(ovf_d[0])  # dense path: host-fallback flag set
+    csr = aggregate_csr_host(wb, 8, width=8, n_windows=1, win_idx=ids)
+    assert csr is not None
+    ovf_c = csr[-1]
+    assert not bool(ovf_c[0])  # CSR path: stays on the device lane (exact)
+    # the count itself rides the exception list with the full i32 value
+    xcnt = csr[7]
+    assert n in xcnt.tolist()

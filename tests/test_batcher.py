@@ -117,3 +117,36 @@ def test_batcher_error_propagates():
             fut.result(timeout=60)
     finally:
         b.shutdown()
+
+
+def test_batched_polish_uses_csr_direct(tmp_path):
+    """With the native library available, every cross-contig batch must ship
+    the CSR blob (no dense [B, W, K] host tables) and stay byte-identical."""
+    import pytest
+
+    from nextpolish2_tpu.io.native import available
+
+    if not available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(79)
+    cfg = PolishConfig(min_ctg_len=0, min_read_len=100, min_map_len=50,
+                       min_map_fra=0.5, window_len=512)
+    cases = [make_case(rng, tmp_path, i) for i in range(4)]
+    base = [consensus_to_bytes(polish_contig_tpu(t, rd, [tb], cfg,
+                                                 fallback=False))
+            for t, rd, tb in cases]
+    b = DeviceBatcher(idle_flush_s=1.0)
+    set_active_batcher(b)
+    try:
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            outs = list(ex.map(
+                lambda c: consensus_to_bytes(
+                    polish_contig_tpu(c[0], c[1], [c[2]], cfg,
+                                      fallback=False)), cases))
+    finally:
+        set_active_batcher(None)
+        b.shutdown()
+    assert outs == base
+    assert b.stats.batches > 0
+    assert b.stats.csr_batches == b.stats.batches, \
+        f"{b.stats.csr_batches}/{b.stats.batches} batches were CSR-direct"

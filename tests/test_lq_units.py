@@ -207,3 +207,100 @@ def test_louvain_vectorized_first_stage_matches_scalar():
             if community.id in invalid_ids:
                 expect.extend(community.nodes)
         assert sorted(out_v) == sorted(expect), trial
+
+
+def test_extract_alleles_native_matches_python_fuzz():
+    """Differential fuzz: the native np2_extract_alleles pass must reproduce
+    the Python spec (_extract_alleles_py) exactly — entries, order, seqs,
+    k-mers — including the sticky region cursor on non-monotone aln_t_s,
+    the 60-cap, gap bases, dropped alignments and k >= 32 wrapped rolling."""
+    import copy
+
+    import pytest
+
+    from nextpolish2_tpu.io.native import available
+    from nextpolish2_tpu.io.yak import KmerTable
+    from nextpolish2_tpu.models.oracle_align import AlignTags
+    from nextpolish2_tpu.models.oracle_lq import (_extract_alleles_py,
+                                                  extract_alleles)
+    from nextpolish2_tpu.models.oracle_msa import LqRegion
+
+    if not available():
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(202)
+    for trial in range(8):
+        ksize = [5, 7, 21, 31, 32, 33][trial % 6]
+        table = KmerTable(ksize=ksize, pre=1,
+                          keys=np.zeros(0, np.uint64),
+                          counts=np.zeros(0, np.uint16),
+                          bin_off=np.zeros(3, np.int64))
+        n_pos = 400
+        ats = []
+        for a in range(25):
+            s = int(rng.integers(0, n_pos - 60))
+            e = min(n_pos - 1, s + int(rng.integers(40, 200)))
+            # tag stream: ref positions s..e with occasional insertions (same
+            # t_pos repeated) and gap bases (q_base == 4)
+            t_parts, q_parts = [], []
+            for p in range(s, e + 1):
+                reps = 1 + (int(rng.integers(0, 8)) == 0)
+                for rpt in range(reps):
+                    t_parts.append(p)
+                    q_parts.append(int(rng.integers(0, 5)))  # 4 = gap
+            t_pos = np.array(t_parts, dtype=np.int64)
+            q = np.array(q_parts, dtype=np.int64)
+            ats.append(AlignTags(s, e, t_pos, q_base=q,
+                                 dropped=bool(rng.integers(0, 10) == 0)))
+        # ref pseudo-alignment first (order 0, spans everything)
+        full = np.arange(n_pos, dtype=np.int64)
+        ats.insert(0, AlignTags(0, n_pos - 1, full,
+                                q_base=rng.integers(0, 4, n_pos)))
+        # descending non-overlapping regions
+        bounds = np.sort(rng.choice(np.arange(10, n_pos - 10), size=24,
+                                    replace=False))
+        regions = []
+        for i in range(0, len(bounds) - 1, 2):
+            regions.append(LqRegion(start=int(bounds[i]),
+                                    end=int(bounds[i + 1])))
+        regions = regions[::-1]  # descending genome order
+        max_can = [60, 3][trial % 2]
+
+        lq_a = copy.deepcopy(regions)
+        lq_b = copy.deepcopy(regions)
+        extract_alleles(ats, lq_a, table, max_can)       # native
+        _extract_alleles_py(ats, lq_b, table, max_can)   # spec
+        for ra, rb in zip(lq_a, lq_b):
+            assert len(ra.seqs) == len(rb.seqs)
+            for sa, sb in zip(ra.seqs, rb.seqs):
+                assert (sa.order, sa.kmer, sa.seq) == (sb.order, sb.kmer, sb.seq)
+
+
+def test_fill_order_stat_grouped_matches_scalar_fuzz():
+    """The O(n) grouped fill_order_stat must reproduce the literal-port scalar
+    on randomized candidate lists (ties, zero kscores, duplicate alleles)."""
+    from nextpolish2_tpu.models.oracle_lq import (LqSeq,
+                                                  _fill_order_stat_scalar,
+                                                  fill_order_stat)
+    from nextpolish2_tpu.models.oracle_msa import LqRegion
+
+    rng = np.random.default_rng(203)
+    for _ in range(200):
+        n = int(rng.integers(0, 30))
+        alleles = [bytes(rng.choice(list(b"ACGT"),
+                                    size=int(rng.integers(1, 4))))
+                   for _ in range(4)]
+        seqs = [LqSeq(order=int(rng.integers(0, 10)),
+                      kscore=int(rng.integers(0, 3)),
+                      kmer=0,
+                      seq=alleles[int(rng.integers(0, len(alleles)))])
+                for _ in range(n)]
+        lq_a = LqRegion(start=0, end=1, seqs=list(seqs))
+        lq_b = LqRegion(start=0, end=1, seqs=list(seqs))
+        stats_a, stats_b = [0] * 60, [0] * 60
+        os_a, os_b = {}, {}
+        ra = fill_order_stat(lq_a, stats_a, os_a)
+        rb = _fill_order_stat_scalar(lq_b, stats_b, os_b)
+        assert ra == rb
+        assert stats_a == stats_b
+        assert os_a == os_b
