@@ -72,6 +72,12 @@ import threading
 
 _handles: dict = {}
 _handles_lock = threading.Lock()  # eager: a lazily-built lock is itself racy
+# np2_extract_begin3 stashes per-call state (v3_recs/v3_bounds/...) INSIDE the
+# BamFile handle for np2_extract_fetch3 to consume; concurrent contig threads
+# sharing the cached handle would trash it (heap corruption). One lock per
+# handle serializes begin+fetch pairs; the native pass is internally
+# multithreaded, so cross-thread ingest parallelism loses little.
+_extract_locks: dict = {}
 
 
 def _handle_for(bam_path: str):
@@ -84,7 +90,8 @@ def _handle_for(bam_path: str):
             if not h:
                 raise RuntimeError(f"np2_open failed for {bam_path}")
             _handles[bam_path] = h
-    return h
+            _extract_locks[bam_path] = threading.Lock()
+    return h, _extract_locks[bam_path]
 
 
 def close_handles() -> None:
@@ -149,9 +156,19 @@ def extract_contig_native(bam_path: str, tid: int, tseq_codes: np.ndarray,
     lib = load()
     if lib is None:
         return None
-    handle = _handle_for(bam_path)
+    handle, hlock = _handle_for(bam_path)
     stream_n = ctypes.c_int64(0)
     reads_n = ctypes.c_int64(0)
+    hlock.acquire()  # begin3 state lives in the handle until fetch3 reads it
+    try:
+        return _extract_contig_locked(lib, handle, tid, tseq_codes, cfg,
+                                      n_threads, stream_n, reads_n)
+    finally:
+        hlock.release()
+
+
+def _extract_contig_locked(lib, handle, tid, tseq_codes, cfg, n_threads,
+                           stream_n, reads_n):
     rc = lib.np2_extract_begin3(
         ctypes.c_void_p(handle), ctypes.c_int32(tid),
         _p(tseq_codes, ctypes.c_uint8), ctypes.c_int64(len(tseq_codes)),

@@ -147,7 +147,12 @@ class DeviceBatcher:
                               and not allow_partial):
             return None
         take: List[Tuple[_Request, int, int]] = []  # (req, row_lo, row_hi)
+        # partial flushes ship at the smallest compiled shape that fits
+        # (LANE_SMALL / LANE_B) instead of padding the big tier batch —
+        # a 160-lane flush on a 512-lane tier would otherwise be 31% fill
         room = _tier_lane_b(best_w)
+        if best_lanes < room:
+            room = LANE_SMALL if best_lanes <= LANE_SMALL else LANE_B
         q = self._queues[best_w]
         while q and room:
             req, off = q[0]
