@@ -157,7 +157,10 @@ def main(argv=None) -> int:
         out_path = shard.shard_path(args.out)
     skip = None
     if args.resume and out_path != "stdout":
-        skip = completed_contigs(out_path)
+        from .pipeline.orchestrator import trim_partial_output
+
+        skip = completed_contigs(out_path, out_pos=cfg.out_pos)
+        trim_partial_output(out_path, out_pos=cfg.out_pos)
         if skip:
             print(f"resume: skipping {len(skip)} completed contigs",
                   file=sys.stderr)
@@ -183,6 +186,13 @@ def main(argv=None) -> int:
     finally:
         if out is not sys.stdout.buffer:
             out.close()
+    if shard.n_hosts > 1 and args.out != "stdout" and \
+            not os.environ.get("NP2_NO_AUTOMERGE"):
+        from .parallel.distributed import finalize_shards
+
+        if finalize_shards(args.out, shard, args.fa, out_pos=cfg.out_pos):
+            print(f"merged {shard.n_hosts} host shards -> {args.out}",
+                  file=sys.stderr)
     if args.timing:
         timing.report()
     print(resource_str(__version__), file=sys.stderr)

@@ -127,7 +127,10 @@ struct BamRec {
   int32_t l_seq;
 };
 
-// Parse the fixed prefix of a BAM record payload.
+// Parse the fixed prefix of a BAM record payload. `q` MUST point just past
+// the record's block_size field (true for every caller: record pointers are
+// collected from the contiguous raw-file walk) — the long-CIGAR path reads
+// the block size back from q - 4 to bound the aux scan.
 static inline void parse_rec(const uint8_t* q, BamRec& r) {
   r.tid = rd_i32(q);
   r.pos = rd_i32(q + 4);
@@ -138,6 +141,42 @@ static inline void parse_rec(const uint8_t* q, BamRec& r) {
   r.l_seq = rd_i32(q + 16);
   r.cigar = q + 32 + l_rn;
   r.seq4 = r.cigar + 4 * r.n_cigar;
+  // Long-CIGAR records: BAM stores n_cigar as u16, so >65535-op alignments
+  // carry a placeholder "<l_seq>S <ref_len>N" CIGAR here with the real one
+  // in the CG:B,I aux tag (htslib behavior behind rust-htslib's r.cigar(),
+  // reference main.rs:1785). Detect the placeholder and point r.cigar at
+  // the aux array — same u32 op encoding, zero copies.
+  if (r.n_cigar == 2 && r.l_seq > 0) {
+    uint32_t c0 = rd_u32(r.cigar), c1 = rd_u32(r.cigar + 4);
+    if (c0 == (((uint32_t)r.l_seq << 4) | 4u) && (c1 & 0xF) == 3u) {
+      const uint8_t* aux = r.seq4 + (r.l_seq + 1) / 2 + r.l_seq;
+      const uint8_t* end = q + rd_i32(q - 4);
+      while (aux + 4 <= end) {
+        uint8_t t1 = aux[0], t2 = aux[1], typ = aux[2];
+        aux += 3;
+        if (typ == 'B') {
+          if (aux + 5 > end) break;
+          uint8_t sub = aux[0];
+          uint32_t cnt = rd_u32(aux + 1);
+          int esz = (sub == 'c' || sub == 'C') ? 1
+                    : (sub == 's' || sub == 'S') ? 2 : 4;
+          if (t1 == 'C' && t2 == 'G' && (sub == 'I' || sub == 'i') &&
+              aux + 5 + (size_t)4 * cnt <= end) {
+            r.cigar = aux + 5;
+            r.n_cigar = cnt;
+            break;
+          }
+          aux += 5 + (size_t)esz * cnt;
+        } else if (typ == 'Z' || typ == 'H') {
+          while (aux < end && *aux) aux++;
+          aux++;
+        } else {
+          aux += (typ == 'A' || typ == 'c' || typ == 'C') ? 1
+                 : (typ == 's' || typ == 'S') ? 2 : 4;  // i/I/f
+        }
+      }
+    }
+  }
 }
 
 struct Filters {

@@ -82,6 +82,41 @@ class BamRecord:
         return n
 
 
+_AUX_FIXED = {65: 1, 99: 1, 67: 1, 115: 2, 83: 2, 105: 4, 73: 4, 102: 4}
+# A     c     C     s      S      i      I      f
+
+
+def _find_cg_cigar(data: bytes, off: int):
+    """Scan a BAM record's aux block for the CG:B,I real-CIGAR array
+    (SAMv1 §4.2.2 long-CIGAR convention); None if absent/malformed."""
+    n = len(data)
+    while off + 4 <= n:
+        tag = data[off : off + 2]
+        typ = data[off + 2]
+        off += 3
+        if typ == 66:  # 'B' array
+            if off + 5 > n:
+                return None
+            sub = data[off]
+            (cnt,) = struct.unpack_from("<i", data, off + 1)
+            esz = _AUX_FIXED.get(sub, 4)
+            if tag == b"CG" and sub in (73, 105) and off + 5 + 4 * cnt <= n:
+                arr = np.frombuffer(data, dtype="<u4", count=cnt,
+                                    offset=off + 5)
+                return [(int(c) & 0xF, int(c) >> 4) for c in arr]
+            off += 5 + esz * cnt
+        elif typ in (90, 72):  # 'Z' / 'H'
+            end = data.find(b"\x00", off)
+            if end < 0:
+                return None
+            off = end + 1
+        elif typ in _AUX_FIXED:
+            off += _AUX_FIXED[typ]
+        else:
+            return None
+    return None
+
+
 class BamReader:
     """Sequential BAM reader. Exposes references (names + lengths) and an iterator
     of records; `by_contig()` groups the sorted stream per tid."""
@@ -129,6 +164,15 @@ class BamReader:
             seq[1::2] = lo
             off += nseq
             qual = data[off : off + l_seq]
+            # Long-CIGAR records: n_cigar is u16 in BAM, so >65535-op
+            # alignments carry a "<l_seq>S <ref_len>N" placeholder with the
+            # real CIGAR in the CG:B,I aux tag (htslib behavior behind
+            # rust-htslib's r.cigar(), main.rs:1785)
+            if (n_cigar == 2 and l_seq > 0 and cigar[0] == (4, l_seq)
+                    and cigar[1][0] == 3):
+                cg = _find_cg_cigar(data, off + l_seq)
+                if cg is not None:
+                    cigar = cg
             yield BamRecord(qname=qname, flag=flag, tid=refid, pos=pos, mapq=mapq,
                             cigar=cigar, seq=seq[:l_seq].tobytes(), qual=qual)
 
@@ -192,7 +236,11 @@ def fill_secondary_seq(rec: BamRecord, sec_seqs: dict) -> BamRecord:
 
 class BamWriter:
     def __init__(self, path: str, references: List[Tuple[str, int]],
-                 header_text: str = ""):
+                 header_text: str = "", cg_threshold: int = 0xFFFF):
+        # cg_threshold: CIGARs with more ops are written in the SAMv1 §4.2.2
+        # long-CIGAR form ("<l_seq>S <ref_len>N" placeholder + CG:B,I aux);
+        # lowered by tests to force the CG path on small records
+        self._cg_threshold = min(cg_threshold, 0xFFFF)
         self._raw = open(path, "wb")
         self._w = BgzfWriter(self._raw)
         if not header_text:
@@ -211,7 +259,15 @@ class BamWriter:
     def write(self, rec: BamRecord) -> None:
         qname = rec.qname if isinstance(rec.qname, bytes) else rec.qname.encode()
         name = qname + b"\x00"
-        cigar = b"".join(struct.pack("<I", (l << 4) | op) for op, l in rec.cigar)
+        aux = b""
+        ops = rec.cigar
+        if len(ops) > self._cg_threshold and rec.seq:
+            # long-CIGAR form: placeholder in the record, real CIGAR in CG
+            ref_len = sum(l for op, l in ops if _CONSUMES_REF[op])
+            aux = b"CGBI" + struct.pack("<i", len(ops)) + b"".join(
+                struct.pack("<I", (l << 4) | op) for op, l in ops)
+            ops = [(4, len(rec.seq)), (3, ref_len)]
+        cigar = b"".join(struct.pack("<I", (l << 4) | op) for op, l in ops)
         seq_arr = np.frombuffer(rec.seq, dtype=np.uint8)
         codes = ASCII_TO_SEQ4[seq_arr]
         if len(codes) % 2:
@@ -220,9 +276,9 @@ class BamWriter:
         qual = rec.qual if rec.qual else b"\xff" * len(rec.seq)
         body = struct.pack(
             "<iiBBHHHiiii",
-            rec.tid, rec.pos, len(name), rec.mapq, 0, len(rec.cigar), rec.flag,
+            rec.tid, rec.pos, len(name), rec.mapq, 0, len(ops), rec.flag,
             len(rec.seq), -1, -1, 0,
-        ) + name + cigar + packed + qual
+        ) + name + cigar + packed + qual + aux
         self._w.write(struct.pack("<i", len(body)) + body)
 
     def close(self):

@@ -99,3 +99,51 @@ def merge_shards(out_path: str, n_hosts: int, contig_names: List[str],
             else:
                 header, seq = records[name]
                 f.write(header + b"\n" + seq + b"\n")
+
+
+def finalize_shards(out_path: str, shard: HostShard, fa_path: str,
+                    out_pos: bool = False,
+                    timeout_s: Optional[float] = None) -> bool:
+    """Multi-host completion barrier + host-0 auto-merge (over the shared
+    filesystem the shard files already require).
+
+    Every host drops a `<out>.shard<h>.done` sentinel when its shard is
+    complete; host 0 waits for all sentinels, then merges the shards into
+    `out_path` in input contig order (merge_shards) and removes the
+    sentinels. Shard files are kept (crash forensics; cheap). Returns True
+    on the host that wrote the merged output. Timeout (default env
+    NP2_MERGE_TIMEOUT_S or 86400) raises — silently shipping a partial
+    assembly is worse than failing loudly."""
+    import time
+
+    if shard.n_hosts <= 1:
+        return True
+    sentinel = f"{out_path}.shard{shard.host_id}.done"
+    with open(sentinel, "w") as f:
+        f.write("done\n")
+    if shard.host_id != 0:
+        return False
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("NP2_MERGE_TIMEOUT_S", "86400"))
+    t0 = time.time()
+    pending = set(range(shard.n_hosts))
+    while pending:
+        pending = {h for h in pending
+                   if not os.path.exists(f"{out_path}.shard{h}.done")}
+        if not pending:
+            break
+        if time.time() - t0 > timeout_s:
+            raise TimeoutError(
+                f"finalize_shards: hosts {sorted(pending)} incomplete after "
+                f"{timeout_s:.0f}s (no .done sentinel)")
+        time.sleep(1.0)
+    from ..io.fastx import read_fastx
+
+    contig_names = [name for name, _ in read_fastx(fa_path)]
+    merge_shards(out_path, shard.n_hosts, contig_names, out_pos=out_pos)
+    for h in range(shard.n_hosts):
+        try:
+            os.remove(f"{out_path}.shard{h}.done")
+        except OSError:
+            pass
+    return True

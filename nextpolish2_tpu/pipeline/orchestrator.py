@@ -47,19 +47,78 @@ class PolishStats:
     csr_batches: int = 0  # batches shipped as CSR blobs (production upload)
 
 
-def completed_contigs(out_path: str) -> set:
-    """Names already present in a partial output FASTA (crash-resume support;
-    the reference has none — rerun from scratch, SURVEY §5)."""
+def completed_contigs(out_path: str, out_pos: bool = False) -> set:
+    """Names already present in a partial output file (crash-resume support;
+    the reference has none — rerun from scratch, SURVEY §5).
+
+    out_pos: the file holds `tid\\tbase\\tpos` TSV lines (write_pos_records)
+    instead of FASTA; contig rows are contiguous, and the LAST contig is
+    dropped as possibly truncated mid-write (a FASTA record is self-
+    delimiting, a TSV run is not)."""
     import os
 
     done = set()
-    if os.path.exists(out_path):
-        try:
+    if not os.path.exists(out_path):
+        return done
+    try:
+        if out_pos:
+            order: List[str] = []
+            with open(out_path, "rb") as f:
+                for line in f:
+                    name = line.split(b"\t", 1)[0].decode(errors="replace")
+                    if not name:
+                        continue
+                    if not order or order[-1] != name:
+                        order.append(name)
+            done.update(order[:-1])  # last contig may be mid-write
+        else:
             for name, _ in read_fastx(out_path):
                 done.add(name)
-        except Exception:
-            pass
+    except Exception:
+        pass
     return done
+
+
+def trim_partial_output(out_path: str, out_pos: bool = False) -> None:
+    """Truncate a crashed run's possibly-partial tail record so --resume can
+    append cleanly (without this, the partial rows of the contig being
+    re-polished would remain in the file ahead of its fresh copy)."""
+    import os
+
+    if not os.path.exists(out_path):
+        return
+    with open(out_path, "rb") as f:
+        data = f.read()
+    n = len(data)
+    if out_pos:
+        # keep whole contig runs except the last (a TSV run is not
+        # self-delimiting, so the final one may be mid-write; it gets
+        # re-polished — completed_contigs drops it for the same reason)
+        last_name, run_start = None, 0
+        off = 0
+        while off < n:
+            nl = data.find(b"\n", off)
+            end = (nl + 1) if nl >= 0 else n
+            name = data[off:end].split(b"\t", 1)[0]
+            if name != last_name:
+                run_start, last_name = off, name
+            off = end
+        good = run_start if last_name is not None else 0
+    else:
+        # a complete FASTA record here = '>' header line + one seq line,
+        # both newline-terminated (write_fasta_record format)
+        good = off = 0
+        while off < n and data.startswith(b">", off):
+            nl = data.find(b"\n", off)
+            if nl < 0:
+                break
+            sl = data.find(b"\n", nl + 1)
+            if sl < 0:
+                break
+            good = off = sl + 1
+    if good < n:
+        with open(out_path, "r+b") as f:
+            f.truncate(good)
 
 
 def polish(fa_path: str, bam_path: str, yak_paths: Sequence[str],

@@ -1,5 +1,7 @@
 """Host-sharded contig assignment + shard merging."""
 
+import os
+
 import numpy as np
 
 from nextpolish2_tpu.config import PolishConfig
@@ -79,3 +81,79 @@ def test_merge_shards_out_pos(tmp_path):
     merge_shards(out, 2, ["c0", "c1"], out_pos=True)
     with open(out, "rb") as f:
         assert f.read() == b"c0\tA\t0\nc0\tC\t1\nc1\tG\t0\n"
+
+
+def test_completed_contigs_out_pos_and_trim(tmp_path):
+    """--resume with --out_pos shards: completed_contigs must parse the TSV
+    (it used to silently return empty and re-polish everything), dropping the
+    possibly-partial last contig; trim_partial_output truncates that tail."""
+    from nextpolish2_tpu.pipeline.orchestrator import (completed_contigs,
+                                                       trim_partial_output)
+
+    p = str(tmp_path / "out.pos")
+    rows = (b"ctgA\tA\t0\nctgA\tC\t1\nctgB\tG\t0\nctgB\tT\t1\n"
+            b"ctgC\tA\t0\n")  # ctgC possibly mid-write
+    with open(p, "wb") as f:
+        f.write(rows)
+    done = completed_contigs(p, out_pos=True)
+    assert done == {"ctgA", "ctgB"}
+    trim_partial_output(p, out_pos=True)
+    with open(p, "rb") as f:
+        assert f.read() == (b"ctgA\tA\t0\nctgA\tC\t1\n"
+                            b"ctgB\tG\t0\nctgB\tT\t1\n")
+
+
+def test_trim_partial_output_fasta(tmp_path):
+    from nextpolish2_tpu.pipeline.orchestrator import (completed_contigs,
+                                                       trim_partial_output)
+
+    p = str(tmp_path / "out.fa")
+    with open(p, "wb") as f:
+        f.write(b">ctgA start:0 end:3\nACGT\n>ctgB start:0 end:1\nAC")  # cut
+    assert completed_contigs(p) >= {"ctgA"}
+    trim_partial_output(p)
+    with open(p, "rb") as f:
+        assert f.read() == b">ctgA start:0 end:3\nACGT\n"
+
+
+def test_finalize_shards_barrier_and_merge(tmp_path):
+    """Host sentinels + host-0 merge: host 0 waits for every .done sentinel,
+    merges shards into input order, and removes the sentinels."""
+    from nextpolish2_tpu.parallel.distributed import (HostShard,
+                                                      finalize_shards)
+
+    fa = str(tmp_path / "asm.fa")
+    with open(fa, "wb") as f:
+        f.write(b">c0\nAAAA\n>c1\nCCCC\n>c2\nGGGG\n")
+    out = str(tmp_path / "out.fa")
+    # host 1 owns contig index 1; host 0 owns 0 and 2 (round-robin)
+    with open(out + ".shard0", "wb") as f:
+        f.write(b">c0 start:0 end:3\nAAAA\n>c2 start:0 end:3\nGGGG\n")
+    with open(out + ".shard1", "wb") as f:
+        f.write(b">c1 start:0 end:3\nCCCC\n")
+    assert finalize_shards(out, HostShard(1, 2), fa) is False  # non-0: sentinel only
+    assert os.path.exists(out + ".shard1.done")
+    assert finalize_shards(out, HostShard(0, 2), fa, timeout_s=10) is True
+    with open(out, "rb") as f:
+        data = f.read()
+    assert data == (b">c0 start:0 end:3\nAAAA\n>c1 start:0 end:3\nCCCC\n"
+                    b">c2 start:0 end:3\nGGGG\n")
+    assert not os.path.exists(out + ".shard0.done")
+    assert not os.path.exists(out + ".shard1.done")
+
+
+def test_finalize_shards_timeout(tmp_path):
+    import pytest
+
+    from nextpolish2_tpu.parallel.distributed import (HostShard,
+                                                      finalize_shards)
+
+    fa = str(tmp_path / "asm.fa")
+    with open(fa, "wb") as f:
+        f.write(b">c0\nAAAA\n")
+    out = str(tmp_path / "out.fa")
+    with open(out + ".shard0", "wb") as f:
+        f.write(b">c0 start:0 end:3\nAAAA\n")
+    # host 1 never completes
+    with pytest.raises(TimeoutError):
+        finalize_shards(out, HostShard(0, 2), fa, timeout_s=2.5)

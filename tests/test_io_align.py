@@ -113,3 +113,54 @@ def test_align_to_bam_sorted(tmp_path):
     rd = BamReader(path)
     poss = [r.pos for r in rd]
     assert poss == sorted(poss)
+
+
+def test_cg_tag_long_cigar_both_readers(tmp_path):
+    """BAM long-CIGAR convention (SAMv1 4.2.2): records whose CIGAR is stored
+    as a "<l_seq>S <ref_len>N" placeholder + CG:B,I aux tag must decode to
+    the real CIGAR in BOTH readers (Python BamReader and the native record
+    walk) — silently mis-expanding them is a data-corruption class."""
+    import numpy as np
+
+    from nextpolish2_tpu.config import PolishConfig
+    from nextpolish2_tpu.io.bam import BamReader, BamRecord, BamWriter
+    from nextpolish2_tpu.utils.seqcodes import ASCII2CODE
+
+    rng = np.random.default_rng(401)
+    t = bytes(rng.choice(list(b"ACGT"), size=3000).astype(np.uint8))
+    reads = []
+    for s in range(0, 2000, 400):
+        ins = bytes(rng.choice(list(b"ACGT"), size=5).astype(np.uint8))
+        seq = t[s : s + 300] + ins + t[s + 310 : s + 600]
+        cig = [(0, 300), (1, 5), (2, 10), (0, 290)]
+        reads.append(BamRecord(qname=f"r{s}".encode(), flag=0, tid=0, pos=s,
+                               mapq=60, cigar=cig, seq=seq))
+    refs = [("ctg", len(t))]
+    normal = str(tmp_path / "normal.bam")
+    cgbam = str(tmp_path / "cg.bam")
+    with BamWriter(normal, refs) as w:
+        for r in reads:
+            w.write(r)
+    with BamWriter(cgbam, refs, cg_threshold=2) as w:  # force CG form
+        for r in reads:
+            w.write(r)
+
+    recs_a = list(BamReader(normal))
+    recs_b = list(BamReader(cgbam))
+    assert len(recs_a) == len(recs_b) == len(reads)
+    for ra, rb, orig in zip(recs_a, recs_b, reads):
+        assert rb.cigar == ra.cigar == orig.cigar
+        assert rb.seq == ra.seq
+
+    # native record walk: identical tag streams from both files
+    from nextpolish2_tpu.io.native import available, extract_contig_native
+
+    if available():
+        cfg = PolishConfig(min_ctg_len=0, min_read_len=100, min_map_len=50)
+        codes = np.ascontiguousarray(ASCII2CODE[np.frombuffer(t, np.uint8)])
+        ea = extract_contig_native(normal, 0, codes, cfg)
+        eb = extract_contig_native(cgbam, 0, codes, cfg)
+        assert ea is not None and eb is not None
+        for xa, xb in zip(ea, eb):
+            np.testing.assert_array_equal(xa, xb)
+        assert len(ea[0]) > 0  # streams are non-trivial
