@@ -508,6 +508,106 @@ def dp_backtrack_csr_blob(blob, B: int, W: int, K: int, P: int, Pd: int,
     return pack_backtrack_out(out, lvl)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "B", "W", "K", "P", "Pd", "Pe",
+                                    "max_steps", "use_pallas"))
+def dp_backtrack_csr_blob_sharded(blob, mesh, B: int, W: int, K: int,
+                                  P: int, Pd: int, Pe: int, max_steps: int,
+                                  use_pallas: bool = False):
+    """Mesh-sharded dispatch from the SAME one-blob CSR upload as the
+    single-device path (P4 unification: transfer optimizations land once).
+    The blob is replicated — it is small by construction, and replication
+    rides ICI — while the WORK shards: under shard_map each device slices
+    its own window range of the per-window scalars, assembles only its
+    local [B/n, W, K] table (the global entry->column inversion is cheap
+    elementwise/cumsum work; the big scatters and the DP are local), and
+    runs DP + backtrack on its lanes. Outputs come back 'win'-sharded on
+    the batch dim, bit-exact vs dp_backtrack_csr_blob."""
+    from jax.sharding import PartitionSpec as PS
+
+    # check_vma off: the DP scan's carry init is unvarying constants while
+    # the scanned inputs are shard-local, which trips the varying-manual-axes
+    # type check; semantics are per-lane (no cross-shard communication at all)
+    try:
+        from jax import shard_map as _shard_map
+
+        def shmap(f, in_specs, out_specs):
+            return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_vma=False)
+    except (ImportError, TypeError):  # older jax
+        from jax.experimental.shard_map import shard_map as _shard_map
+
+        def shmap(f, in_specs, out_specs):
+            return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_rep=False)
+
+    n_win = mesh.shape["win"]
+    assert B % n_win == 0, (B, n_win)
+    Bl = B // n_win
+
+    def shard_fn(blob):
+        o = [0]
+
+        def take(n: int):
+            s = jax.lax.slice_in_dim(blob, o[0], o[0] + n)
+            o[0] += n
+            return s
+
+        if nibble_ns_for(B, W, K):
+            ns4 = take(B * W // 2)
+            ns_u8 = jnp.stack([ns4 & 0xF, ns4 >> 4], axis=-1).reshape(B, W)
+        else:
+            ns_u8 = take(B * W).reshape(B, W)
+        keylo = _le16u(take(2 * P))
+        clo = take(P)
+        didx = _le32i(take(4 * Pd))
+        dval = take(Pd)
+        eidx = _le32i(take(4 * Pe))
+        xkey = _le32i(take(4 * Pe))
+        xcnt = _le32i(take(4 * Pe))
+        lead = _le32i(take(4 * B))
+        seed = take(B).astype(bool)
+        last_col = _le32i(take(4 * B))
+        assert o[0] == blob.shape[0], \
+            f"CSR blob layout mismatch: parsed {o[0]} of {blob.shape[0]}"
+
+        win_lo = jax.lax.axis_index("win").astype(jnp.int32) * Bl
+        # global entry -> (column, slot) inversion (cheap, every shard)
+        key_e = keylo.astype(jnp.int32)
+        cnt_e = clo.astype(jnp.int32)
+        key_e = key_e.at[didx].add(dval.astype(jnp.int32) << 16, mode="drop")
+        key_e = key_e.at[eidx].set(xkey, mode="drop")
+        cnt_e = cnt_e.at[eidx].set(xcnt, mode="drop")
+        nb = ns_u8.astype(jnp.int32).reshape(-1)          # [B*W]
+        cum = jnp.cumsum(nb)
+        ends = jnp.zeros(P + 1, jnp.int32).at[cum].add(1, mode="drop")
+        colid = jnp.cumsum(ends)[:P]                      # pads -> B*W
+        start = cum - nb
+        slot = jnp.arange(P, dtype=jnp.int32) - \
+            start[jnp.minimum(colid, B * W - 1)]
+        # local scatter: only this shard's window range lands
+        local_col = colid - win_lo * W
+        flat = jnp.where((local_col >= 0) & (local_col < Bl * W),
+                         local_col * K + slot, Bl * W * K)
+        key = jnp.full((Bl * W * K,), -1, jnp.int32).at[flat].set(
+            key_e, mode="drop").reshape(Bl, W, K)
+        cnt = jnp.zeros((Bl * W * K,), jnp.int32).at[flat].set(
+            cnt_e, mode="drop").reshape(Bl, W, K)
+        coverage = jnp.sum(jnp.where(((key >> 12) & 1) == 0, cnt, 0), axis=-1)
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, win_lo, Bl)  # noqa: E731
+        tables = SlotTables(key=key, count=cnt, coverage=coverage,
+                            n_slots=None,
+                            overflow=jnp.zeros(Bl, bool))
+        out, lvl = dp_backtrack(tables, sl(lead), sl(seed), sl(last_col),
+                                max_steps, use_pallas=use_pallas)
+        return pack_backtrack_out(out, lvl)
+
+    spec_rep = PS()
+    spec_win = PS("win")
+    return shmap(shard_fn, in_specs=(spec_rep,),
+                 out_specs=(spec_win, spec_win))(blob)
+
+
 @functools.partial(jax.jit, static_argnames=("K", "max_steps", "use_pallas"))
 def dp_backtrack_sparse_packed(dense_key, dense_cnt, coverage, overflow,
                                eb, ew, ek, ekey, ecnt,

@@ -139,15 +139,18 @@ def dispatch_chunk(agg: tuple, lead: np.ndarray, seed: np.ndarray,
 
 def dispatch_chunk_csr(csr: tuple, lead: np.ndarray, seed: np.ndarray,
                        last_col: np.ndarray, cwidth: int, ck: int,
-                       jput=None):
-    """Single-device dispatch from an ALREADY-CSR chunk (the native
-    CSR-direct aggregation, windows.aggregate_csr_host): identical device
-    program + upload bytes as dispatch_chunk's split_csr path, minus the
-    dense host tables. csr = (ns_u8, keylo, clo, didx, dval, eidx, xkey,
-    xcnt)."""
+                       jput=None, mesh=None):
+    """Dispatch from an ALREADY-CSR chunk (the native CSR-direct
+    aggregation, windows.aggregate_csr_host): identical device program +
+    upload bytes as dispatch_chunk's split_csr path, minus the dense host
+    tables. csr = (ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt).
+    With `mesh`, the SAME blob dispatches 'win'-sharded over the mesh
+    (ops.consensus.dp_backtrack_csr_blob_sharded) — one upload format for
+    both paths (P4 unification)."""
     import jax.numpy as jnp
 
-    from ..ops.consensus import dp_backtrack_csr_blob, nibble_ns_for
+    from ..ops.consensus import (dp_backtrack_csr_blob,
+                                 dp_backtrack_csr_blob_sharded, nibble_ns_for)
     from .windows import pack_csr_blob
 
     if jput is None:
@@ -157,6 +160,11 @@ def dispatch_chunk_csr(csr: tuple, lead: np.ndarray, seed: np.ndarray,
     blob = pack_csr_blob(ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt,
                          lead, seed, last_col,
                          nibble_ns=nibble_ns_for(B, W, ck))
+    if mesh is not None:
+        return dp_backtrack_csr_blob_sharded(
+            jnp.asarray(blob), mesh, B=B, W=W, K=ck, P=len(keylo),
+            Pd=len(didx), Pe=len(eidx), max_steps=int(cwidth + 128),
+            use_pallas=_use_pallas())
     return dp_backtrack_csr_blob(
         jput(blob), B=B, W=W, K=ck, P=len(keylo), Pd=len(didx),
         Pe=len(eidx), max_steps=int(cwidth + 128), use_pallas=_use_pallas())
@@ -385,9 +393,9 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
         # pulling chunk i, so host pileup prep overlaps device DP + the
         # tunnel round trip (same overlap the cross-contig batcher does)
         # CSR-direct native aggregation skips the dense [B, W, K] host
-        # tables entirely (single-device blob dispatch only; the sharded /
-        # dynamic-K formats still need them)
-        use_csr_direct = not sharded and not _dynamic_k()
+        # tables entirely; single-device AND mesh-sharded dispatch ride the
+        # same one-blob upload (only the opt-in dynamic-K format differs)
+        use_csr_direct = not _dynamic_k()
         pending = None
         for ids, cwidth, ck, pad_b in chunks:
             n = len(ids)
@@ -412,7 +420,8 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
 
             if csr is not None:
                 dev = dispatch_chunk_csr(csr[:-1], lead, seed, last_col,
-                                         cwidth, ck, jput=jput)
+                                         cwidth, ck, jput=jput,
+                                         mesh=mesh if sharded else None)
             else:
                 dev = dispatch_chunk(agg, lead, seed, last_col, cwidth, ck,
                                      jput=jput, sharded=sharded)
