@@ -161,7 +161,9 @@ def main() -> int:
     chunks = plan_tiered_chunks(span_all[tiled], ktier_all[tiled], tiers, B,
                                 tier_b=CHUNK_B_TIERS)
 
-    from nextpolish2_tpu.pipeline.engine import dispatch_chunk
+    from nextpolish2_tpu.pipeline.engine import (dispatch_chunk,
+                                                 dispatch_chunk_csr)
+    from nextpolish2_tpu.pipeline.windows import aggregate_csr_host
 
     hostchunks = []
     n_real = 0
@@ -169,14 +171,22 @@ def main() -> int:
         ids = tiled[tids]
         n = len(ids)
         n_real += n
-        agg = aggregate_host(wb, ck, width=cwidth, n_windows=pad_b, win_idx=ids)
+        # the EXACT production chunk inputs: CSR-direct native aggregation
+        # (engine.device_consensus_stream); dense tables only as fallback
+        csr = aggregate_csr_host(wb, ck, width=cwidth, n_windows=pad_b,
+                                 win_idx=ids)
+        agg = None
+        if csr is None:
+            agg = aggregate_host(wb, ck, width=cwidth, n_windows=pad_b,
+                                 win_idx=ids)
         lead = np.zeros(pad_b, dtype=np.int64)
         lead[:n] = lead_all[ids]
         seed = np.zeros(pad_b, dtype=bool)
         seed[:n] = seed_all[ids]
         last_col = np.zeros(pad_b, dtype=np.int32)
         last_col[:n] = last_all[ids]
-        hostchunks.append((agg, lead, seed, last_col, int(cwidth), int(ck)))
+        hostchunks.append((csr, agg, lead, seed, last_col, int(cwidth),
+                           int(ck)))
 
     @jax.jit
     def _chk(words, meta):
@@ -185,13 +195,17 @@ def main() -> int:
         return words.sum(dtype=jnp.int64) + meta.sum(dtype=jnp.int64)
 
     def step():
-        # the EXACT production dispatch (engine.dispatch_chunk: tiered
-        # shapes, one-blob CSR upload, host->device transfers included);
+        # the EXACT production dispatch (engine.dispatch_chunk_csr: tiered
+        # shapes, one-blob pack + upload, host->device transfers included);
         # one checksum pull per sweep forces the whole chain
         c = None
-        for agg, lead, seed, last_col, cwidth, ck in hostchunks:
-            words, meta = dispatch_chunk(agg, lead, seed, last_col,
-                                         cwidth, ck)
+        for csr, agg, lead, seed, last_col, cwidth, ck in hostchunks:
+            if csr is not None:
+                words, meta = dispatch_chunk_csr(csr[:-1], lead, seed,
+                                                 last_col, cwidth, ck)
+            else:
+                words, meta = dispatch_chunk(agg, lead, seed, last_col,
+                                             cwidth, ck)
             s = _chk(words, meta)
             c = s if c is None else c + s
         return c

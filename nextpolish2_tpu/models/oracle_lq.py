@@ -33,7 +33,7 @@ L_RECH = 0b0010_0000
 INVALID = int(INVALID_KMER)
 
 
-@dataclass
+@dataclass(slots=True)
 class LqSeq:
     order: int
     kscore: int
@@ -91,14 +91,13 @@ def extract_alleles(alignseqs: List[AlignTags], lqseqs: List[LqRegion],
                 hashes[hi] = table.to_hash(prehash[hi]).astype(np.uint64)
             sbytes = seq.tobytes()
             soff_l = soff.tolist()
-            has_l = has.tolist()
-            hashes_l = hashes.tolist()
+            kmer_l = np.where(has.astype(bool), hashes,
+                              np.uint64(INVALID)).tolist()
             order_l = order.tolist()
             for i, r in enumerate(region.tolist()):
                 lqseqs[r].seqs.append(LqSeq(
-                    order=order_l[i], kscore=0,
-                    kmer=int(hashes_l[i]) if has_l[i] else INVALID,
-                    seq=sbytes[soff_l[i]:soff_l[i + 1]]))
+                    order_l[i], 0, kmer_l[i],
+                    sbytes[soff_l[i]:soff_l[i + 1]]))
             return
     _extract_alleles_py(alignseqs, lqseqs, table, max_can)
 

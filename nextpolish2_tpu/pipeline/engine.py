@@ -389,14 +389,21 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
                                     tier_b=CHUNK_B_TIERS if CHUNK_B >= 128
                                     else None)
 
-        # depth-2 software pipeline: aggregate + dispatch chunk i+1 BEFORE
-        # pulling chunk i, so host pileup prep overlaps device DP + the
-        # tunnel round trip (same overlap the cross-contig batcher does)
+        # software pipeline: aggregate + dispatch chunks ahead BEFORE
+        # pulling, so host pileup prep overlaps device DP + the tunnel round
+        # trip (same overlap the cross-contig batcher does). Depth 3 keeps
+        # TWO chunks in flight — the axon dispatch RTT (~25 ms) and the DP
+        # then overlap across chunks instead of serializing.
         # CSR-direct native aggregation skips the dense [B, W, K] host
         # tables entirely; single-device AND mesh-sharded dispatch ride the
         # same one-blob upload (only the opt-in dynamic-K format differs)
+        import os as _os
+
         use_csr_direct = not _dynamic_k()
-        pending = None
+        from collections import deque
+
+        depth = int(_os.environ.get("NP2_PIPELINE_DEPTH", "3"))
+        pending = deque()
         for ids, cwidth, ck, pad_b in chunks:
             n = len(ids)
             csr = None
@@ -425,11 +432,11 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
             else:
                 dev = dispatch_chunk(agg, lead, seed, last_col, cwidth, ck,
                                      jput=jput, sharded=sharded)
-            if pending is not None:
-                harvest(pending)
-            pending = (ids, overflow, dev, last_col)
-        if pending is not None:
-            harvest(pending)
+            pending.append((ids, overflow, dev, last_col))
+            if len(pending) >= depth:
+                harvest(pending.popleft())
+        while pending:
+            harvest(pending.popleft())
 
     # whole-contig default-kmer check (main.rs:1651): window-local maxima are
     # partial sums from each anchor, so their sum is the true global best score
