@@ -155,12 +155,20 @@ def main(argv=None) -> int:
     out_path = args.out
     if shard.n_hosts > 1 and args.out != "stdout":
         out_path = shard.shard_path(args.out)
+        # a stale .done sentinel from a crashed previous run would let host 0
+        # merge while this host is still re-polishing — clear ours up front
+        try:
+            os.remove(f"{args.out}.shard{shard.host_id}.done")
+        except OSError:
+            pass
     skip = None
     if args.resume and out_path != "stdout":
         from .pipeline.orchestrator import trim_partial_output
 
-        skip = completed_contigs(out_path, out_pos=cfg.out_pos)
+        # trim FIRST: a record truncated mid-write must be re-polished, so it
+        # must not be counted complete (and then silently lost to the trim)
         trim_partial_output(out_path, out_pos=cfg.out_pos)
+        skip = completed_contigs(out_path, out_pos=cfg.out_pos)
         if skip:
             print(f"resume: skipping {len(skip)} completed contigs",
                   file=sys.stderr)

@@ -98,7 +98,7 @@ def _find_cg_cigar(data: bytes, off: int):
             if off + 5 > n:
                 return None
             sub = data[off]
-            (cnt,) = struct.unpack_from("<i", data, off + 1)
+            (cnt,) = struct.unpack_from("<I", data, off + 1)  # count is u32
             esz = _AUX_FIXED.get(sub, 4)
             if tag == b"CG" and sub in (73, 105) and off + 5 + 4 * cnt <= n:
                 arr = np.frombuffer(data, dtype="<u4", count=cnt,
@@ -261,6 +261,10 @@ class BamWriter:
         name = qname + b"\x00"
         aux = b""
         ops = rec.cigar
+        if len(ops) > 0xFFFF and not rec.seq:
+            raise ValueError(
+                f"cannot write a {len(ops)}-op CIGAR on a SEQ-less record "
+                "(the SAMv1 long-CIGAR placeholder needs the query length)")
         if len(ops) > self._cg_threshold and rec.seq:
             # long-CIGAR form: placeholder in the record, real CIGAR in CG
             ref_len = sum(l for op, l in ops if _CONSUMES_REF[op])

@@ -243,6 +243,106 @@ def consensus_dp(tables: SlotTables, lead_abs: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("max_steps",))
 def backtrack(tables: SlotTables, scores: jnp.ndarray, besti: jnp.ndarray,
               last_col: jnp.ndarray, seed_anchor: jnp.ndarray, max_steps: int):
+    """Batched backtrack dispatcher: the pointer-doubling formulation
+    (_backtrack_jump) by default — on chip the sequential scan's ~1400 steps
+    of per-step overhead dominated the whole resident chunk time (~36 ms of
+    ~68 ms for a 512-lane K=8 chunk) while the DP kernel itself costs ~5 ms.
+    NP2_BT_SCAN=1 forces the scan spec (_backtrack_scan); both are bit-exact
+    (differential test in tests/test_tpu_engine.py)."""
+    import os
+
+    if os.environ.get("NP2_BT_SCAN"):
+        return _backtrack_scan(tables, scores, besti, last_col, seed_anchor,
+                               max_steps)
+    return _backtrack_jump(tables, scores, besti, last_col, seed_anchor,
+                           max_steps)
+
+
+def _backtrack_jump(tables: SlotTables, scores: jnp.ndarray,
+                    besti: jnp.ndarray, last_col: jnp.ndarray,
+                    seed_anchor: jnp.ndarray, max_steps: int):
+    """Pointer-doubling backtrack: identical outputs to _backtrack_scan in
+    O(log max_steps) sequential ops instead of max_steps scan steps.
+
+    Every state (col, slot) has a static successor (terminal states
+    self-loop: the walk provably never repeats a state otherwise — an
+    in-column predecessor occupies an earlier slot and a cross-column one a
+    smaller column — so S[t+1] == S[t] iff the walk has ended, which is also
+    how per-step aliveness is recovered). The full step sequence comes from
+    functional squaring: with f = successor and S = steps 0..m-1,
+    steps m..2m-1 = f^m[S]; f^{2m} = f^m ∘ f^m. Emissions are per-state
+    values gathered along the sequence; only the `valid` bit is per-step
+    (alive & non-gap), exactly like the scan's."""
+    key = tables.key
+    B, W, K = key.shape
+    NS = W * K
+    bidx = jnp.arange(B)
+
+    # start: last-max slot at the final column (reference >= scan, main.rs:1680)
+    sc_last = scores[bidx, last_col]  # [B, K]
+    maxv = jnp.max(sc_last, axis=1)
+    ismax = sc_last == maxv[:, None]
+    start_slot = (K - 1) - jnp.argmax(ismax[:, ::-1], axis=1)
+    start_state = last_col.astype(jnp.int32) * K + start_slot.astype(jnp.int32)
+
+    # dense per-state successor + emission word
+    col = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :, None],
+                           (B, W, K))
+    flags = (key >> 12) & 0xF
+    q2 = (key >> 4) & 0xF
+    q3 = key & 0xF
+    cov = tables.coverage[:, :, None]
+    qv = jnp.where(cov > 0,
+                   tables.count * 100 // jnp.maximum(cov, 1), 0)
+    qv = jnp.minimum(qv, 255)
+    both = (flags & 0b0101) == 0b0101
+    f23 = (flags & 1) != 0
+    b2_same = both | f23
+    is_head = q2 == HEAD_Q
+    at_anchor = seed_anchor[:, None, None] & (col == 2)
+    nxt_c = jnp.where(b2_same, col, col - 1)
+    nxt_s = besti.astype(jnp.int32)
+    alive_nxt = ~is_head & ~at_anchor & (nxt_c >= 0)
+    self_state = col * K + jnp.broadcast_to(
+        jnp.arange(K, dtype=jnp.int32)[None, None, :], (B, W, K))
+    succ = jnp.where(alive_nxt, nxt_c * K + nxt_s, self_state)  # [B, W, K]
+    succ = succ.reshape(B, NS)
+    dec = alive_nxt & ~b2_same
+    # per-state emission word: qv<<7 | q3 | nongap<<4 | covlow<<5 | dec<<6;
+    # bit 4 is masked per step by aliveness below
+    wstate = (qv.astype(jnp.int32) << 7) | q3 \
+        | ((q3 != 4).astype(jnp.int32) << 4) \
+        | ((cov < 2).astype(jnp.int32) << 5) \
+        | (dec.astype(jnp.int32) << 6)
+    wstate = wstate.reshape(B, NS)
+
+    # functional squaring: S grows 1 -> 2 -> 4 ... -> max_steps
+    S = start_state[:, None]
+    f = succ
+    while S.shape[1] < max_steps:
+        S2 = jnp.take_along_axis(f, S, axis=1)
+        S = jnp.concatenate([S, S2], axis=1)
+        if S.shape[1] < max_steps:
+            f = jnp.take_along_axis(f, f, axis=1)
+    S = S[:, :max_steps]
+
+    words = jnp.take_along_axis(wstate, S, axis=1)      # [B, steps]
+    alive = jnp.concatenate(
+        [jnp.ones((B, 1), bool), S[:, 1:] != S[:, :-1]], axis=1)
+    words = jnp.where(alive, words, words & ~0x10)
+    cols = (S // K).astype(jnp.int16)
+    packed_r = (words & 0x7F).astype(jnp.uint8)
+    qv_r = (words >> 7).astype(jnp.uint8)
+    n_steps = jnp.sum(alive, axis=1)
+    last_state = S[:, -1]
+    still_alive = jnp.take_along_axis(
+        succ, last_state[:, None], axis=1)[:, 0] != last_state
+    return (cols, packed_r, qv_r, maxv, n_steps, still_alive)
+
+
+def _backtrack_scan(tables: SlotTables, scores: jnp.ndarray,
+                    besti: jnp.ndarray, last_col: jnp.ndarray,
+                    seed_anchor: jnp.ndarray, max_steps: int):
     """Batched backtrack (generate_cns_from_best_score_lq walk, main.rs:1573-1634).
 
     last_col: [B] relative column of each window's final position.
@@ -347,31 +447,50 @@ def dp_backtrack_sparse(dense_key, dense_cnt, coverage, overflow,
 
 
 def assemble_csr(ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt,
-                 B: int, W: int, K: int):
-    """Rebuild the dense [B, W, K] key/count tables + per-column coverage
-    from the flat CSR upload (see dp_backtrack_csr). Trace-time code —
-    called inside the jitted dispatch; factored out so tests can bit-compare
-    the assembled tables against the host aggregation's. Deltas arrive as a
-    sparse sidecar (didx/dval) scattered over the 3-byte main stream; full
-    exceptions overwrite afterwards, so a byte-clamped sidecar delta on an
-    exception entry is harmless."""
+                 B: int, W: int, K: int, win_lo=None, Bl: int = 0):
+    """Rebuild the dense key/count tables + per-column coverage from the flat
+    CSR upload (see dp_backtrack_csr). Trace-time code — called inside the
+    jitted dispatch; factored out so tests can bit-compare the assembled
+    tables against the host aggregation's. Deltas arrive as a sparse sidecar
+    (didx/dval) scattered over the 3-byte main stream; full exceptions
+    overwrite afterwards, so a byte-clamped sidecar delta on an exception
+    entry is harmless.
+
+    win_lo/Bl: assemble only the LOCAL window range [win_lo, win_lo + Bl)
+    into [Bl, W, K] tables (the mesh-sharded dispatch; win_lo is traced).
+    Scatter hints: the entry stream is (window, column, slot)-ordered, so
+    indices are unique and — in the global case, where padding maps past the
+    end — sorted; didx is sorted unique; eidx unique (the native exception
+    list is thread-interleaved, so not sorted)."""
     P = keylo.shape[0]
+    local = win_lo is not None
+    if not local:
+        win_lo, Bl = 0, B
     key_e = keylo.astype(jnp.int32)
     cnt_e = clo.astype(jnp.int32)
-    key_e = key_e.at[didx].add(dval.astype(jnp.int32) << 16, mode="drop")
-    key_e = key_e.at[eidx].set(xkey, mode="drop")
-    cnt_e = cnt_e.at[eidx].set(xcnt, mode="drop")
+    key_e = key_e.at[didx].add(dval.astype(jnp.int32) << 16, mode="drop",
+                               indices_are_sorted=True, unique_indices=True)
+    key_e = key_e.at[eidx].set(xkey, mode="drop", unique_indices=True)
+    cnt_e = cnt_e.at[eidx].set(xcnt, mode="drop", unique_indices=True)
     nb = ns_u8.astype(jnp.int32).reshape(-1)            # [B*W]
     cum = jnp.cumsum(nb)
-    ends = jnp.zeros(P + 1, jnp.int32).at[cum].add(1, mode="drop")
+    ends = jnp.zeros(P + 1, jnp.int32).at[cum].add(1, mode="drop",
+                                                   indices_are_sorted=True)
     colid = jnp.cumsum(ends)[:P]                        # pads -> B*W
     start = cum - nb
     slot = jnp.arange(P, dtype=jnp.int32) - start[jnp.minimum(colid, B * W - 1)]
-    flat = jnp.where(colid < B * W, colid * K + slot, B * W * K)
-    key = jnp.full((B * W * K,), -1, jnp.int32).at[flat].set(
-        key_e, mode="drop").reshape(B, W, K)
-    cnt = jnp.zeros((B * W * K,), jnp.int32).at[flat].set(
-        cnt_e, mode="drop").reshape(B, W, K)
+    local_col = colid - win_lo * W
+    in_rng = (local_col >= 0) & (local_col < Bl * W) & (colid < B * W)
+    # out-of-range entries get DISTINCT past-the-end indices (all dropped):
+    # unique_indices=True must hold over the whole index array
+    flat = jnp.where(in_rng, local_col * K + slot,
+                     Bl * W * K + jnp.arange(P, dtype=jnp.int32))
+    key = jnp.full((Bl * W * K,), -1, jnp.int32).at[flat].set(
+        key_e, mode="drop", unique_indices=True,
+        indices_are_sorted=not local).reshape(Bl, W, K)
+    cnt = jnp.zeros((Bl * W * K,), jnp.int32).at[flat].set(
+        cnt_e, mode="drop", unique_indices=True,
+        indices_are_sorted=not local).reshape(Bl, W, K)
     coverage = jnp.sum(jnp.where(((key >> 12) & 1) == 0, cnt, 0), axis=-1)
     return key, cnt, coverage
 
@@ -462,25 +581,16 @@ def nibble_ns_for(B: int, W: int, K: int) -> bool:
     return K < 16 and (B * W) % 2 == 0
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("B", "W", "K", "P", "Pd", "Pe",
-                                    "max_steps", "use_pallas"))
-def dp_backtrack_csr_blob(blob, B: int, W: int, K: int, P: int, Pd: int,
-                          Pe: int, max_steps: int, use_pallas: bool = False):
-    """Production single-device dispatch: the WHOLE chunk rides ONE uint8
-    host->device buffer (pipeline.windows.pack_csr_blob layout) and the
-    result comes back as the TWO packed arrays of pack_backtrack_out. The
-    tunneled transport pays a fixed cost per array in each direction, which
-    at CSR sizes dominated the actual bytes; slicing/recombining the blob is
-    fused elementwise work on device. For K < 16 tiers the per-column slot
-    counts arrive nibble-packed (two columns per byte). Bit-exact vs
-    dp_backtrack_csr."""
+def _parse_csr_blob(blob, B: int, W: int, K: int, P: int, Pd: int, Pe: int):
+    """THE blob parser (single- and mesh-sharded dispatch share it; layout:
+    pipeline.windows.pack_csr_blob). Returns (ns_u8 [B, W], keylo, clo, didx,
+    dval, eidx, xkey, xcnt, lead, seed, last_col); trace-time."""
     o = [0]
 
     def take(n: int):
-        s = jax.lax.slice_in_dim(blob, o[0], o[0] + n)
+        sl = jax.lax.slice_in_dim(blob, o[0], o[0] + n)
         o[0] += n
-        return s
+        return sl
 
     if nibble_ns_for(B, W, K):
         ns4 = take(B * W // 2)
@@ -499,8 +609,26 @@ def dp_backtrack_csr_blob(blob, B: int, W: int, K: int, P: int, Pd: int,
     last_col = _le32i(take(4 * B))
     # trace-time layout check: a packer/parser drift would otherwise shift
     # every field silently
-    assert o[0] == blob.shape[0], \
-        f"CSR blob layout mismatch: parsed {o[0]} of {blob.shape[0]} bytes"
+    assert o[0] == blob.shape[0],         f"CSR blob layout mismatch: parsed {o[0]} of {blob.shape[0]} bytes"
+    return (ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt,
+            lead, seed, last_col)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("B", "W", "K", "P", "Pd", "Pe",
+                                    "max_steps", "use_pallas"))
+def dp_backtrack_csr_blob(blob, B: int, W: int, K: int, P: int, Pd: int,
+                          Pe: int, max_steps: int, use_pallas: bool = False):
+    """Production single-device dispatch: the WHOLE chunk rides ONE uint8
+    host->device buffer (pipeline.windows.pack_csr_blob layout) and the
+    result comes back as the TWO packed arrays of pack_backtrack_out. The
+    tunneled transport pays a fixed cost per array in each direction, which
+    at CSR sizes dominated the actual bytes; slicing/recombining the blob is
+    fused elementwise work on device. For K < 16 tiers the per-column slot
+    counts arrive nibble-packed (two columns per byte). Bit-exact vs
+    dp_backtrack_csr."""
+    (ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt,
+     lead, seed, last_col) = _parse_csr_blob(blob, B, W, K, P, Pd, Pe)
     out, lvl = dp_backtrack_csr(
         ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt,
         jnp.zeros(B, bool), lead, seed, last_col,
@@ -546,54 +674,13 @@ def dp_backtrack_csr_blob_sharded(blob, mesh, B: int, W: int, K: int,
     Bl = B // n_win
 
     def shard_fn(blob):
-        o = [0]
-
-        def take(n: int):
-            s = jax.lax.slice_in_dim(blob, o[0], o[0] + n)
-            o[0] += n
-            return s
-
-        if nibble_ns_for(B, W, K):
-            ns4 = take(B * W // 2)
-            ns_u8 = jnp.stack([ns4 & 0xF, ns4 >> 4], axis=-1).reshape(B, W)
-        else:
-            ns_u8 = take(B * W).reshape(B, W)
-        keylo = _le16u(take(2 * P))
-        clo = take(P)
-        didx = _le32i(take(4 * Pd))
-        dval = take(Pd)
-        eidx = _le32i(take(4 * Pe))
-        xkey = _le32i(take(4 * Pe))
-        xcnt = _le32i(take(4 * Pe))
-        lead = _le32i(take(4 * B))
-        seed = take(B).astype(bool)
-        last_col = _le32i(take(4 * B))
-        assert o[0] == blob.shape[0], \
-            f"CSR blob layout mismatch: parsed {o[0]} of {blob.shape[0]}"
-
+        (ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt,
+         lead, seed, last_col) = _parse_csr_blob(blob, B, W, K, P, Pd, Pe)
         win_lo = jax.lax.axis_index("win").astype(jnp.int32) * Bl
-        # global entry -> (column, slot) inversion (cheap, every shard)
-        key_e = keylo.astype(jnp.int32)
-        cnt_e = clo.astype(jnp.int32)
-        key_e = key_e.at[didx].add(dval.astype(jnp.int32) << 16, mode="drop")
-        key_e = key_e.at[eidx].set(xkey, mode="drop")
-        cnt_e = cnt_e.at[eidx].set(xcnt, mode="drop")
-        nb = ns_u8.astype(jnp.int32).reshape(-1)          # [B*W]
-        cum = jnp.cumsum(nb)
-        ends = jnp.zeros(P + 1, jnp.int32).at[cum].add(1, mode="drop")
-        colid = jnp.cumsum(ends)[:P]                      # pads -> B*W
-        start = cum - nb
-        slot = jnp.arange(P, dtype=jnp.int32) - \
-            start[jnp.minimum(colid, B * W - 1)]
-        # local scatter: only this shard's window range lands
-        local_col = colid - win_lo * W
-        flat = jnp.where((local_col >= 0) & (local_col < Bl * W),
-                         local_col * K + slot, Bl * W * K)
-        key = jnp.full((Bl * W * K,), -1, jnp.int32).at[flat].set(
-            key_e, mode="drop").reshape(Bl, W, K)
-        cnt = jnp.zeros((Bl * W * K,), jnp.int32).at[flat].set(
-            cnt_e, mode="drop").reshape(Bl, W, K)
-        coverage = jnp.sum(jnp.where(((key >> 12) & 1) == 0, cnt, 0), axis=-1)
+        # local assembly: only this shard's window range lands in the table
+        key, cnt, coverage = assemble_csr(ns_u8, keylo, clo, didx, dval,
+                                          eidx, xkey, xcnt, B=B, W=W, K=K,
+                                          win_lo=win_lo, Bl=Bl)
         sl = lambda x: jax.lax.dynamic_slice_in_dim(x, win_lo, Bl)  # noqa: E731
         tables = SlotTables(key=key, count=cnt, coverage=coverage,
                             n_slots=None,

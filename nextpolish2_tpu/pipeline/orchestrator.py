@@ -47,6 +47,115 @@ class PolishStats:
     csr_batches: int = 0  # batches shipped as CSR blobs (production upload)
 
 
+def _pos_runs(out_path: str) -> List[tuple]:
+    """(name, run_start_offset) per contiguous contig run of an --out_pos TSV
+    file, WITHOUT reading it (one row per output base — a human assembly is
+    ~3G rows; per-line Python scans are off the table). Each contig's rows
+    are contiguous and appear once, so "name at offset == current name" is a
+    monotone predicate within the tail: exponential + binary search finds
+    each run's end in O(log filesize) seeks — O(n_contigs log n) total."""
+    import os
+
+    size = os.path.getsize(out_path)
+    runs: List[tuple] = []
+    with open(out_path, "rb") as f:
+
+        def name_at(off: int):
+            """(name, aligned_line_start) of the line containing offset."""
+            if off >= size:
+                return None, size
+            back = max(0, off - 4096)
+            f.seek(back)
+            chunk = f.read(off - back)
+            nl = chunk.rfind(b"\n")
+            start = back + nl + 1 if nl >= 0 else (0 if back == 0 else None)
+            if start is None:  # pathologically long line; walk from `back`
+                f.seek(0)
+                start = 0
+                while True:
+                    line = f.readline()
+                    if not line or f.tell() > off:
+                        break
+                    start = f.tell()
+            f.seek(start)
+            line = f.readline()
+            return line.split(b"\t", 1)[0], start
+
+        pos = 0
+        while pos < size:
+            name, start = name_at(pos)
+            if not name:
+                break
+            runs.append((name, start))
+            # exponential probe for the run end, then binary search
+            step = 1 << 16
+            lo = start  # known inside the run
+            while True:
+                probe = lo + step
+                if probe >= size:
+                    hi = size
+                    break
+                n2, _ = name_at(probe)
+                if n2 != name:
+                    hi = probe
+                    break
+                lo = probe
+                step *= 4
+            # binary search last offset whose line-name == name in [lo, hi)
+            while hi - lo > 4096:
+                mid = (lo + hi) // 2
+                n2, s2 = name_at(mid)
+                if n2 == name:
+                    lo = mid
+                else:
+                    hi = s2
+            # walk the tail lines to the exact run end
+            _, s2 = name_at(lo)
+            f.seek(s2)
+            pos = s2
+            while pos < size:
+                line = f.readline()
+                if not line:
+                    pos = size
+                    break
+                if line.split(b"\t", 1)[0] != name:
+                    break
+                pos = f.tell()
+    return runs
+
+
+def _pos_resume_state(out_path: str) -> tuple:
+    """(completed names, trim offset) for an --out_pos TSV output.
+
+    The last run is always suspect (a TSV run is not self-delimiting). If the
+    file ends mid-line, the partial line may parse as a spurious new "run"
+    (its name got cut), so the run BEFORE it is the incomplete one — drop
+    that too."""
+    import os
+
+    runs = _pos_runs(out_path)
+    if not runs:
+        return set(), 0
+    size = os.path.getsize(out_path)
+    partial_tail = False
+    with open(out_path, "rb") as f:
+        if size:
+            f.seek(size - 1)
+            partial_tail = f.read(1) != b"\n"
+    drop = 1
+    if partial_tail and len(runs) >= 2:
+        # is the last run exactly the partial trailing line?
+        last_line_start = runs[-1][1]
+        with open(out_path, "rb") as f:
+            f.seek(last_line_start)
+            rest = f.read()
+        if b"\n" not in rest:
+            drop = 2  # spurious run from the cut line + its true owner
+    keep = runs[: len(runs) - drop]
+    trim_at = runs[len(runs) - drop][1]
+    return ({n.decode(errors="replace") for n, _ in keep}, trim_at)
+
+
 def completed_contigs(out_path: str, out_pos: bool = False) -> set:
     """Names already present in a partial output file (crash-resume support;
     the reference has none — rerun from scratch, SURVEY §5).
@@ -62,15 +171,7 @@ def completed_contigs(out_path: str, out_pos: bool = False) -> set:
         return done
     try:
         if out_pos:
-            order: List[str] = []
-            with open(out_path, "rb") as f:
-                for line in f:
-                    name = line.split(b"\t", 1)[0].decode(errors="replace")
-                    if not name:
-                        continue
-                    if not order or order[-1] != name:
-                        order.append(name)
-            done.update(order[:-1])  # last contig may be mid-write
+            done, _ = _pos_resume_state(out_path)
         else:
             for name, _ in read_fastx(out_path):
                 done.add(name)
@@ -87,35 +188,29 @@ def trim_partial_output(out_path: str, out_pos: bool = False) -> None:
 
     if not os.path.exists(out_path):
         return
+    if out_pos:
+        # keep only the provably-complete runs (see _pos_resume_state); the
+        # rest is re-polished. Seek-based: no whole-file read (one TSV row
+        # per output base).
+        _, good = _pos_resume_state(out_path)
+        if good < os.path.getsize(out_path):
+            with open(out_path, "r+b") as f:
+                f.truncate(good)
+        return
+    # FASTA: a complete record here = '>' header line + one seq line, both
+    # newline-terminated (write_fasta_record format)
     with open(out_path, "rb") as f:
         data = f.read()
     n = len(data)
-    if out_pos:
-        # keep whole contig runs except the last (a TSV run is not
-        # self-delimiting, so the final one may be mid-write; it gets
-        # re-polished — completed_contigs drops it for the same reason)
-        last_name, run_start = None, 0
-        off = 0
-        while off < n:
-            nl = data.find(b"\n", off)
-            end = (nl + 1) if nl >= 0 else n
-            name = data[off:end].split(b"\t", 1)[0]
-            if name != last_name:
-                run_start, last_name = off, name
-            off = end
-        good = run_start if last_name is not None else 0
-    else:
-        # a complete FASTA record here = '>' header line + one seq line,
-        # both newline-terminated (write_fasta_record format)
-        good = off = 0
-        while off < n and data.startswith(b">", off):
-            nl = data.find(b"\n", off)
-            if nl < 0:
-                break
-            sl = data.find(b"\n", nl + 1)
-            if sl < 0:
-                break
-            good = off = sl + 1
+    good = off = 0
+    while off < n and data.startswith(b">", off):
+        nl = data.find(b"\n", off)
+        if nl < 0:
+            break
+        sl = data.find(b"\n", nl + 1)
+        if sl < 0:
+            break
+        good = off = sl + 1
     if good < n:
         with open(out_path, "r+b") as f:
             f.truncate(good)

@@ -369,12 +369,16 @@ def _pad_csr(keylo, clo, didx, dval, eidx, xkey, xcnt,
     Pd = bucket_pow2(max(len(didx), 1), d_bucket)
     if Pd > len(didx):
         pad = Pd - len(didx)
-        didx = np.concatenate([didx, np.full(pad, P, np.int32)])
+        # DISTINCT past-the-end indices (P, P+1, ...): all dropped on device,
+        # and the scatter's unique_indices=True contract holds
+        didx = np.concatenate([didx,
+                               P + np.arange(pad, dtype=np.int32)])
         dval = np.concatenate([dval, np.zeros(pad, np.uint8)])
     Pe = bucket_pow2(max(len(eidx), 1), e_bucket)
     if Pe > len(eidx):
         pad = Pe - len(eidx)
-        eidx = np.concatenate([eidx, np.full(pad, P, np.int32)])
+        eidx = np.concatenate([eidx,
+                               P + np.arange(pad, dtype=np.int32)])
         xkey = np.concatenate([xkey, np.zeros(pad, np.int32)])
         xcnt = np.concatenate([xcnt, np.zeros(pad, np.int32)])
     return keylo, clo, didx, dval, eidx, xkey, xcnt

@@ -163,3 +163,59 @@ def test_tpu_mixed_width_tiers(tmp_path):
     a = polish_contig(t, recs, [table], cfg)
     b = polish_contig_tpu(t, recs, [table], cfg, fallback=False)
     _assert_same(a, b)
+
+
+def test_backtrack_jump_matches_scan():
+    """Pointer-doubling backtrack must be bit-identical to the sequential
+    scan spec on real window batches (all outputs, incl frozen-tail steps)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nextpolish2_tpu.models.oracle import build_alignseqs
+    from nextpolish2_tpu.ops.consensus import (SlotTables, _backtrack_jump,
+                                               _backtrack_scan, consensus_dp)
+    from nextpolish2_tpu.pipeline.windows import (aggregate_host,
+                                                  build_window_batch)
+    from nextpolish2_tpu.utils.seqcodes import ASCII2CODE
+
+    rng = np.random.default_rng(510)
+    t = bytes(rng.choice(list(b"ACGT"), size=4000).astype(np.uint8))
+    reads = []
+    for s in range(0, 3100, 140):
+        ins = bytes(rng.choice(list(b"ACGT"),
+                               size=int(rng.integers(1, 9))).astype(np.uint8))
+        seq = bytearray(t[s : s + 400]) + bytearray(ins) + \
+            bytearray(t[s + 400 : s + 800])
+        for _ in range(8):
+            i = int(rng.integers(len(seq)))
+            seq[i] = int(rng.choice(list(b"ACGT")))
+        reads.append(BamRecord(qname=f"r{s}".encode(), flag=0, tid=0, pos=s,
+                               mapq=60,
+                               cigar=[(0, 400), (1, len(ins)), (0, 400)],
+                               seq=bytes(seq)))
+    cfg = PolishConfig(min_ctg_len=0, min_read_len=100, min_map_len=50,
+                       window_len=512)
+    aligns = build_alignseqs(t, reads, cfg)
+    ref_codes = ASCII2CODE[np.frombuffer(t, dtype=np.uint8)]
+    wb = build_window_batch(aligns, len(t), ref_codes, target=512)
+    K = 16
+    key, cnt, cov, ns, over = aggregate_host(wb, K)
+    lead = np.maximum(wb.window_start - 2, 0)
+    seed = wb.window_start > 0
+    last = (wb.window_start + wb.window_len - 1 - lead).astype(np.int32)
+    tables = SlotTables(key=jnp.asarray(key), count=jnp.asarray(cnt),
+                        coverage=jnp.asarray(cov), n_slots=jnp.asarray(ns),
+                        overflow=jnp.asarray(over))
+    sc, bi, _ = jax.jit(consensus_dp)(tables, jnp.asarray(lead),
+                                      jnp.asarray(seed))
+    for max_steps in (wb.width + 128, 37, 1):
+        a = jax.device_get(jax.jit(_backtrack_scan,
+                                   static_argnames=("max_steps",))(
+            tables, sc, bi, jnp.asarray(last), jnp.asarray(seed),
+            max_steps=max_steps))
+        b = jax.device_get(jax.jit(_backtrack_jump,
+                                   static_argnames=("max_steps",))(
+            tables, sc, bi, jnp.asarray(last), jnp.asarray(seed),
+            max_steps=max_steps))
+        for xa, xb in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
