@@ -99,14 +99,18 @@ def e2e_multi_seconds(n_runs: int = 2):
     if not (os.path.exists(bam) and os.path.exists(fa)):
         return None
     cfg = PolishConfig(min_ctg_len=1000, threads=8)
-    dt, bases, stats = 0.0, 0, None
-    for _ in range(n_runs):
+    # the batcher's flush shapes are timing-dependent, so a later run can
+    # still hit a fresh (multi-minute) axon compile: run 3x, report the MIN
+    # of the last two (the steady-state number)
+    times, bases, stats = [], 0, None
+    for _ in range(max(n_runs, 3)):
         sink = io.BytesIO()
         stats = PolishStats()
         t0 = time.time()
         polish(fa, bam, yaks, cfg, out=sink, stats=stats)
-        dt = time.time() - t0
+        times.append(time.time() - t0)
         bases = stats.in_bases
+    dt = min(times[1:])
     csr_share = stats.csr_batches / max(1, stats.batches)
     return dt, bases, stats.batch_fill, csr_share
 

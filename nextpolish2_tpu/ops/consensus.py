@@ -254,8 +254,99 @@ def backtrack(tables: SlotTables, scores: jnp.ndarray, besti: jnp.ndarray,
     if os.environ.get("NP2_BT_SCAN"):
         return _backtrack_scan(tables, scores, besti, last_col, seed_anchor,
                                max_steps)
-    return _backtrack_jump(tables, scores, besti, last_col, seed_anchor,
-                           max_steps)
+    if os.environ.get("NP2_BT_JUMP"):
+        # measured 16x SLOWER than the scan on chip (take_along_axis row
+        # gathers lower badly on TPU); kept for the record + differential test
+        return _backtrack_jump(tables, scores, besti, last_col, seed_anchor,
+                               max_steps)
+    return _backtrack_scan_packed(tables, scores, besti, last_col,
+                                  seed_anchor, max_steps)
+
+
+def _backtrack_state_tables(tables: SlotTables, besti: jnp.ndarray,
+                            seed_anchor: jnp.ndarray):
+    """Per-state (col*K + slot) successor + emission word, shared by the
+    packed scan and the jump variant. Terminal states self-loop (the walk
+    never otherwise repeats a state: in-column predecessors occupy earlier
+    slots, cross-column ones a smaller column). word = qv<<7 | dec<<6 |
+    covlow<<5 | nongap<<4 | q3; the per-STEP valid bit is word bit4 masked by
+    aliveness at emission time. Packed as ONE uint32 (succ<<15 | word):
+    NS <= 2560*48 < 2^17 and word < 2^15, so the whole scan step needs a
+    single gather."""
+    key = tables.key
+    B, W, K = key.shape
+    col = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :, None],
+                           (B, W, K))
+    flags = (key >> 12) & 0xF
+    q2 = (key >> 4) & 0xF
+    q3 = key & 0xF
+    cov = tables.coverage[:, :, None]
+    qv = jnp.where(cov > 0,
+                   tables.count * 100 // jnp.maximum(cov, 1), 0)
+    qv = jnp.minimum(qv, 255)
+    both = (flags & 0b0101) == 0b0101
+    f23 = (flags & 1) != 0
+    b2_same = both | f23
+    is_head = q2 == HEAD_Q
+    at_anchor = seed_anchor[:, None, None] & (col == 2)
+    nxt_c = jnp.where(b2_same, col, col - 1)
+    nxt_s = besti.astype(jnp.int32)
+    alive_nxt = ~is_head & ~at_anchor & (nxt_c >= 0)
+    self_state = col * K + jnp.broadcast_to(
+        jnp.arange(K, dtype=jnp.int32)[None, None, :], (B, W, K))
+    succ = jnp.where(alive_nxt, nxt_c * K + nxt_s, self_state)  # [B, W, K]
+    dec = alive_nxt & ~b2_same
+    word = (qv.astype(jnp.int32) << 7) | q3 \
+        | ((q3 != 4).astype(jnp.int32) << 4) \
+        | ((cov < 2).astype(jnp.int32) << 5) \
+        | (dec.astype(jnp.int32) << 6)
+    info = (succ.astype(jnp.uint32) << 15) | word.astype(jnp.uint32)
+    return info.reshape(B, W * K)
+
+
+def _backtrack_start(scores, besti, last_col, K):
+    B = scores.shape[0]
+    bidx = jnp.arange(B)
+    sc_last = scores[bidx, last_col]  # [B, K]
+    maxv = jnp.max(sc_last, axis=1)
+    ismax = sc_last == maxv[:, None]
+    start_slot = (K - 1) - jnp.argmax(ismax[:, ::-1], axis=1)
+    start = last_col.astype(jnp.int32) * K + start_slot.astype(jnp.int32)
+    return start, maxv
+
+
+def _backtrack_scan_packed(tables: SlotTables, scores: jnp.ndarray,
+                           besti: jnp.ndarray, last_col: jnp.ndarray,
+                           seed_anchor: jnp.ndarray, max_steps: int):
+    """Sequential scan over the precomputed packed state table: ONE gather
+    per step instead of the spec scan's four (key/count/coverage/besti) —
+    the per-step gathers are the scan's cost on chip. Bit-identical outputs
+    (differential test vs _backtrack_scan and _backtrack_jump)."""
+    key = tables.key
+    B, W, K = key.shape
+    info_tab = _backtrack_state_tables(tables, besti, seed_anchor)
+    start, maxv = _backtrack_start(scores, besti, last_col, K)
+
+    def step(state, _):
+        s, alive = state
+        info = jnp.take_along_axis(info_tab, s[:, None], axis=1)[:, 0]
+        word = (info & 0x7FFF).astype(jnp.int32)
+        nxt = (info >> 15).astype(jnp.int32)
+        word = jnp.where(alive, word, word & ~0x10)
+        alive_nxt = alive & (nxt != s)
+        out = (s.astype(jnp.int32), word, alive)
+        return (nxt, alive_nxt), out
+
+    (fs, still_alive), outs = jax.lax.scan(
+        step, (start, jnp.ones(B, bool)), None, length=max_steps)
+    s_r, word_r, alive_r = outs
+    tr = lambda x: jnp.moveaxis(x, 0, 1)  # noqa: E731
+    s_r, word_r, alive_r = tr(s_r), tr(word_r), tr(alive_r)
+    cols = (s_r // K).astype(jnp.int16)
+    packed_r = (word_r & 0x7F).astype(jnp.uint8)
+    qv_r = (word_r >> 7).astype(jnp.uint8)
+    n_steps = jnp.sum(alive_r, axis=1)
+    return (cols, packed_r, qv_r, maxv, n_steps, still_alive)
 
 
 def _backtrack_jump(tables: SlotTables, scores: jnp.ndarray,
@@ -472,6 +563,9 @@ def assemble_csr(ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt,
                                indices_are_sorted=True, unique_indices=True)
     key_e = key_e.at[eidx].set(xkey, mode="drop", unique_indices=True)
     cnt_e = cnt_e.at[eidx].set(xcnt, mode="drop", unique_indices=True)
+    # SCATTER formulation (a gather formulation — slot (c, k) reading entry
+    # start[c]+k — measured 4x SLOWER on chip: TPU arbitrary-index gathers
+    # lower worse than this sorted scatter)
     nb = ns_u8.astype(jnp.int32).reshape(-1)            # [B*W]
     cum = jnp.cumsum(nb)
     ends = jnp.zeros(P + 1, jnp.int32).at[cum].add(1, mode="drop",

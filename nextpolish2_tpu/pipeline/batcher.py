@@ -193,7 +193,13 @@ class DeviceBatcher:
             last[row:row + m] = req.last[lo:hi]
             row += m
 
-        use_csr = (K is not None and not self._mesh_sharded()[1]
+        mesh = self._active_mesh()
+        n_win = 1
+        if mesh is not None:
+            from ..parallel.mesh import axis_size
+
+            n_win = axis_size(mesh, "win")
+        use_csr = (K is not None and B % max(n_win, 1) == 0
                    and all(req.aggregate_csr is not None for req, _, _ in take))
         if use_csr:
             futs = [self._agg_pool.submit(req.aggregate_csr, lo, hi)
@@ -358,6 +364,19 @@ class DeviceBatcher:
                     r.future.set_exception(e)
 
     # ---- device dispatch (same jitted callables as engine.py) ----------
+    def _active_mesh(self):
+        """The active mesh when this batcher should shard over it (a custom
+        jput pins single-device; engine tests pass one)."""
+        import jax.numpy as jnp
+
+        if self._jput is not None and self._jput is jnp.asarray:
+            return None
+        if self._jput is not None:
+            return None  # custom jput: caller controls placement (dense path)
+        from ..parallel.mesh import get_active_mesh
+
+        return get_active_mesh()
+
     def _mesh_sharded(self, n_lanes: Optional[int] = None):
         """(jput, sharded) under the same multi-chip policy as engine.py:
         shard the batch dim over the active mesh's 'win' axis when one is
@@ -386,8 +405,14 @@ class DeviceBatcher:
         if kind == "csr":
             from .engine import dispatch_chunk_csr
 
+            mesh = self._active_mesh()
+            if mesh is not None:
+                from ..parallel.mesh import axis_size
+
+                if axis_size(mesh, "win") <= 1:
+                    mesh = None
             return dispatch_chunk_csr(payload, lead, seed, last, width,
-                                      tier[1])
+                                      tier[1], mesh=mesh)
         key_tab, cnt_tab, coverage, n_slots = payload
         K = key_tab.shape[2]
         jput, sharded = self._mesh_sharded(len(overflow))

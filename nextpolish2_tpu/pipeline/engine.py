@@ -89,9 +89,10 @@ def dispatch_chunk(agg: tuple, lead: np.ndarray, seed: np.ndarray,
     scalars; windows.pack_csr_blob) and every path returns the TWO-array
     packed output (words u32 [B, steps] + meta i32 [B, 4];
     ops.consensus.pack_backtrack_out). Mesh-sharded chunks (sharded=True)
-    keep the dense K_DENSE + exception-scatter format: its batch-dim arrays
-    shard cleanly over the 'win' axis, while the CSR entry stream is global
-    across the batch. agg = (key_tab, cnt_tab, coverage, n_slots, overflow);
+    fall back to the dense K_DENSE + exception-scatter format HERE only when
+    the CSR-direct native aggregation was unavailable — the production
+    sharded path rides the same CSR blob via dispatch_chunk_csr(mesh=...).
+    agg = (key_tab, cnt_tab, coverage, n_slots, overflow);
     returns the pending device (words, meta)."""
     import jax.numpy as jnp
 

@@ -150,3 +150,39 @@ def test_batched_polish_uses_csr_direct(tmp_path):
     assert b.stats.batches > 0
     assert b.stats.csr_batches == b.stats.batches, \
         f"{b.stats.csr_batches}/{b.stats.batches} batches were CSR-direct"
+
+
+def test_batched_polish_csr_under_mesh(tmp_path):
+    """Cross-contig batches must ride the SAME sharded CSR blob as the
+    engine when a 'win' mesh is active: byte-identical, all CSR-direct."""
+    import pytest
+
+    from nextpolish2_tpu.io.native import available
+    from nextpolish2_tpu.parallel.mesh import make_mesh, set_active_mesh
+
+    if not available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(81)
+    cfg = PolishConfig(min_ctg_len=0, min_read_len=100, min_map_len=50,
+                       min_map_fra=0.5, window_len=512)
+    cases = [make_case(rng, tmp_path, i) for i in range(3)]
+    base = [consensus_to_bytes(polish_contig_tpu(t, rd, [tb], cfg,
+                                                 fallback=False))
+            for t, rd, tb in cases]
+    mesh = make_mesh(n_win=4, n_kmer=2)
+    set_active_mesh(mesh)
+    b = DeviceBatcher(idle_flush_s=1.0)
+    set_active_batcher(b)
+    try:
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            outs = list(ex.map(
+                lambda c: consensus_to_bytes(
+                    polish_contig_tpu(c[0], c[1], [c[2]], cfg,
+                                      fallback=False)), cases))
+    finally:
+        set_active_batcher(None)
+        set_active_mesh(None)
+        b.shutdown()
+    assert outs == base
+    assert b.stats.batches > 0
+    assert b.stats.csr_batches == b.stats.batches

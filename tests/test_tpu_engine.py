@@ -173,7 +173,9 @@ def test_backtrack_jump_matches_scan():
 
     from nextpolish2_tpu.models.oracle import build_alignseqs
     from nextpolish2_tpu.ops.consensus import (SlotTables, _backtrack_jump,
-                                               _backtrack_scan, consensus_dp)
+                                               _backtrack_scan,
+                                               _backtrack_scan_packed,
+                                               consensus_dp)
     from nextpolish2_tpu.pipeline.windows import (aggregate_host,
                                                   build_window_batch)
     from nextpolish2_tpu.utils.seqcodes import ASCII2CODE
@@ -213,9 +215,10 @@ def test_backtrack_jump_matches_scan():
                                    static_argnames=("max_steps",))(
             tables, sc, bi, jnp.asarray(last), jnp.asarray(seed),
             max_steps=max_steps))
-        b = jax.device_get(jax.jit(_backtrack_jump,
-                                   static_argnames=("max_steps",))(
-            tables, sc, bi, jnp.asarray(last), jnp.asarray(seed),
-            max_steps=max_steps))
-        for xa, xb in zip(a, b):
-            np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+        for variant in (_backtrack_jump, _backtrack_scan_packed):
+            b = jax.device_get(jax.jit(variant,
+                                       static_argnames=("max_steps",))(
+                tables, sc, bi, jnp.asarray(last), jnp.asarray(seed),
+                max_steps=max_steps))
+            for xa, xb in zip(a, b):
+                np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
