@@ -64,24 +64,34 @@ def _host_task(args):
     return 0
 
 
-def e2e_polish_seconds(n_runs: int = 2) -> float:
+def e2e_polish_seconds(n_runs: int = 2):
     """Full-pipeline wall time on the 100 kb contig; run n_runs times and
-    return the LAST run's seconds (first run pays in-process compiles)."""
+    return (last run's seconds, stage->seconds table of that run). The
+    stage table is the regression guard for the NON-DP stages (k-mer
+    scoring, allele extract, splice/recheck, phasing) that the headline
+    windows/s metric does not cover."""
     import io
 
     from nextpolish2_tpu.config import PolishConfig
     from nextpolish2_tpu.pipeline.orchestrator import polish
+    from nextpolish2_tpu.utils import timing
 
     bam = os.path.join(BASE, "hifi.map.sort.bam")
     yaks = [os.path.join(BASE, "k21.yak"), os.path.join(BASE, "k31.yak")]
     cfg = PolishConfig(min_ctg_len=1000)
-    dt = 0.0
-    for _ in range(n_runs):
+    dt, stages = 0.0, {}
+    for i in range(n_runs):
+        if i == n_runs - 1:           # time stages on the steady-state run
+            timing.reset()
+            timing.enable(True)
         sink = io.BytesIO()
         t0 = time.time()
         polish(ASM, bam, yaks, cfg, out=sink)
         dt = time.time() - t0
-    return dt
+    stages = timing.snapshot()
+    timing.enable(False)
+    timing.reset()
+    return dt, stages
 
 
 def e2e_multi_seconds(n_runs: int = 2):
@@ -102,17 +112,25 @@ def e2e_multi_seconds(n_runs: int = 2):
     # the batcher's flush shapes are timing-dependent, so a later run can
     # still hit a fresh (multi-minute) axon compile: run 3x, report the MIN
     # of the last two (the steady-state number)
-    times, bases, stats = [], 0, None
+    from nextpolish2_tpu.utils import timing
+
+    times, bases, stats, stage_tabs = [], 0, None, []
     for _ in range(max(n_runs, 3)):
+        timing.reset()
+        timing.enable(True)
         sink = io.BytesIO()
         stats = PolishStats()
         t0 = time.time()
         polish(fa, bam, yaks, cfg, out=sink, stats=stats)
         times.append(time.time() - t0)
+        stage_tabs.append(timing.snapshot())
         bases = stats.in_bases
-    dt = min(times[1:])
+    timing.enable(False)
+    timing.reset()
+    best = 1 + int(np.argmin(times[1:]))
+    dt = times[best]
     csr_share = stats.csr_batches / max(1, stats.batches)
-    return dt, bases, stats.batch_fill, csr_share
+    return dt, bases, stats.batch_fill, csr_share, stage_tabs[best]
 
 
 def main() -> int:
@@ -127,18 +145,26 @@ def main() -> int:
 
     # ---- end-to-end first: pays every in-process compile exactly once, and
     # the kernel loop below reuses those caches (same jitted callables)
-    e2e_s = e2e_polish_seconds(2)
+    e2e_s, e2e_stages = e2e_polish_seconds(2)
     contig_bp = 100_000
     e2e_gbp_per_hr = (contig_bp / 1e9) / (e2e_s / 3600.0)
+    # regression guard for the stages the windows/s metric does not cover
+    # (k-mer scoring, allele extract, splice/recheck, phasing): top stages of
+    # the steady-state e2e run, seconds
+    stage_s = {k: round(v, 2) for k, v in sorted(
+        e2e_stages.items(), key=lambda kv: -kv[1])[:8]}
 
     # ---- multi-contig production mode (threads=8 through the batcher):
     # the figure that projects to a real assembly (BENCH r3 item 3)
     multi = e2e_multi_seconds(2)
     if multi is not None:
-        multi_s, multi_bases, multi_fill, multi_csr = multi
+        multi_s, multi_bases, multi_fill, multi_csr, multi_stages = multi
         e2e_multi_gbp_per_hr = (multi_bases / 1e9) / (multi_s / 3600.0)
+        multi_stage_s = {k: round(v, 2) for k, v in sorted(
+            multi_stages.items(), key=lambda kv: -kv[1])[:8]}
     else:
         multi_s = multi_fill = multi_csr = e2e_multi_gbp_per_hr = -1.0
+        multi_stage_s = {}
 
     wb, cfg, contig_bp = build_real_windows()
     K = cfg.max_kmers_per_col
@@ -193,10 +219,10 @@ def main() -> int:
                            int(ck)))
 
     @jax.jit
-    def _chk(words, meta):
+    def _chk(packed):
         # device-side checksum: forces full execution; only a scalar crosses
         # the tunnel (block_until_ready does NOT block on the axon backend)
-        return words.sum(dtype=jnp.int64) + meta.sum(dtype=jnp.int64)
+        return packed.sum(dtype=jnp.int64)
 
     def step():
         # the EXACT production dispatch (engine.dispatch_chunk_csr: tiered
@@ -205,12 +231,12 @@ def main() -> int:
         c = None
         for csr, agg, lead, seed, last_col, cwidth, ck in hostchunks:
             if csr is not None:
-                words, meta = dispatch_chunk_csr(csr[:-1], lead, seed,
-                                                 last_col, cwidth, ck)
+                packed = dispatch_chunk_csr(csr[:-1], lead, seed,
+                                            last_col, cwidth, ck)
             else:
-                words, meta = dispatch_chunk(agg, lead, seed, last_col,
-                                             cwidth, ck)
-            s = _chk(words, meta)
+                packed = dispatch_chunk(agg, lead, seed, last_col,
+                                        cwidth, ck)
+            s = _chk(packed)
             c = s if c is None else c + s
         return c
 
@@ -275,8 +301,10 @@ def main() -> int:
         "host_threads": nproc,
         "device_cv": round(cv, 3),
         "e2e_s_100kb": round(e2e_s, 1),
+        "e2e_stage_s": stage_s,
         "e2e_gbp_per_hr": round(e2e_gbp_per_hr, 4),
         "e2e_multi_s": round(multi_s, 1),
+        "e2e_multi_stage_s": multi_stage_s,
         "e2e_multi_gbp_per_hr": round(e2e_multi_gbp_per_hr, 4),
         "multi_batch_fill": round(multi_fill, 3),
         "multi_csr_share": round(multi_csr, 3),

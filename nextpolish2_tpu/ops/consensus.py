@@ -21,6 +21,7 @@ because its sums span whole contigs).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -579,12 +580,24 @@ def assemble_csr(ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt,
     # unique_indices=True must hold over the whole index array
     flat = jnp.where(in_rng, local_col * K + slot,
                      Bl * W * K + jnp.arange(P, dtype=jnp.int32))
-    key = jnp.full((Bl * W * K,), -1, jnp.int32).at[flat].set(
-        key_e, mode="drop", unique_indices=True,
-        indices_are_sorted=not local).reshape(Bl, W, K)
-    cnt = jnp.zeros((Bl * W * K,), jnp.int32).at[flat].set(
-        cnt_e, mode="drop", unique_indices=True,
-        indices_are_sorted=not local).reshape(Bl, W, K)
+    if os.environ.get("NP2_ASM_PAIRED", "0") == "1":
+        # ONE scatter of (key, cnt) row pairs instead of two scalar scatters
+        # over the same index list (A/B candidate: halves the per-index
+        # scatter overhead if the lowering is index-bound, tools/bench_asm.py)
+        vals = jnp.stack([key_e, cnt_e], axis=1)
+        init = jnp.broadcast_to(jnp.array([-1, 0], jnp.int32),
+                                (Bl * W * K, 2))
+        out = init.at[flat].set(vals, mode="drop", unique_indices=True,
+                                indices_are_sorted=not local)
+        key = out[:, 0].reshape(Bl, W, K)
+        cnt = out[:, 1].reshape(Bl, W, K)
+    else:
+        key = jnp.full((Bl * W * K,), -1, jnp.int32).at[flat].set(
+            key_e, mode="drop", unique_indices=True,
+            indices_are_sorted=not local).reshape(Bl, W, K)
+        cnt = jnp.zeros((Bl * W * K,), jnp.int32).at[flat].set(
+            cnt_e, mode="drop", unique_indices=True,
+            indices_are_sorted=not local).reshape(Bl, W, K)
     coverage = jnp.sum(jnp.where(((key >> 12) & 1) == 0, cnt, 0), axis=-1)
     return key, cnt, coverage
 
@@ -632,23 +645,28 @@ def _le32i(b: jnp.ndarray) -> jnp.ndarray:
 
 
 def pack_backtrack_out(out: tuple, lvl_over: jnp.ndarray):
-    """Pack the backtrack emission + per-window scalars into TWO arrays so
-    the device->host pull is two transfers, not seven (each tunneled
-    device_get pays a fixed per-array cost that dominated the pull):
-    words u16 [B, max_steps] = qv<<7 | packed   (packed carries the dec bit,
-      bit 6, so columns are NOT shipped — the host rebuilds them from
+    """Pack the backtrack emission + per-window scalars into ONE u16 array
+    [B, max_steps + 8] so the device->host pull is a single transfer (each
+    tunneled device_get pays a ~25 ms fixed per-array cost that dominated
+    the pull — two arrays was two round trips):
+    cols 0..max_steps-1: u16 word = qv<<7 | packed   (packed carries the dec
+      bit, bit 6, so columns are NOT shipped — the host rebuilds them from
       last_col with one cumsum; halves the pull vs u32 col-carrying words)
-    meta  i32 [B, 4]        = (best_score, n_steps, truncated, lvl_over).
+    cols max_steps..+7:  the old i32 meta (best_score, n_steps, truncated,
+      lvl_over) as lo/hi u16 pairs [lo0,hi0,lo1,hi1,...].
     Host decode: ops.consensus.decode_backtrack_words."""
     cols, packed, qv, best, n_steps, trunc = out
     words = ((qv.astype(jnp.uint16) << 7) | packed.astype(jnp.uint16))
     meta = jnp.stack([best.astype(jnp.int32), n_steps.astype(jnp.int32),
                       trunc.astype(jnp.int32), lvl_over.astype(jnp.int32)],
                      axis=1)
-    return words, meta
+    u = jax.lax.bitcast_convert_type(meta, jnp.uint32)
+    mlohi = jnp.stack([(u & 0xFFFF).astype(jnp.uint16),
+                       (u >> 16).astype(jnp.uint16)], axis=-1)
+    return jnp.concatenate([words, mlohi.reshape(words.shape[0], 8)], axis=1)
 
 
-def decode_backtrack_words(words, meta, last_col) -> tuple:
+def decode_backtrack_words(arr, last_col) -> tuple:
     """Host-side inverse of pack_backtrack_out (numpy, vectorized):
     returns (cols u16, packed u8, qv u8, best i32, truncated bool,
     lvl_over bool). Columns are reconstructed from last_col (the walk's
@@ -656,8 +674,10 @@ def decode_backtrack_words(words, meta, last_col) -> tuple:
     count of dec bits: cols[i] = last_col - sum(dec[0:i])."""
     import numpy as np
 
-    words = np.asarray(words)
-    meta = np.asarray(meta)
+    arr = np.asarray(arr)
+    words = arr[:, :-8]
+    m = arr[:, -8:].astype(np.uint32)
+    meta = np.ascontiguousarray(m[:, 0::2] | (m[:, 1::2] << 16)).view(np.int32)
     packed_r = (words & 0x7F).astype(np.uint8)
     qv_r = ((words >> 7) & 0xFF).astype(np.uint8)
     dec = ((words >> 6) & 1).astype(np.int32)
@@ -715,7 +735,7 @@ def dp_backtrack_csr_blob(blob, B: int, W: int, K: int, P: int, Pd: int,
                           Pe: int, max_steps: int, use_pallas: bool = False):
     """Production single-device dispatch: the WHOLE chunk rides ONE uint8
     host->device buffer (pipeline.windows.pack_csr_blob layout) and the
-    result comes back as the TWO packed arrays of pack_backtrack_out. The
+    result comes back as the ONE packed array of pack_backtrack_out. The
     tunneled transport pays a fixed cost per array in each direction, which
     at CSR sizes dominated the actual bytes; slicing/recombining the blob is
     fused elementwise work on device. For K < 16 tiers the per-column slot
@@ -785,8 +805,7 @@ def dp_backtrack_csr_blob_sharded(blob, mesh, B: int, W: int, K: int,
 
     spec_rep = PS()
     spec_win = PS("win")
-    return shmap(shard_fn, in_specs=(spec_rep,),
-                 out_specs=(spec_win, spec_win))(blob)
+    return shmap(shard_fn, in_specs=(spec_rep,), out_specs=spec_win)(blob)
 
 
 @functools.partial(jax.jit, static_argnames=("K", "max_steps", "use_pallas"))
@@ -795,7 +814,7 @@ def dp_backtrack_sparse_packed(dense_key, dense_cnt, coverage, overflow,
                                lead_abs, seed_anchor, last_col,
                                K: int, max_steps: int,
                                use_pallas: bool = False):
-    """Mesh-sharded dispatch with the packed two-array output (the gather
+    """Mesh-sharded dispatch with the packed one-array output (the gather
     back to host pays the same per-array cost as single-device pulls)."""
     out, lvl = dp_backtrack_sparse(
         dense_key, dense_cnt, coverage, overflow, eb, ew, ek, ekey, ecnt,

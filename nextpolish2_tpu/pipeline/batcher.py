@@ -429,7 +429,7 @@ class DeviceBatcher:
         from ..utils.timing import stage
 
         with stage("device_dp_backtrack"):
-            return decode_backtrack_words(*jax.device_get(dev), last_col)
+            return decode_backtrack_words(jax.device_get(dev), last_col)
 
 
 # ---- active batcher (same opt-in pattern as parallel.mesh.set_active_mesh) --

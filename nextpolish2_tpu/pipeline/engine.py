@@ -86,14 +86,14 @@ def dispatch_chunk(agg: tuple, lead: np.ndarray, seed: np.ndarray,
     TRANSPORT, not the DP, is the production bottleneck — and it charges a
     fixed cost per array in each direction — so single-device chunks ship
     the whole dispatch as ONE uint8 blob (flat CSR stream + per-window
-    scalars; windows.pack_csr_blob) and every path returns the TWO-array
-    packed output (words u32 [B, steps] + meta i32 [B, 4];
+    scalars; windows.pack_csr_blob) and every path returns the ONE-array
+    packed output (u16 [B, steps + 8] words plus trailing meta;
     ops.consensus.pack_backtrack_out). Mesh-sharded chunks (sharded=True)
     fall back to the dense K_DENSE + exception-scatter format HERE only when
     the CSR-direct native aggregation was unavailable — the production
     sharded path rides the same CSR blob via dispatch_chunk_csr(mesh=...).
     agg = (key_tab, cnt_tab, coverage, n_slots, overflow);
-    returns the pending device (words, meta)."""
+    returns the pending device packed-output array."""
     import jax.numpy as jnp
 
     from ..ops.consensus import (SlotTables, dp_backtrack_csr_blob,
@@ -373,11 +373,12 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
 
             ids, overflow, dev, last_col = pend
             n = len(ids)
-            # TWO device->host transfers per chunk (words + meta; per-array
-            # tunnel cost dominates, pack_backtrack_out)
+            # ONE device->host transfer per chunk (words + meta packed into
+            # a single u16 array; per-array tunnel cost dominates,
+            # pack_backtrack_out)
             with stage("device_dp_backtrack"):
                 cols_r, packed_r, qv_r, best_sc, truncated, lvl_over = \
-                    decode_backtrack_words(*jax.device_get(dev), last_col)
+                    decode_backtrack_words(jax.device_get(dev), last_col)
             best_all[ids] = best_sc[:n].astype(np.int64)
             needs_host = overflow[:n] | lvl_over[:n] | truncated[:n]
             for wl in range(n):

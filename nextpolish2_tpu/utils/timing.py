@@ -31,6 +31,16 @@ def stage(name: str):
         _counts[name] += 1
 
 
+def reset() -> None:
+    _totals.clear()
+    _counts.clear()
+
+
+def snapshot() -> dict:
+    """Stage name -> cumulative seconds since the last reset()."""
+    return dict(_totals)
+
+
 def report(out=sys.stderr) -> None:
     if not _totals:
         return

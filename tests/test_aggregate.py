@@ -259,11 +259,11 @@ def test_sparse_dispatch_matches_dense():
     parts = split_csr(key_tab, cnt_tab, n_slots)
     blob = pack_csr_blob(*parts, lead, seed, last,
                          nibble_ns=K < 16 and (B * W) % 2 == 0)
-    words, meta = jax.device_get(dp_backtrack_csr_blob(
+    packed_arr = jax.device_get(dp_backtrack_csr_blob(
         jnp.asarray(blob), B=B, W=W, K=K, P=len(parts[1]),
         Pd=len(parts[3]), Pe=len(parts[5]), max_steps=max_steps))
     cols_b, packed_b, qv_b, best_b, trunc_b, lvl_b = \
-        decode_backtrack_words(words, meta, last)
+        decode_backtrack_words(packed_arr, last)
     np.testing.assert_array_equal(cols_b.astype(np.int64),
                                   dense[0][0].astype(np.int64))
     np.testing.assert_array_equal(packed_b, dense[0][1])
@@ -311,6 +311,21 @@ def test_csr_assembly_exceptions_roundtrip():
                        cnt_tab, 0).sum(axis=2)
     np.testing.assert_array_equal(acov, exp_cov)
 
+    # the paired-scatter A/B variant (NP2_ASM_PAIRED=1: one (key, cnt)
+    # row-pair scatter instead of two scalar scatters) must be bit-exact
+    import os
+
+    os.environ["NP2_ASM_PAIRED"] = "1"
+    try:
+        pkey, pcnt, pcov = jax.device_get(jax.jit(
+            assemble_csr, static_argnames=("B", "W", "K"))(
+            *(jnp.asarray(x) for x in parts), B=B, W=W, K=K))
+    finally:
+        os.environ.pop("NP2_ASM_PAIRED", None)
+    np.testing.assert_array_equal(pkey, key_tab)
+    np.testing.assert_array_equal(pcnt, cnt_tab)
+    np.testing.assert_array_equal(pcov, exp_cov)
+
 
 def test_csr_blob_nibble_ns_k8():
     """The K<16 blob rides nibble-packed per-column slot counts (two
@@ -357,11 +372,11 @@ def test_csr_blob_nibble_ns_k8():
 
     parts = split_csr(key_tab, cnt_tab, n_slots)
     blob = pack_csr_blob(*parts, lead, seed, last, nibble_ns=True)
-    words, meta = jax.device_get(dp_backtrack_csr_blob(
+    packed_arr = jax.device_get(dp_backtrack_csr_blob(
         jnp.asarray(blob), B=B, W=W, K=K, P=len(parts[1]),
         Pd=len(parts[3]), Pe=len(parts[5]), max_steps=max_steps))
     cols_b, packed_b, qv_b, best_b, trunc_b, lvl_b = \
-        decode_backtrack_words(words, meta, last)
+        decode_backtrack_words(packed_arr, last)
     np.testing.assert_array_equal(cols_b.astype(np.int64),
                                   dense[0][0].astype(np.int64))
     np.testing.assert_array_equal(packed_b, dense[0][1])

@@ -57,8 +57,8 @@ def main():
         last = last_all[ids]
 
         def run():
-            out, lvl = dispatch_chunk(agg, lead, seed, last, cwidth, ck)
-            return jax.device_get((out, lvl))
+            return jax.device_get(
+                dispatch_chunk(agg, lead, seed, last, cwidth, ck))
         t0 = time.perf_counter()
         run()
         print(f"B={B:4d} compile+run {time.perf_counter()-t0:.1f}s", flush=True)
