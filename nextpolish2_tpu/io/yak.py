@@ -18,6 +18,7 @@ device-resident open-addressing tables (ops/kmer_table.py).
 from __future__ import annotations
 
 import struct
+import threading
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -30,6 +31,7 @@ YAK_MAX_COUNT = (1 << YAK_COUNTER_BITS) - 1
 INVALID_KMER = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 _U64 = np.uint64
+_device_tab_lock = threading.Lock()  # eager: a lazy lock is itself racy
 
 
 def yak_hash64(key: np.ndarray | int, mask: int) -> np.ndarray | int:
@@ -194,18 +196,32 @@ class KmerTable:
         bins = np.repeat(np.arange(1 << self.pre, dtype=_U64), sizes)
         return (self.keys << _U64(YAK_COUNTER_BITS)) | bins
 
+    def device_table(self):
+        """Lazily build + upload the HBM open-addressing table; returns
+        (DeviceKmerTable, key_hi, key_lo, counts) device arrays. Guarded by
+        a module lock: concurrent contig threads must not both pay the
+        build/upload."""
+        import jax.numpy as jnp
+
+        from ..ops.kmer_table import DeviceKmerTable
+
+        with _device_tab_lock:
+            if self._device_tab is None:
+                tab = DeviceKmerTable.build(self.full_hashes(),
+                                            self.counts.astype(np.int64),
+                                            self.ksize)
+                self._device_tab = (tab, jnp.asarray(tab.key_hi),
+                                    jnp.asarray(tab.key_lo),
+                                    jnp.asarray(tab.counts))
+        return self._device_tab
+
     def get_device(self, hashes: np.ndarray, min_count: int) -> np.ndarray:
         """Batched lookup via the device HBM table (built lazily)."""
         import jax.numpy as jnp
 
-        from ..ops.kmer_table import DeviceKmerTable, lookup_jit
+        from ..ops.kmer_table import lookup_jit
 
-        if self._device_tab is None:
-            tab = DeviceKmerTable.build(self.full_hashes(),
-                                        self.counts.astype(np.int64), self.ksize)
-            self._device_tab = (tab, jnp.asarray(tab.key_hi),
-                                jnp.asarray(tab.key_lo), jnp.asarray(tab.counts))
-        tab, jhi, jlo, jct = self._device_tab
+        tab, jhi, jlo, jct = self.device_table()
         # bucket the query length: every distinct shape is a fresh multi-minute
         # compile on the tunneled TPU, so pad to the next power of two
         from ..utils.jaxcfg import bucket_pow2
@@ -217,7 +233,8 @@ class KmerTable:
                 [hashes, np.zeros(pq - nq, dtype=hashes.dtype)])
         q_hi, q_lo, q_slot = tab.query_host_arrays(hashes)
         out = lookup_jit(jhi, jlo, jct, jnp.asarray(q_hi), jnp.asarray(q_lo),
-                         jnp.asarray(q_slot), int(min_count))
+                         jnp.asarray(q_slot), int(min_count),
+                         n_probes=tab.n_probes)
         return np.asarray(out)[:nq].astype(np.uint16)
 
     def get_sharded(self, hashes: np.ndarray, min_count: int, mesh) -> np.ndarray:
@@ -272,11 +289,18 @@ class KmerTable:
                 return self.get_sharded(
                     np.atleast_1d(np.asarray(hashes, dtype=_U64)), min_count,
                     mesh)
-        # the tunneled device dispatch costs ~10-30 ms RTT; the host composite
-        # searchsorted does ~30k queries in that time, so only large batches
-        # (multi-Mb recheck cascades, human-scale scoring) go to the HBM table
+        # Routing: get_device ships (hi, lo, slot) = 12 bytes/query; on the
+        # tunneled axon link (~50-130 MB/s) that upload NEVER beats the host
+        # composite searchsorted (~0.25 us/query on this vCPU), so the
+        # default threshold is high — measured 1.6 s/contig SLOWER at the old
+        # 32768 cutoff on the bundled data. On a direct-attached TPU host
+        # (PCIe), lower NP2_KMER_DEVICE_MIN to ~32768 to re-enable the HBM
+        # table for big recheck cascades.
+        import os as _os
+
+        dev_min = int(_os.environ.get("NP2_KMER_DEVICE_MIN", str(1 << 22)))
         if (self.use_device and self.pre <= YAK_COUNTER_BITS
-                and len(np.atleast_1d(hashes)) >= 32768):
+                and len(np.atleast_1d(hashes)) >= dev_min):
             return self.get_device(np.atleast_1d(np.asarray(hashes, dtype=_U64)),
                                    min_count)
         hashes = np.atleast_1d(np.asarray(hashes, dtype=_U64))

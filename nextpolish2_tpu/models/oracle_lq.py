@@ -202,12 +202,32 @@ def batch_min_kscores(seqs: List[bytes], table: KmerTable,
     from ..io.yak import rolling_kmers
     from ..utils.seqcodes import seq_to_codes
 
-    joined = b"N".join(seqs)
-    kmers, valid = rolling_kmers(seq_to_codes(joined), table.ksize)
+    # TPU route: the WHOLE chain (rolling k-mer -> yak hash -> HBM probe ->
+    # per-allele min) runs in one device dispatch from the raw bytes (1
+    # byte/base uploaded instead of 12 bytes/k-mer); ops/kmer_score.py.
+    # Gated on batch size: one tunneled dispatch costs ~25 ms RTT.
+    import os as _os
+
+    from ..utils.timing import stage
+
+    dev_min = int(_os.environ.get("NP2_KMER_SCORE_DEVICE_MIN", "262144"))
+    if (getattr(table, "use_device", False) and table.ksize < 32
+            and sum(len(s) for s in seqs) >= dev_min):
+        from ..ops.kmer_score import device_min_kscores
+
+        with stage("kscore_device"):
+            out = device_min_kscores(table, seqs, min_kmer_count)
+        if out is not None:
+            return out.astype(np.int64)
+
+    with stage("kscore_roll"):
+        joined = b"N".join(seqs)
+        kmers, valid = rolling_kmers(seq_to_codes(joined), table.ksize)
     out = np.zeros(len(seqs), dtype=np.int64)
     vidx = np.nonzero(valid)[0]
     if len(vidx):
-        counts = table.get(table.to_hash(kmers[vidx]), min_kmer_count)
+        with stage("kscore_lookup"):
+            counts = table.get(table.to_hash(kmers[vidx]), min_kmer_count)
         # map each valid end position to its sequence id
         starts = np.zeros(len(seqs), dtype=np.int64)
         lens = np.fromiter((len(s) for s in seqs), dtype=np.int64,
@@ -244,8 +264,11 @@ def retrieve_kmer_count(lqseqs: List[LqRegion], table: KmerTable,
         for s, v in zip(long_refs, scores):
             s.kscore = int(v)
     if single_hashes:
-        counts = table.get(np.array(single_hashes, dtype=np.uint64),
-                           min_kmer_count)
+        from ..utils.timing import stage
+
+        with stage("kscore_single"):
+            counts = table.get(np.array(single_hashes, dtype=np.uint64),
+                               min_kmer_count)
         for s, v in zip(single_refs, counts):
             s.kscore = int(v)
 

@@ -558,12 +558,17 @@ def assemble_csr(ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt,
     local = win_lo is not None
     if not local:
         win_lo, Bl = 0, B
-    key_e = keylo.astype(jnp.int32)
-    cnt_e = clo.astype(jnp.int32)
-    key_e = key_e.at[didx].add(dval.astype(jnp.int32) << 16, mode="drop",
-                               indices_are_sorted=True, unique_indices=True)
-    key_e = key_e.at[eidx].set(xkey, mode="drop", unique_indices=True)
-    cnt_e = cnt_e.at[eidx].set(xcnt, mode="drop", unique_indices=True)
+    narrow = os.environ.get("NP2_ASM_NARROW", "0") == "1"
+    if not narrow:
+        # entry-stream prep for the i32 formulations: deltas + exceptions
+        # applied to the P-stream BEFORE the big scatter
+        key_e = keylo.astype(jnp.int32)
+        cnt_e = clo.astype(jnp.int32)
+        key_e = key_e.at[didx].add(dval.astype(jnp.int32) << 16, mode="drop",
+                                   indices_are_sorted=True,
+                                   unique_indices=True)
+        key_e = key_e.at[eidx].set(xkey, mode="drop", unique_indices=True)
+        cnt_e = cnt_e.at[eidx].set(xcnt, mode="drop", unique_indices=True)
     # SCATTER formulation (a gather formulation — slot (c, k) reading entry
     # start[c]+k — measured 4x SLOWER on chip: TPU arbitrary-index gathers
     # lower worse than this sorted scatter)
@@ -580,7 +585,39 @@ def assemble_csr(ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt,
     # unique_indices=True must hold over the whole index array
     flat = jnp.where(in_rng, local_col * K + slot,
                      Bl * W * K + jnp.arange(P, dtype=jnp.int32))
-    if os.environ.get("NP2_ASM_PAIRED", "0") == "1":
+    if narrow:
+        # NARROW scatters: 3 scattered bytes per entry (u16 keylo + u8 cnt)
+        # instead of 8 (two i32 streams with deltas/exceptions pre-applied).
+        # The delta sidecar and full exceptions land on the DENSE table via
+        # tiny flat[didx]/flat[eidx] gathers instead of on the entry stream.
+        # keylo bit 15 is 0 for every real key (flags occupy bits 12-14,
+        # oracle_msa key layout), so 0xFFFF is a safe empty-slot sentinel.
+        # A/B: tools/bench_asm.py.
+        npad = Bl * W * K
+        klo_d = jnp.full((npad,), 0xFFFF, jnp.uint16).at[flat].set(
+            keylo.astype(jnp.uint16), mode="drop", unique_indices=True,
+            indices_are_sorted=not local)
+        c_d = jnp.zeros((npad,), jnp.uint8).at[flat].set(
+            clo.astype(jnp.uint8), mode="drop", unique_indices=True,
+            indices_are_sorted=not local)
+        # index-list pads (>= P) must keep DISTINCT drop targets so
+        # unique_indices holds; real didx/eidx map through flat
+        fd = jnp.where(didx < P, flat[jnp.minimum(didx, P - 1)],
+                       npad + jnp.arange(didx.shape[0], dtype=jnp.int32))
+        d_d = jnp.zeros((npad,), jnp.uint8).at[fd].set(
+            dval, mode="drop", unique_indices=True,
+            indices_are_sorted=not local)
+        key = jnp.where(klo_d == jnp.uint16(0xFFFF), jnp.int32(-1),
+                        klo_d.astype(jnp.int32)
+                        | (d_d.astype(jnp.int32) << 16))
+        cnt = c_d.astype(jnp.int32)
+        fe = jnp.where(eidx < P, flat[jnp.minimum(eidx, P - 1)],
+                       npad + jnp.arange(eidx.shape[0], dtype=jnp.int32))
+        key = key.at[fe].set(xkey, mode="drop", unique_indices=True)
+        cnt = cnt.at[fe].set(xcnt, mode="drop", unique_indices=True)
+        key = key.reshape(Bl, W, K)
+        cnt = cnt.reshape(Bl, W, K)
+    elif os.environ.get("NP2_ASM_PAIRED", "0") == "1":
         # ONE scatter of (key, cnt) row pairs instead of two scalar scatters
         # over the same index list (A/B candidate: halves the per-index
         # scatter overhead if the lowering is index-bound, tools/bench_asm.py)

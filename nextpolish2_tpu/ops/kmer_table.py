@@ -37,6 +37,10 @@ class DeviceKmerTable:
     key_lo: np.ndarray   # i32 [size]  (hash & 0xFFFFFFFF, bit-cast)
     counts: np.ndarray   # i32 [size]
     kmask: int
+    # longest probe chain actually used at build time: lookups may stop
+    # there (probes past it can never hit — exactness preserved); each probe
+    # round is a [Q]-sized gather, so this directly scales lookup cost
+    n_probes: int = MAX_PROBES
 
     @classmethod
     def build(cls, hashes: np.ndarray, counts: np.ndarray, ksize: int,
@@ -46,13 +50,13 @@ class DeviceKmerTable:
         counts = np.asarray(counts, dtype=np.int32)
         size = 1 << max(10, int(np.ceil(np.log2(max(len(hashes), 1) / load_factor))))
         while True:
-            ok, hi, lo, cnt = cls._try_pack(hashes, counts, size)
+            ok, hi, lo, cnt, n_probes = cls._try_pack(hashes, counts, size)
             if ok:
                 break
             size *= 2
         kmask = (1 << (2 * ksize)) - 1 if ksize < 32 else (1 << 64) - 1
         return cls(ksize=ksize, size=size, key_hi=hi, key_lo=lo, counts=cnt,
-                   kmask=kmask)
+                   kmask=kmask, n_probes=n_probes)
 
     @staticmethod
     def _try_pack(hashes, counts, size):
@@ -70,7 +74,7 @@ class DeviceKmerTable:
         # vectorized cascade: place keys; collisions retry at +1 up to MAX_PROBES
         for probe in range(MAX_PROBES):
             if len(pending) == 0:
-                return True, hi, lo, cnt
+                return True, hi, lo, cnt, probe
             s = (pslots + probe) & (size - 1)
             # first pending key per free slot wins this round
             free = ~occupied[s]
@@ -88,7 +92,7 @@ class DeviceKmerTable:
             keep = np.ones(len(pending), dtype=bool)
             keep[winners_local] = False
             pending, pcnts, pslots = pending[keep], pcnts[keep], pslots[keep]
-        return len(pending) == 0, hi, lo, cnt
+        return len(pending) == 0, hi, lo, cnt, MAX_PROBES
 
     def query_host_arrays(self, hashes: np.ndarray):
         """Split u64 query hashes into device-friendly i32 planes + start slots."""
@@ -100,17 +104,20 @@ class DeviceKmerTable:
         return q_hi, q_lo, slot
 
 
-def lookup(key_hi, key_lo, counts, q_hi, q_lo, q_slot, min_count: int):
+def lookup(key_hi, key_lo, counts, q_hi, q_lo, q_slot, min_count: int,
+           n_probes: int = MAX_PROBES):
     """Device lookup: [Q] queries -> [Q] counts (0 if absent or < min_count).
 
     jnp function; jit at the call site (shapes: table [S], queries [Q]).
-    """
+    n_probes: the table's build-time longest probe chain (each round is a
+    [Q]-sized gather; rounds past the chain can never hit, so stopping at it
+    is exact)."""
     import jax.numpy as jnp
 
     size = key_hi.shape[0]
     out = jnp.zeros(q_hi.shape, dtype=jnp.int32)
     found = jnp.zeros(q_hi.shape, dtype=bool)
-    for probe in range(MAX_PROBES):
+    for probe in range(n_probes):
         idx = (q_slot + probe) & (size - 1)
         khi = key_hi[idx]
         klo = key_lo[idx]
@@ -120,6 +127,8 @@ def lookup(key_hi, key_lo, counts, q_hi, q_lo, q_slot, min_count: int):
     return jnp.where(out >= min_count, out, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("min_count",))
-def lookup_jit(key_hi, key_lo, counts, q_hi, q_lo, q_slot, min_count: int):
-    return lookup(key_hi, key_lo, counts, q_hi, q_lo, q_slot, min_count)
+@functools.partial(jax.jit, static_argnames=("min_count", "n_probes"))
+def lookup_jit(key_hi, key_lo, counts, q_hi, q_lo, q_slot, min_count: int,
+               n_probes: int = MAX_PROBES):
+    return lookup(key_hi, key_lo, counts, q_hi, q_lo, q_slot, min_count,
+                  n_probes)

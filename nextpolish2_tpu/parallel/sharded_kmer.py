@@ -56,12 +56,13 @@ class ShardedKmerTable:
         for i, t in enumerate(subtables):
             if t.size != size:
                 sel = shard_of == i
-                ok, hi, lo, cnt = DeviceKmerTable._try_pack(
+                ok, hi, lo, cnt, n_probes = DeviceKmerTable._try_pack(
                     hashes[sel], counts[sel], size)
                 assert ok
                 subtables[i] = DeviceKmerTable(ksize=t.ksize, size=size,
                                                key_hi=hi, key_lo=lo, counts=cnt,
-                                               kmask=t.kmask)
+                                               kmask=t.kmask,
+                                               n_probes=n_probes)
         return cls(
             ksize=ksize, n_shards=n_shards, shard_size=size,
             key_hi=np.stack([t.key_hi for t in subtables]),

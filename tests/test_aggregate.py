@@ -315,16 +315,17 @@ def test_csr_assembly_exceptions_roundtrip():
     # row-pair scatter instead of two scalar scatters) must be bit-exact
     import os
 
-    os.environ["NP2_ASM_PAIRED"] = "1"
-    try:
-        pkey, pcnt, pcov = jax.device_get(jax.jit(
-            assemble_csr, static_argnames=("B", "W", "K"))(
-            *(jnp.asarray(x) for x in parts), B=B, W=W, K=K))
-    finally:
-        os.environ.pop("NP2_ASM_PAIRED", None)
-    np.testing.assert_array_equal(pkey, key_tab)
-    np.testing.assert_array_equal(pcnt, cnt_tab)
-    np.testing.assert_array_equal(pcov, exp_cov)
+    for knob in ("NP2_ASM_PAIRED", "NP2_ASM_NARROW"):
+        os.environ[knob] = "1"
+        try:
+            pkey, pcnt, pcov = jax.device_get(jax.jit(
+                assemble_csr, static_argnames=("B", "W", "K"))(
+                *(jnp.asarray(x) for x in parts), B=B, W=W, K=K))
+        finally:
+            os.environ.pop(knob, None)
+        np.testing.assert_array_equal(pkey, key_tab, err_msg=knob)
+        np.testing.assert_array_equal(pcnt, cnt_tab, err_msg=knob)
+        np.testing.assert_array_equal(pcov, exp_cov, err_msg=knob)
 
 
 def test_csr_blob_nibble_ns_k8():
@@ -493,3 +494,42 @@ def test_csr_direct_high_coverage_divergence():
     # the count itself rides the exception list with the full i32 value
     xcnt = csr[7]
     assert n in xcnt.tolist()
+
+
+def test_pack_decode_backtrack_words_roundtrip():
+    """pack_backtrack_out -> decode_backtrack_words roundtrips the per-window
+    meta through the trailing lo/hi u16 pairs, INCLUDING negative best
+    scores (sign bits must survive the u16 split), and the emission words
+    through the qv<<7|packed u16 layout."""
+    import jax.numpy as jnp
+
+    from nextpolish2_tpu.ops.consensus import (decode_backtrack_words,
+                                               pack_backtrack_out)
+
+    rng = np.random.default_rng(77)
+    B, S = 5, 37
+    packed = rng.integers(0, 128, size=(B, S)).astype(np.uint8)
+    qv = rng.integers(0, 256, size=(B, S)).astype(np.uint8)
+    cols = np.zeros((B, S), np.int32)  # not shipped; rebuilt from dec bits
+    best = np.array([-1, -(2**30), 0, 7, 2**30 - 1], np.int64)
+    n_steps = np.array([1, 5, 37, 0, 12], np.int32)
+    trunc = np.array([0, 1, 0, 1, 0], bool)
+    lvl = np.array([1, 0, 0, 1, 0], bool)
+    arr = np.asarray(pack_backtrack_out(
+        (jnp.asarray(cols), jnp.asarray(packed), jnp.asarray(qv),
+         jnp.asarray(best), jnp.asarray(n_steps), jnp.asarray(trunc)),
+        jnp.asarray(lvl)))
+    assert arr.shape == (B, S + 8) and arr.dtype == np.uint16
+    last_col = rng.integers(100, 2000, size=B).astype(np.int32)
+    cols_r, packed_r, qv_r, best_r, trunc_r, lvl_r = \
+        decode_backtrack_words(arr, last_col)
+    np.testing.assert_array_equal(packed_r, packed)
+    np.testing.assert_array_equal(qv_r, qv)
+    np.testing.assert_array_equal(best_r, best.astype(np.int32))
+    np.testing.assert_array_equal(trunc_r, trunc)
+    np.testing.assert_array_equal(lvl_r, lvl)
+    # cols: last_col minus running dec-bit count (exclusive)
+    dec = (packed >> 6) & 1
+    exp_cols = (last_col[:, None]
+                - (np.cumsum(dec, axis=1) - dec)).astype(np.uint16)
+    np.testing.assert_array_equal(cols_r, exp_cols)

@@ -121,3 +121,80 @@ def test_device_table_100m_keys_scale():
     np.testing.assert_array_equal(out[:500_000], counts[:500_000])
     assert (out[500_000:] == 0).all()
     print(f"100M-key build: {build_s:.0f}s, {tab.size} slots")
+
+
+def test_device_score_matches_host_chain(tmp_path):
+    """Device rolling scorer (ops/kmer_score.py: codes -> rolling canonical
+    k-mer -> yak hash -> HBM probe -> per-allele min, one dispatch) is
+    bit-exact vs the host chain (batch_min_kscores' rolling_kmers + to_hash
+    + composite get), including alleles with internal Ns, alleles shorter
+    than k (mapped by start offsets, not separators), absent k-mers and the
+    min_count filter."""
+    from nextpolish2_tpu.io.yak import load_yak, rolling_kmers, write_yak
+    from nextpolish2_tpu.ops.kmer_score import device_min_kscores
+    from nextpolish2_tpu.utils.seqcodes import seq_to_codes
+
+    rng = np.random.default_rng(64)
+    ksize = 21
+    # alleles: random ACGT, some with Ns, some shorter than k, some sharing
+    # k-mers with the table
+    seqs = []
+    for i in range(300):
+        n = int(rng.integers(5, 120))
+        s = bytearray(rng.choice(list(b"ACGT"), size=n).astype(np.uint8))
+        if i % 7 == 0 and n > 30:
+            s[n // 2] = ord("N")
+        if i % 11 == 0 and n > 40:  # long N run splits the valid windows
+            s[10:14] = b"NNNN"
+        seqs.append(bytes(s))
+    # table: k-mers actually present in half the alleles + random extras
+    from_seqs = []
+    for s in seqs[::2]:
+        k, v = rolling_kmers(seq_to_codes(s), ksize)
+        from_seqs.append(k[v])
+    mask = (1 << (2 * ksize)) - 1
+    from nextpolish2_tpu.io.yak import yak_hash64
+
+    present = yak_hash64(np.concatenate(from_seqs) if from_seqs
+                         else np.zeros(0, np.uint64), mask)
+    extras = yak_hash64(
+        rng.integers(0, mask, size=4000, dtype=np.uint64), mask)
+    hashes = np.unique(np.concatenate([present, extras]))
+    counts = rng.integers(1, 300, size=len(hashes))
+    path = str(tmp_path / "s.yak")
+    write_yak(path, ksize, hashes, counts)
+    tab = load_yak(path)
+
+    from nextpolish2_tpu.models.oracle_lq import batch_min_kscores
+
+    for min_count in (0, 5, 50):
+        host = batch_min_kscores(seqs, tab, min_count)  # use_device False
+        tab.use_device = True
+        dev = device_min_kscores(tab, seqs, min_count)
+        tab.use_device = False
+        assert dev is not None
+        np.testing.assert_array_equal(dev.astype(np.int64), host)
+
+
+def test_device_score_routing(tmp_path, monkeypatch):
+    """batch_min_kscores routes big batches through the device scorer when
+    use_device is set (NP2_KMER_SCORE_DEVICE_MIN), identical results."""
+    from nextpolish2_tpu.io.yak import load_yak, write_yak, yak_hash64
+    from nextpolish2_tpu.models.oracle_lq import batch_min_kscores
+
+    rng = np.random.default_rng(65)
+    ksize = 21
+    mask = (1 << (2 * ksize)) - 1
+    hashes = np.unique(yak_hash64(
+        rng.integers(0, mask, size=3000, dtype=np.uint64), mask))
+    counts = rng.integers(1, 100, size=len(hashes))
+    path = str(tmp_path / "r.yak")
+    write_yak(path, ksize, hashes, counts)
+    tab = load_yak(path)
+    seqs = [bytes(rng.choice(list(b"ACGT"), size=60).astype(np.uint8))
+            for _ in range(50)]
+    host = batch_min_kscores(seqs, tab, 3)
+    tab.use_device = True
+    monkeypatch.setenv("NP2_KMER_SCORE_DEVICE_MIN", "1")
+    dev = batch_min_kscores(seqs, tab, 3)
+    np.testing.assert_array_equal(host, dev)
