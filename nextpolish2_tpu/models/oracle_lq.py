@@ -205,12 +205,16 @@ def batch_min_kscores(seqs: List[bytes], table: KmerTable,
     # TPU route: the WHOLE chain (rolling k-mer -> yak hash -> HBM probe ->
     # per-allele min) runs in one device dispatch from the raw bytes (1
     # byte/base uploaded instead of 12 bytes/k-mer); ops/kmer_score.py.
-    # Gated on batch size: one tunneled dispatch costs ~25 ms RTT.
+    # Gated on batch size: a tunneled axon dispatch costs ~25 ms RTT +
+    # ~300 ms measured on the 100 kb contig's cascades, while the host
+    # composite scores ~4M bases/s — so like NP2_KMER_DEVICE_MIN the
+    # default only routes multi-Mb batches (human-scale cascades); lower it
+    # on a direct-attached TPU host.
     import os as _os
 
     from ..utils.timing import stage
 
-    dev_min = int(_os.environ.get("NP2_KMER_SCORE_DEVICE_MIN", "262144"))
+    dev_min = int(_os.environ.get("NP2_KMER_SCORE_DEVICE_MIN", str(1 << 22)))
     if (getattr(table, "use_device", False) and table.ksize < 32
             and sum(len(s) for s in seqs) >= dev_min):
         from ..ops.kmer_score import device_min_kscores

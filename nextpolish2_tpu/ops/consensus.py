@@ -558,8 +558,27 @@ def assemble_csr(ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt,
     local = win_lo is not None
     if not local:
         win_lo, Bl = 0, B
-    narrow = os.environ.get("NP2_ASM_NARROW", "0") == "1"
-    if not narrow:
+    variant = os.environ.get("NP2_ASM_VARIANT", "fused1")
+    if variant == "narrow" or os.environ.get("NP2_ASM_NARROW", "0") == "1":
+        variant = "narrow"
+    elif os.environ.get("NP2_ASM_PAIRED", "0") == "1":
+        variant = "paired"
+    narrow = variant == "narrow"
+    if variant == "fused1":
+        # ONE u32 per entry: keylo | delta << 16 | cnt << 24. Real keylo
+        # never sets bit 15 (flags live in bits 12-14, oracle_msa key
+        # layout) so 0xFFFFFFFF is a safe empty-slot sentinel; counts > 255
+        # and key overflows already ride the exception list, which lands on
+        # the DENSE planes after the decode. Halves the big-scatter work vs
+        # two i32 scatters (the TPU scatter lowering charges per index list
+        # AND per payload byte — tools/bench_asm.py).
+        packed_e = (keylo.astype(jnp.uint32)
+                    | (clo.astype(jnp.uint32) << 24))
+        packed_e = packed_e.at[didx].add(dval.astype(jnp.uint32) << 16,
+                                         mode="drop",
+                                         indices_are_sorted=True,
+                                         unique_indices=True)
+    elif not narrow:
         # entry-stream prep for the i32 formulations: deltas + exceptions
         # applied to the P-stream BEFORE the big scatter
         key_e = keylo.astype(jnp.int32)
@@ -585,7 +604,25 @@ def assemble_csr(ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt,
     # unique_indices=True must hold over the whole index array
     flat = jnp.where(in_rng, local_col * K + slot,
                      Bl * W * K + jnp.arange(P, dtype=jnp.int32))
-    if narrow:
+    if variant == "fused1":
+        npad = Bl * W * K
+        packed_d = jnp.full((npad,), 0xFFFFFFFF, jnp.uint32).at[flat].set(
+            packed_e, mode="drop", unique_indices=True,
+            indices_are_sorted=not local)
+        empty = packed_d == jnp.uint32(0xFFFFFFFF)
+        key = jnp.where(empty, jnp.int32(-1),
+                        (packed_d & jnp.uint32(0xFFFFFF)).astype(jnp.int32))
+        cnt = jnp.where(empty, jnp.uint32(0),
+                        packed_d >> jnp.uint32(24)).astype(jnp.int32)
+        # full exceptions overwrite the dense planes (tiny): real eidx map
+        # through flat; pads keep distinct past-the-end drop targets
+        fe = jnp.where(eidx < P, flat[jnp.minimum(eidx, P - 1)],
+                       npad + jnp.arange(eidx.shape[0], dtype=jnp.int32))
+        key = key.at[fe].set(xkey, mode="drop", unique_indices=True)
+        cnt = cnt.at[fe].set(xcnt, mode="drop", unique_indices=True)
+        key = key.reshape(Bl, W, K)
+        cnt = cnt.reshape(Bl, W, K)
+    elif narrow:
         # NARROW scatters: 3 scattered bytes per entry (u16 keylo + u8 cnt)
         # instead of 8 (two i32 streams with deltas/exceptions pre-applied).
         # The delta sidecar and full exceptions land on the DENSE table via
@@ -617,7 +654,7 @@ def assemble_csr(ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt,
         cnt = cnt.at[fe].set(xcnt, mode="drop", unique_indices=True)
         key = key.reshape(Bl, W, K)
         cnt = cnt.reshape(Bl, W, K)
-    elif os.environ.get("NP2_ASM_PAIRED", "0") == "1":
+    elif variant == "paired":
         # ONE scatter of (key, cnt) row pairs instead of two scalar scatters
         # over the same index list (A/B candidate: halves the per-index
         # scatter overhead if the lowering is index-bound, tools/bench_asm.py)

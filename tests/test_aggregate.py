@@ -315,14 +315,14 @@ def test_csr_assembly_exceptions_roundtrip():
     # row-pair scatter instead of two scalar scatters) must be bit-exact
     import os
 
-    for knob in ("NP2_ASM_PAIRED", "NP2_ASM_NARROW"):
-        os.environ[knob] = "1"
+    for knob in ("two", "fused1", "narrow", "paired"):
+        os.environ["NP2_ASM_VARIANT"] = knob
         try:
             pkey, pcnt, pcov = jax.device_get(jax.jit(
                 assemble_csr, static_argnames=("B", "W", "K"))(
                 *(jnp.asarray(x) for x in parts), B=B, W=W, K=K))
         finally:
-            os.environ.pop(knob, None)
+            os.environ.pop("NP2_ASM_VARIANT", None)
         np.testing.assert_array_equal(pkey, key_tab, err_msg=knob)
         np.testing.assert_array_equal(pcnt, cnt_tab, err_msg=knob)
         np.testing.assert_array_equal(pcov, exp_cov, err_msg=knob)

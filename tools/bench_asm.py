@@ -59,20 +59,15 @@ def main():
     def chk(*xs):
         return sum(x.sum(dtype=jnp.int64) for x in xs)
 
-    def make(knob: str):
-        for k in ("NP2_ASM_PAIRED", "NP2_ASM_NARROW"):
-            os.environ.pop(k, None)
-        if knob:
-            os.environ[knob] = "1"
+    def make(variant: str):
+        os.environ["NP2_ASM_VARIANT"] = variant
         f = jax.jit(functools.partial(C.assemble_csr, B=B, W=W, K=ck))
         out = f(*dev)          # trace now, while the env var is set
         int(chk(*out))
         return f
 
-    arms = {"two-scatter": make(""), "paired": make("NP2_ASM_PAIRED"),
-            "narrow": make("NP2_ASM_NARROW")}
-    for k in ("NP2_ASM_PAIRED", "NP2_ASM_NARROW"):
-        os.environ.pop(k, None)
+    arms = {v: make(v) for v in ("two", "paired", "narrow", "fused1")}
+    os.environ.pop("NP2_ASM_VARIANT", None)
     times = {k: [] for k in arms}
     for _ in range(n_iter):
         for name, f in arms.items():   # interleaved
@@ -83,9 +78,10 @@ def main():
     for name, v in times.items():
         print(f"{name:12s} min {min(v)*1e3:7.1f} ms  med "
               f"{sorted(v)[len(v)//2]*1e3:7.1f} ms")
-    base = min(times["two-scatter"])
-    for name in ("paired", "narrow"):
-        print(f"{name} speedup x{base / min(times[name]):.2f}")
+    base = min(times["two"])
+    for name in arms:
+        if name != "two":
+            print(f"{name} speedup x{base / min(times[name]):.2f}")
     return 0
 
 
