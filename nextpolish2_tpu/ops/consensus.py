@@ -593,17 +593,24 @@ def assemble_csr(ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt,
     # lower worse than this sorted scatter)
     nb = ns_u8.astype(jnp.int32).reshape(-1)            # [B*W]
     cum = jnp.cumsum(nb)
-    ends = jnp.zeros(P + 1, jnp.int32).at[cum].add(1, mode="drop",
-                                                   indices_are_sorted=True)
-    colid = jnp.cumsum(ends)[:P]                        # pads -> B*W
     start = cum - nb
-    slot = jnp.arange(P, dtype=jnp.int32) - start[jnp.minimum(colid, B * W - 1)]
-    local_col = colid - win_lo * W
-    in_rng = (local_col >= 0) & (local_col < Bl * W) & (colid < B * W)
+    # flat[e] = colid*K + slot = e + (colid*K - start[colid]). The per-column
+    # base c*K - start[c] is NON-DECREASING in c (K >= nb[c] by K-tier
+    # construction), and among columns sharing a start (empties) the max —
+    # the one the entries actually belong to — wins the scatter-max; so one
+    # scatter-max + cummax replaces the old ends-scatter + second cumsum +
+    # 1M-element start[colid] gather (~13 ms of the ~25 ms assembly real
+    # time on chip, tools/bench_asm_ablate.py).
+    base_c = jnp.arange(B * W, dtype=jnp.int32) * K - start
+    base = jnp.full((P,), jnp.iinfo(jnp.int32).min, jnp.int32).at[start].max(
+        base_c, mode="drop", indices_are_sorted=True)
+    base = jax.lax.cummax(base)
+    e_idx = jnp.arange(P, dtype=jnp.int32)
+    gflat = e_idx + base - win_lo * W * K
+    in_rng = (e_idx < cum[-1]) & (gflat >= 0) & (gflat < Bl * W * K)
     # out-of-range entries get DISTINCT past-the-end indices (all dropped):
     # unique_indices=True must hold over the whole index array
-    flat = jnp.where(in_rng, local_col * K + slot,
-                     Bl * W * K + jnp.arange(P, dtype=jnp.int32))
+    flat = jnp.where(in_rng, gflat, Bl * W * K + e_idx)
     if variant == "fused1":
         npad = Bl * W * K
         packed_d = jnp.full((npad,), 0xFFFFFFFF, jnp.uint32).at[flat].set(
