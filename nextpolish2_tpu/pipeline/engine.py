@@ -75,7 +75,17 @@ def _chunk_b_k8() -> int:
     return int(os.environ.get("NP2_CHUNK_B_K8", "512"))
 
 
-CHUNK_B_TIERS = {K_SMALL: _chunk_b_k8()}
+def _chunk_b_k48() -> int:
+    """Full-chunk batch for the fat K tier. Historically pinned at 128 to
+    bound the dense host aggregation buffers; CSR-direct aggregation removed
+    that constraint, so this is now a pure RTT-amortization / compile-cost
+    trade measured by tools/bench_sweep.py."""
+    import os
+
+    return int(os.environ.get("NP2_CHUNK_B_K48", "128"))
+
+
+CHUNK_B_TIERS = {K_SMALL: _chunk_b_k8(), 48: _chunk_b_k48()}
 
 
 def dispatch_chunk(agg: tuple, lead: np.ndarray, seed: np.ndarray,

@@ -56,6 +56,24 @@ def test_plan_leftovers_keep_k_tier():
     assert sorted(seen.tolist()) == list(range(350))
 
 
+def test_plan_fat_tier_b():
+    """CSR-direct aggregation removed the dense-buffer bound that pinned the
+    fat tier at 128 lanes; tier_b may now raise it (NP2_CHUNK_B_K48)."""
+    rng = np.random.default_rng(2)
+    n = 3000
+    tiers = [768, 1536]
+    span = rng.integers(100, 700, size=n)  # one width tier
+    ktier = np.where(rng.random(n) < 0.5, 8, 48)
+    chunks = eng.plan_tiered_chunks(span, ktier, tiers, 128,
+                                    tier_b={8: 512, 48: 256})
+    seen = np.concatenate([ids for ids, *_ in chunks])
+    assert sorted(seen.tolist()) == list(range(n))  # exact partition
+    fat_full = [c for c in chunks if c[2] == 48 and len(c[0]) == c[3]]
+    assert any(c[3] == 256 for c in fat_full)  # fat tier rides 256 chunks
+    for ids, w, k, pad_b in chunks:
+        assert int(ktier[ids].max()) <= k and 0 < len(ids) <= pad_b
+
+
 def test_plan_int_chunk_b_unchanged():
     rng = np.random.default_rng(1)
     n = 700
@@ -83,7 +101,7 @@ def test_mixed_chunk_b_bit_exact(monkeypatch):
     from nextpolish2_tpu.io.yak import load_yak
     from nextpolish2_tpu.models.oracle import consensus_to_bytes
 
-    monkeypatch.setattr(eng, "CHUNK_B_TIERS", {eng.K_SMALL: 8})
+    monkeypatch.setattr(eng, "CHUNK_B_TIERS", {eng.K_SMALL: 8, 48: 16})
     tseq = next(iter(read_fastx(f"{BASE}/slice.fa")))[1]
     recs = next(BamReader(f"{BASE}/slice.bam").by_contig())[1]
     tables = [load_yak(f"{BASE}/k21.yak"), load_yak(f"{BASE}/k31.yak")]

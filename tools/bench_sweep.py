@@ -8,7 +8,8 @@ at its best. Variants differ only in the K=8 tier's full-chunk lane count.
 Also prints each variant's per-chunk serial times (sync per chunk, so each
 includes the ~25 ms RTT) to show where the sweep time goes per (W, K, B).
 
-Usage: python3 tools/bench_sweep.py [n_groups] [k8_b,k8_b,...]
+Usage: python3 tools/bench_sweep.py [n_groups] [variant,variant,...]
+where variant = K8_B or K8_B/K48_B (fat-tier lane count; default 128).
 """
 
 import os
@@ -22,8 +23,11 @@ import numpy as np  # noqa: E402
 
 def main():
     n_groups = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    k8bs = ([int(b) for b in sys.argv[2].split(",")]
-            if len(sys.argv) > 2 else [512, 1024])
+    raw = sys.argv[2].split(",") if len(sys.argv) > 2 else ["512", "1024"]
+    k8bs = []
+    for v in raw:
+        k8b, _, k48b = v.partition("/")
+        k8bs.append((int(k8b), int(k48b or 128)))
     import jax
     import jax.numpy as jnp
 
@@ -52,9 +56,9 @@ def main():
         return packed.sum(dtype=jnp.int64)
 
     variants = {}
-    for k8b in k8bs:
+    for k8b, k48b in k8bs:
         chunks = plan_tiered_chunks((last_all + 1)[tiled], ktier_all[tiled],
-                                    tiers, 128, tier_b={8: k8b})
+                                    tiers, 128, tier_b={8: k8b, 48: k48b})
         hc, n_real = [], 0
         for tids, cwidth, ck, pad_b in chunks:
             ids = tiled[tids]
@@ -69,11 +73,11 @@ def main():
             last[: len(ids)] = last_all[ids]
             hc.append((csr, lead, seed, last, int(cwidth), int(ck), pad_b,
                        len(ids)))
-        variants[k8b] = (hc, n_real)
+        variants[(k8b, k48b)] = (hc, n_real)
         shapes = {}
         for c in hc:
             shapes[(c[4], c[5], c[6])] = shapes.get((c[4], c[5], c[6]), 0) + 1
-        print(f"k8b={k8b}: {n_real} real windows, chunks "
+        print(f"b={k8b}/{k48b}: {n_real} real windows, chunks "
               + ", ".join(f"{n}x(W={w},K={k},B={b})"
                           for (w, k, b), n in sorted(shapes.items())),
               flush=True)
@@ -86,7 +90,7 @@ def main():
         return c
 
     # compile + warm every shape, then per-chunk serial times
-    for k8b, (hc, n_real) in variants.items():
+    for vb, (hc, n_real) in variants.items():
         int(sweep(hc))
         seen = set()
         for csr, lead, seed, last, cwidth, ck, pad_b, n in hc:
@@ -100,11 +104,11 @@ def main():
                 int(_chk(dispatch_chunk_csr(csr, lead, seed, last,
                                             cwidth, ck)))
                 ts.append(time.perf_counter() - t0)
-            print(f"k8b={k8b} chunk W={cwidth} K={ck} B={pad_b}: "
+            print(f"b={vb[0]}/{vb[1]} chunk W={cwidth} K={ck} B={pad_b}: "
                   f"min {min(ts)*1e3:7.1f} ms serial (incl RTT), "
                   f"{n} real lanes", flush=True)
 
-    for k8b, (hc, n_real) in variants.items():
+    for vb, (hc, n_real) in variants.items():
         wps = []
         for _ in range(n_groups):
             t0 = time.perf_counter()
@@ -114,7 +118,7 @@ def main():
                 c = s if c is None else c + s
             int(c)
             wps.append(n_real * 5 / (time.perf_counter() - t0))
-        print(f"k8b={k8b}: pipelined {max(wps):8.0f} w/s (best group), "
+        print(f"b={vb[0]}/{vb[1]}: pipelined {max(wps):8.0f} w/s (best group), "
               f"mean {np.mean(wps):8.0f}", flush=True)
 
 
