@@ -244,20 +244,21 @@ def consensus_dp(tables: SlotTables, lead_abs: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("max_steps",))
 def backtrack(tables: SlotTables, scores: jnp.ndarray, besti: jnp.ndarray,
               last_col: jnp.ndarray, seed_anchor: jnp.ndarray, max_steps: int):
-    """Batched backtrack dispatcher: the pointer-doubling formulation
-    (_backtrack_jump) by default — on chip the sequential scan's ~1400 steps
-    of per-step overhead dominated the whole resident chunk time (~36 ms of
-    ~68 ms for a 512-lane K=8 chunk) while the DP kernel itself costs ~5 ms.
-    NP2_BT_SCAN=1 forces the scan spec (_backtrack_scan); both are bit-exact
-    (differential test in tests/test_tpu_engine.py)."""
+    """Batched backtrack dispatcher: the PACKED scan (_backtrack_scan_packed,
+    one gather + one emitted i32 per step) by default — on chip the
+    sequential scan's ~1400 steps of per-step overhead dominate the resident
+    chunk time while the DP kernel itself costs ~5 ms, so the scan body is
+    minimized. NP2_BT_SCAN=1 forces the 4-gather spec scan
+    (_backtrack_scan); NP2_BT_JUMP=1 the pointer-doubling variant (measured
+    16x SLOWER on chip — take_along_axis row gathers lower badly on TPU;
+    kept for the record). All three are bit-exact (differential test in
+    tests/test_tpu_engine.py)."""
     import os
 
     if os.environ.get("NP2_BT_SCAN"):
         return _backtrack_scan(tables, scores, besti, last_col, seed_anchor,
                                max_steps)
     if os.environ.get("NP2_BT_JUMP"):
-        # measured 16x SLOWER than the scan on chip (take_along_axis row
-        # gathers lower badly on TPU); kept for the record + differential test
         return _backtrack_jump(tables, scores, besti, last_col, seed_anchor,
                                max_steps)
     return _backtrack_scan_packed(tables, scores, besti, last_col,
@@ -320,30 +321,58 @@ def _backtrack_scan_packed(tables: SlotTables, scores: jnp.ndarray,
                            besti: jnp.ndarray, last_col: jnp.ndarray,
                            seed_anchor: jnp.ndarray, max_steps: int):
     """Sequential scan over the precomputed packed state table: ONE gather
-    per step instead of the spec scan's four (key/count/coverage/besti) —
-    the per-step gathers are the scan's cost on chip. Bit-identical outputs
-    (differential test vs _backtrack_scan and _backtrack_jump)."""
+    and ONE emitted i32 per step (out = alive<<15 | word; the spec scan
+    emits state/word/alive separately = 4 gathers + 3 output writes). The
+    scan body is the chunk's critical path on chip, so it carries the
+    absolute minimum: columns are reconstructed AFTER the scan from the dec
+    bits, exactly like the host transport decode (decode_backtrack_words) —
+    col_i = last_col - #dec before step i. That is bit-identical to
+    emitting s//K: a walk decrements its column precisely when the emitted
+    word's dec bit is set, and after death the state self-loops on a
+    terminal whose table dec == 0 (main.rs:1680 walk semantics).
+    NP2_BT_UNROLL (default 2) emissions per scan iteration halve the
+    remaining loop/output bookkeeping; bit-exact at any factor
+    (differential tests vs _backtrack_scan and _backtrack_jump)."""
+    import os
+
     key = tables.key
     B, W, K = key.shape
     info_tab = _backtrack_state_tables(tables, besti, seed_anchor)
     start, maxv = _backtrack_start(scores, besti, last_col, K)
 
-    def step(state, _):
+    def one(state):
         s, alive = state
         info = jnp.take_along_axis(info_tab, s[:, None], axis=1)[:, 0]
         word = (info & 0x7FFF).astype(jnp.int32)
         nxt = (info >> 15).astype(jnp.int32)
         word = jnp.where(alive, word, word & ~0x10)
-        alive_nxt = alive & (nxt != s)
-        out = (s.astype(jnp.int32), word, alive)
-        return (nxt, alive_nxt), out
+        out = word | (alive.astype(jnp.int32) << 15)
+        return (nxt, alive & (nxt != s)), out
 
-    (fs, still_alive), outs = jax.lax.scan(
-        step, (start, jnp.ones(B, bool)), None, length=max_steps)
-    s_r, word_r, alive_r = outs
-    tr = lambda x: jnp.moveaxis(x, 0, 1)  # noqa: E731
-    s_r, word_r, alive_r = tr(s_r), tr(word_r), tr(alive_r)
-    cols = (s_r // K).astype(jnp.int16)
+    unroll = int(os.environ.get("NP2_BT_UNROLL", "2"))
+    if unroll > 1 and max_steps % unroll == 0:
+        def step(state, _):
+            outs = []
+            for _i in range(unroll):
+                state, o = one(state)
+                outs.append(o)
+            return state, tuple(outs)
+
+        (fs, still_alive), outs = jax.lax.scan(
+            step, (start, jnp.ones(B, bool)), None,
+            length=max_steps // unroll)
+        out_r = jnp.stack(outs, axis=1).reshape(max_steps, B)
+    else:
+        (fs, still_alive), out_r = jax.lax.scan(
+            lambda st, _: one(st), (start, jnp.ones(B, bool)), None,
+            length=max_steps)
+
+    out_r = jnp.moveaxis(out_r, 0, 1)  # [B, max_steps]
+    word_r = out_r & 0x7FFF
+    alive_r = out_r >> 15
+    dec = (word_r >> 6) & 1
+    cum = jnp.cumsum(dec, axis=1)
+    cols = (last_col.astype(jnp.int32)[:, None] - (cum - dec)).astype(jnp.int16)
     packed_r = (word_r & 0x7F).astype(jnp.uint8)
     qv_r = (word_r >> 7).astype(jnp.uint8)
     n_steps = jnp.sum(alive_r, axis=1)

@@ -165,9 +165,12 @@ def test_tpu_mixed_width_tiers(tmp_path):
     _assert_same(a, b)
 
 
-def test_backtrack_jump_matches_scan():
-    """Pointer-doubling backtrack must be bit-identical to the sequential
-    scan spec on real window batches (all outputs, incl frozen-tail steps)."""
+def test_backtrack_jump_matches_scan(monkeypatch):
+    """Pointer-doubling + packed-scan backtracks must be bit-identical to the
+    sequential scan spec on real window batches (all outputs, incl
+    frozen-tail steps and the packed scan's cumsum-reconstructed columns),
+    at every NP2_BT_UNROLL factor (incl. factors that don't divide
+    max_steps, which take the single-step path)."""
     import jax
     import jax.numpy as jnp
 
@@ -215,7 +218,11 @@ def test_backtrack_jump_matches_scan():
                                    static_argnames=("max_steps",))(
             tables, sc, bi, jnp.asarray(last), jnp.asarray(seed),
             max_steps=max_steps))
-        for variant in (_backtrack_jump, _backtrack_scan_packed):
+        variants = [(_backtrack_jump, None)] + \
+            [(_backtrack_scan_packed, u) for u in ("1", "2", "4")]
+        for variant, unroll in variants:
+            if unroll is not None:
+                monkeypatch.setenv("NP2_BT_UNROLL", unroll)
             b = jax.device_get(jax.jit(variant,
                                        static_argnames=("max_steps",))(
                 tables, sc, bi, jnp.asarray(last), jnp.asarray(seed),
