@@ -109,14 +109,13 @@ def main():
             os.environ["NP2_BT_UNROLL"] = unroll
             fn = C._backtrack_scan_packed
         bt = make_bt(fn)  # traced lazily at first call (env read then)
-        w, m = bt(key_d, cnt_d, cov_d, sc, bi, lead_j, seed_j, last_j,
-                  max_steps)  # compile + parity
-        got = (np.asarray(w), np.asarray(m))
+        w = bt(key_d, cnt_d, cov_d, sc, bi, lead_j, seed_j, last_j,
+               max_steps)  # compile + parity
+        got = np.asarray(w)
         if ref is None:
             ref = got
         else:
-            assert np.array_equal(ref[0], got[0]), f"{name}: words differ"
-            assert np.array_equal(ref[1], got[1]), f"{name}: meta differ"
+            assert np.array_equal(ref, got), f"{name}: packed words differ"
         arms.append((name, bt, unroll))
         print(f"{name}: compiled, parity ok", flush=True)
 
@@ -126,9 +125,9 @@ def main():
             if unroll is not None:
                 os.environ["NP2_BT_UNROLL"] = unroll
             t0 = time.perf_counter()
-            w, m = bt(key_d, cnt_d, cov_d, sc, bi, lead_j, seed_j, last_j,
-                      max_steps)
-            int(chk(w, m))
+            w = bt(key_d, cnt_d, cov_d, sc, bi, lead_j, seed_j, last_j,
+                   max_steps)
+            int(chk(w))
             ts[name].append(time.perf_counter() - t0)
     for name in ts:
         v = np.array(ts[name]) * 1e3
