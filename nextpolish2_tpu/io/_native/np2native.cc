@@ -20,7 +20,9 @@
 #include <cstring>
 #include <cstdio>
 #include <cstdlib>
+#include <cerrno>
 #include <chrono>
+#include <deque>
 #include <thread>
 #include <vector>
 #include <string>
@@ -28,7 +30,10 @@
 #include <unordered_set>
 #include <algorithm>
 #include <atomic>
+#include <fcntl.h>
+#include <unistd.h>
 #include <sys/mman.h>
+#include <sys/stat.h>
 #include <zlib.h>
 
 // NP2_TIMING=1: per-stage timings on stderr (perf debugging on slow VMs).
@@ -83,6 +88,234 @@ static inline int32_t rd_i32(const uint8_t* p) {
 }
 static inline uint16_t rd_u16(const uint8_t* p) {
   uint16_t v; memcpy(&v, p, 2); return v;
+}
+static inline uint64_t rd_u64(const uint8_t* p) {
+  uint64_t v; memcpy(&v, p, 8); return v;
+}
+
+// ---------- BGZF random access (indexed, bounded-memory ingest) ----------
+//
+// The reference random-accesses each contig via htslib's BAI index
+// (main.rs:1741-1745 IndexedReader::fetch; secondary.rs:28-60). Earlier
+// rounds of this module instead inflated the ENTIRE BAM into host RAM and
+// linear-scanned the stream per contig — unusable at human scale (a 30-60x
+// HiFi BAM is ~100-250 GB decompressed, per host). This section keeps only
+// the compressed file on disk plus a per-contig decompressed window in RAM:
+//
+//   * np2_open streams BGZF blocks just far enough to parse the BAM header,
+//     then obtains per-tid virtual-offset ranges [vbeg, vend) from, in
+//     order of preference: the sidecar .bai index, a cached .np2idx linear
+//     index, or a one-pass bounded-memory streaming scan whose result is
+//     cached to <bam>.np2idx (NP2_NO_IDXCACHE=1 disables the cache).
+//   * np2_extract_begin3 preads ONLY the contig's compressed block range
+//     and inflates it multi-threaded into an exact-size buffer;
+//     np2_extract_fetch3 frees the window. Peak ingest RSS is therefore
+//     O(largest contig's records), matching the reference's design.
+//
+// Virtual offsets are the standard BGZF (coffset << 16 | within-block
+// uoffset). Non-BGZF inputs (plain gzip) keep the legacy whole-file-resident
+// path — documented as unbounded and only hit for non-standard files.
+
+static int64_t file_pread(int fd, void* buf, int64_t n, int64_t off) {
+  int64_t got = 0;
+  while (got < n) {
+    ssize_t r = pread(fd, (char*)buf + got, (size_t)(n - got),
+                      (off_t)(off + got));
+    if (r < 0) { if (errno == EINTR) continue; return -1; }
+    if (r == 0) break;
+    got += r;
+  }
+  return got;
+}
+
+// Total size of the BGZF block starting at p (needs the 12+XLEN header bytes
+// in view; 18 suffice for htslib-style blocks), or -1 if not a BGZF block.
+static int bgzf_bsize(const uint8_t* p, int64_t avail) {
+  if (avail < 18 || p[0] != 0x1f || p[1] != 0x8b || p[2] != 8 || !(p[3] & 4))
+    return -1;
+  int xlen = rd_u16(p + 10);
+  if (12 + xlen > avail) return -1;
+  const uint8_t* x = p + 12;
+  const uint8_t* xe = x + xlen;
+  while (x + 4 <= xe) {
+    int slen = rd_u16(x + 2);
+    if (x[0] == 66 && x[1] == 67 && slen == 2 && x + 6 <= xe)
+      return (int)rd_u16(x + 4) + 1;
+    x += 4 + slen;
+  }
+  return -1;
+}
+
+// Reusable raw-deflate decompressor (one z_stream per thread, inflateReset
+// between blocks — initializing per 64 KB block measurably costs).
+struct Inflater {
+  z_stream zs{};
+  bool ok;
+  Inflater() { ok = inflateInit2(&zs, -15) == Z_OK; }
+  ~Inflater() { if (ok) inflateEnd(&zs); }
+  // Inflate one complete block (p, bsize) into out; returns ISIZE or -1.
+  int block(const uint8_t* p, int bsize, uint8_t* out, int out_cap) {
+    if (!ok) return -1;
+    int xlen = rd_u16(p + 10);
+    int coff = 12 + xlen;
+    int clen = bsize - coff - 8;
+    if (clen < 0) return -1;
+    int usize = (int)rd_u32(p + bsize - 4);
+    if (usize < 0 || usize > out_cap) return -1;
+    if (usize == 0) return 0;
+    inflateReset(&zs);
+    zs.next_in = (Bytef*)(p + coff);
+    zs.avail_in = (uInt)clen;
+    zs.next_out = out;
+    zs.avail_out = (uInt)usize;
+    int r = inflate(&zs, Z_FINISH);
+    return (r == Z_STREAM_END && zs.avail_out == 0) ? usize : -1;
+  }
+};
+
+// Sequential block reader: preads the compressed file in large chunks and
+// yields one decompressed block at a time (bounded memory).
+struct BgzfScan {
+  int fd;
+  int64_t fsize;
+  int64_t coff = 0;                  // next block's compressed offset
+  std::vector<uint8_t> cbuf;
+  int64_t cbase = 0, clen = 0;       // cbuf holds file bytes [cbase, cbase+clen)
+  Inflater inf;
+  BgzfScan(int fd_, int64_t fsize_) : fd(fd_), fsize(fsize_) {}
+  bool ensure(int64_t need) {
+    if (coff + need <= cbase + clen) return true;
+    int64_t keep = cbase + clen - coff;
+    if (keep < 0) keep = 0;
+    if (keep > 0 && coff > cbase)
+      memmove(cbuf.data(), cbuf.data() + (coff - cbase), (size_t)keep);
+    cbase = coff;
+    clen = keep;
+    int64_t want = std::max<int64_t>(need, 4 << 20);
+    if ((int64_t)cbuf.size() < want) cbuf.resize((size_t)want);
+    int64_t avail = fsize - (cbase + clen);
+    int64_t ask = std::min(want - clen, avail);
+    if (ask > 0) {
+      int64_t got = file_pread(fd, cbuf.data() + clen, ask, cbase + clen);
+      if (got < 0) return false;
+      clen += got;
+    }
+    return coff + need <= cbase + clen;
+  }
+  // Next block -> out (resized as needed); returns ISIZE (0 for the EOF
+  // marker block), -1 at clean EOF, -2 on corrupt input.
+  int next(std::vector<uint8_t>& out, int64_t* block_coff) {
+    if (coff >= fsize) return -1;
+    if (!ensure(18)) return -2;
+    const uint8_t* p = cbuf.data() + (coff - cbase);
+    int bsize = bgzf_bsize(p, cbase + clen - coff);
+    if (bsize < 0) return -2;
+    if (!ensure(bsize)) return -2;
+    p = cbuf.data() + (coff - cbase);
+    int usize = (int)rd_u32(p + bsize - 4);
+    if (usize < 0 || usize > (1 << 20)) return -2;  // spec max is 2^16
+    if ((int)out.size() < usize) out.resize((size_t)usize);
+    if (inf.block(p, bsize, out.data(), (int)out.size()) != usize) return -2;
+    *block_coff = coff;
+    coff += bsize;
+    return usize;
+  }
+};
+
+// Bounds-checked incremental BAM header parse: 1 = done (refs + *hdr_size
+// set), 0 = need more bytes, -1 = corrupt.
+static int try_parse_bam_header(
+    const uint8_t* p, size_t n,
+    std::vector<std::pair<std::string, int64_t>>& refs, size_t* hdr_size) {
+  if (n < 4) return 0;
+  if (memcmp(p, "BAM\x01", 4) != 0) return -1;
+  if (n < 12) return 0;
+  uint32_t l_text = rd_u32(p + 4);
+  size_t off = 8 + (size_t)l_text;
+  if (off + 4 > n) return 0;
+  int32_t n_ref = rd_i32(p + off);
+  off += 4;
+  if (n_ref < 0) return -1;
+  std::vector<std::pair<std::string, int64_t>> tmp;
+  tmp.reserve((size_t)n_ref);
+  for (int32_t i = 0; i < n_ref; i++) {
+    if (off + 4 > n) return 0;
+    uint32_t l_name = rd_u32(p + off);
+    off += 4;
+    if (l_name == 0) return -1;
+    if (off + l_name + 4 > n) return 0;
+    tmp.emplace_back(std::string((const char*)p + off, l_name - 1),
+                     (int64_t)rd_i32(p + off + l_name));
+    off += l_name + 4;
+  }
+  refs = std::move(tmp);
+  *hdr_size = off;
+  return 1;
+}
+
+// Stream every BAM record of a BGZF file with bounded memory. cb(voff, q) gets
+// the record's virtual offset and a payload pointer (q is just past the
+// block_size field; q[-4] is readable — the parse_rec contract); returning
+// false stops the walk early (used for header-only parses). end_voff_out (may
+// be null) receives the virtual offset just past the last record consumed.
+// Returns 0 or a negative error.
+template <typename CB>
+static int bgzf_walk(int fd, int64_t fsize,
+                     std::vector<std::pair<std::string, int64_t>>* refs_out,
+                     uint64_t* end_voff_out, CB&& cb) {
+  BgzfScan sc(fd, fsize);
+  std::vector<uint8_t> blk;
+  std::vector<uint8_t> ubuf;          // rolling decompressed window
+  std::deque<std::pair<int64_t, int64_t>> blocks;  // (u_start, coff)
+  int64_t u_base = 0;                 // stream u-offset of ubuf[0]
+  size_t cursor = 0;
+  bool hdr_done = false;
+  std::vector<std::pair<std::string, int64_t>> refs;
+  auto voff_at = [&](int64_t U) -> uint64_t {
+    while (blocks.size() > 1 && blocks[1].first <= U) blocks.pop_front();
+    if (blocks.empty()) return 0;
+    return ((uint64_t)blocks.front().second << 16) |
+           (uint64_t)(U - blocks.front().first);
+  };
+  for (;;) {
+    int64_t bcoff = 0;
+    int us = sc.next(blk, &bcoff);
+    if (us == -1) break;
+    if (us < -1) return -3;
+    if (us > 0) {
+      blocks.emplace_back(u_base + (int64_t)ubuf.size(), bcoff);
+      ubuf.insert(ubuf.end(), blk.begin(), blk.begin() + us);
+    }
+    if (!hdr_done) {
+      size_t hs = 0;
+      int r = try_parse_bam_header(ubuf.data(), ubuf.size(), refs, &hs);
+      if (r < 0) return -2;
+      if (r == 0) continue;
+      hdr_done = true;
+      cursor = hs;
+      if (refs_out) *refs_out = std::move(refs);
+    }
+    for (;;) {
+      if (ubuf.size() - cursor < 4) break;
+      uint32_t bs = rd_u32(ubuf.data() + cursor);
+      if (bs < 32 || bs > (1u << 30)) return -2;
+      if (ubuf.size() - cursor < 4 + (size_t)bs) break;
+      uint64_t voff = voff_at(u_base + (int64_t)cursor);
+      if (!cb(voff, ubuf.data() + cursor + 4)) {
+        if (end_voff_out) *end_voff_out = voff;
+        return 0;
+      }
+      cursor += 4 + bs;
+    }
+    if (cursor > (size_t)(1 << 23)) {  // compact the consumed prefix
+      ubuf.erase(ubuf.begin(), ubuf.begin() + cursor);
+      u_base += (int64_t)cursor;
+      cursor = 0;
+    }
+  }
+  if (!hdr_done) return -2;
+  if (end_voff_out) *end_voff_out = voff_at(u_base + (int64_t)cursor);
+  return 0;
 }
 
 // ASCII -> code (A0 C1 G2 T3 -4 N5 M6; else 4), mirrors SEQ_NUM (kmer.rs:11-22)
@@ -190,9 +423,20 @@ struct Filters {
 };
 
 struct BamFile {
+  // legacy whole-file path (non-BGZF plain-gzip inputs only; unbounded RAM)
   Bytes raw;
+  size_t rec_off = 0;  // offset of first record in raw
+  // BGZF indexed path (the default): compressed file on disk + per-contig
+  // decompressed window; see the "BGZF random access" section above.
+  int fd = -1;
+  int64_t fsize = 0;
+  bool bgzf = false;
+  std::vector<uint64_t> tid_vbeg, tid_vend;  // [n_ref]; vbeg==vend -> empty
+  Bytes cur;            // current contig's decompressed record window
+  int64_t cur_lo = 0;   // first valid byte in cur
+  int64_t cur_hi = 0;   // one past the last valid byte
   std::vector<std::pair<std::string, int64_t>> refs;
-  size_t rec_off = 0;  // offset of first record
+  ~BamFile() { if (fd >= 0) ::close(fd); }
   // v3 metadata from np2_extract_begin3 (small; per-kept-record only)
   std::vector<const uint8_t*> v3_recs;   // kept record payloads
   std::vector<int64_t> v3_off;           // stream offset per kept record
@@ -224,6 +468,258 @@ static bool parse_bam_header(BamFile& bf) {
   return true;
 }
 
+// ---------- contig index: .bai / .np2idx / streaming scan ----------
+
+static bool read_whole_file(const char* path, std::vector<uint8_t>& out) {
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return false;
+  struct stat st;
+  if (fstat(fd, &st) != 0) { ::close(fd); return false; }
+  out.resize((size_t)st.st_size);
+  bool ok = file_pread(fd, out.data(), st.st_size, 0) == st.st_size;
+  ::close(fd);
+  return ok;
+}
+
+// Parse a BAI index (SAMv1 spec §5.2) into whole-contig virtual-offset
+// ranges: prefer the samtools pseudo-bin 37450 (its first chunk is exactly
+// (off_beg, off_end) for the ref); otherwise min/max over the regular bins'
+// chunks. Mirrors what rust-htslib's IndexedReader::fetch consumes
+// (main.rs:1741-1745). Returns false on malformed input or n_ref mismatch.
+static bool load_bai(const char* path, size_t n_ref,
+                     std::vector<uint64_t>& vbeg, std::vector<uint64_t>& vend) {
+  std::vector<uint8_t> d;
+  if (!read_whole_file(path, d)) return false;
+  if (d.size() < 8 || memcmp(d.data(), "BAI\x01", 4) != 0) return false;
+  size_t off = 4;
+  auto need = [&](size_t n) { return off + n <= d.size(); };
+  if (!need(4)) return false;
+  int32_t nr = rd_i32(d.data() + off); off += 4;
+  if (nr < 0 || (size_t)nr != n_ref) return false;
+  for (int32_t i = 0; i < nr; i++) {
+    if (!need(4)) return false;
+    int32_t n_bin = rd_i32(d.data() + off); off += 4;
+    uint64_t mn = UINT64_MAX, mx = 0;
+    bool pseudo = false;
+    uint64_t pbeg = 0, pend = 0;
+    for (int32_t b = 0; b < n_bin; b++) {
+      if (!need(8)) return false;
+      uint32_t bin = rd_u32(d.data() + off);
+      int32_t n_chunk = rd_i32(d.data() + off + 4);
+      off += 8;
+      if (n_chunk < 0 || !need((size_t)n_chunk * 16)) return false;
+      if (bin == 37450 && n_chunk == 2) {
+        pseudo = true;
+        pbeg = rd_u64(d.data() + off);
+        pend = rd_u64(d.data() + off + 8);
+      } else {
+        for (int32_t c = 0; c < n_chunk; c++) {
+          uint64_t cb = rd_u64(d.data() + off + (size_t)c * 16);
+          uint64_t ce = rd_u64(d.data() + off + (size_t)c * 16 + 8);
+          if (cb < mn) mn = cb;
+          if (ce > mx) mx = ce;
+        }
+      }
+      off += (size_t)n_chunk * 16;
+    }
+    if (!need(4)) return false;
+    int32_t n_intv = rd_i32(d.data() + off); off += 4;
+    if (n_intv < 0 || !need((size_t)n_intv * 8)) return false;
+    off += (size_t)n_intv * 8;
+    if (pseudo) { vbeg[(size_t)i] = pbeg; vend[(size_t)i] = pend; }
+    else if (mn != UINT64_MAX) { vbeg[(size_t)i] = mn; vend[(size_t)i] = mx; }
+  }
+  return true;
+}
+
+// .np2idx sidecar cache: "NP2I\x01" + u64 bam size + u64 bam mtime (ns) +
+// u32 n_ref + n_ref x (u64 vbeg, u64 vend). Built by the one-pass scan below
+// so repeated opens of index-less BAMs skip the full-file decompress.
+static bool load_np2idx(const char* path, int64_t bam_size, int64_t bam_mtime,
+                        size_t n_ref, std::vector<uint64_t>& vbeg,
+                        std::vector<uint64_t>& vend) {
+  std::vector<uint8_t> d;
+  if (!read_whole_file(path, d)) return false;
+  size_t want = 5 + 8 + 8 + 4 + n_ref * 16;
+  if (d.size() != want || memcmp(d.data(), "NP2I\x01", 5) != 0) return false;
+  if ((int64_t)rd_u64(d.data() + 5) != bam_size ||
+      (int64_t)rd_u64(d.data() + 13) != bam_mtime)
+    return false;
+  if (rd_u32(d.data() + 21) != (uint32_t)n_ref) return false;
+  for (size_t i = 0; i < n_ref; i++) {
+    vbeg[i] = rd_u64(d.data() + 25 + i * 16);
+    vend[i] = rd_u64(d.data() + 25 + i * 16 + 8);
+  }
+  return true;
+}
+
+static void save_np2idx(const char* path, int64_t bam_size, int64_t bam_mtime,
+                        const std::vector<uint64_t>& vbeg,
+                        const std::vector<uint64_t>& vend) {
+  std::string tmp = std::string(path) + ".tmp";
+  FILE* f = fopen(tmp.c_str(), "wb");
+  if (!f) return;  // read-only dir: silently skip the cache
+  bool ok = fwrite("NP2I\x01", 1, 5, f) == 5;
+  uint64_t u = (uint64_t)bam_size;
+  ok = ok && fwrite(&u, 8, 1, f) == 1;
+  u = (uint64_t)bam_mtime;
+  ok = ok && fwrite(&u, 8, 1, f) == 1;
+  uint32_t nr = (uint32_t)vbeg.size();
+  ok = ok && fwrite(&nr, 4, 1, f) == 1;
+  for (size_t i = 0; ok && i < vbeg.size(); i++) {
+    ok = fwrite(&vbeg[i], 8, 1, f) == 1 && fwrite(&vend[i], 8, 1, f) == 1;
+  }
+  ok = (fclose(f) == 0) && ok;
+  if (ok) rename(tmp.c_str(), path);
+  else unlink(tmp.c_str());
+}
+
+// One-pass streaming linear index: per-tid [first record voff, one past the
+// last]. Bounded memory (one rolling block window). Requires the coordinate
+// sort the reference asserts too (main.rs:1753-1756): each tid's records must
+// form one contiguous run. Returns 0, -4 if a tid run repeats (unsorted).
+static int build_linear_index(BamFile& bf) {
+  int n_ref = (int)bf.refs.size();
+  std::vector<uint8_t> seen((size_t)n_ref, 0);
+  int32_t prev_tid = -2;
+  int err = 0;
+  uint64_t end_voff = 0;
+  int rc = bgzf_walk(
+      bf.fd, bf.fsize, nullptr, &end_voff,
+      [&](uint64_t voff, const uint8_t* q) {
+        int32_t tid = rd_i32(q);
+        if (tid != prev_tid) {
+          if (prev_tid >= 0) bf.tid_vend[(size_t)prev_tid] = voff;
+          if (tid >= 0) {
+            if (tid >= n_ref || seen[(size_t)tid]) { err = -4; return false; }
+            seen[(size_t)tid] = 1;
+            bf.tid_vbeg[(size_t)tid] = voff;
+          }
+          prev_tid = tid;
+        }
+        return true;
+      });
+  if (err) return err;
+  if (rc < 0) return rc;
+  if (prev_tid >= 0) bf.tid_vend[(size_t)prev_tid] = end_voff;
+  return 0;
+}
+
+static bool np2_idxcache_enabled() {
+  const char* e = getenv("NP2_NO_IDXCACHE");
+  return !(e && *e == '1');
+}
+
+// Resolve per-tid virtual-offset ranges for an open BGZF handle (see the
+// section comment for the .bai -> .np2idx -> scan preference order).
+static bool load_contig_index(BamFile& bf, const char* bam_path) {
+  size_t n_ref = bf.refs.size();
+  bf.tid_vbeg.assign(n_ref, 0);
+  bf.tid_vend.assign(n_ref, 0);
+  std::string p(bam_path);
+  std::string bai = p + ".bai";
+  struct stat st;
+  if (stat(bai.c_str(), &st) != 0 && p.size() > 4 &&
+      p.compare(p.size() - 4, 4, ".bam") == 0) {
+    std::string alt = p.substr(0, p.size() - 4) + ".bai";
+    if (stat(alt.c_str(), &st) == 0) bai = alt;
+  }
+  if (stat(bai.c_str(), &st) == 0 &&
+      load_bai(bai.c_str(), n_ref, bf.tid_vbeg, bf.tid_vend))
+    return true;
+  struct stat bst;
+  if (fstat(bf.fd, &bst) != 0) return false;
+  int64_t mtime = (int64_t)bst.st_mtim.tv_sec * 1000000000 +
+                  bst.st_mtim.tv_nsec;
+  std::string idx = p + ".np2idx";
+  if (np2_idxcache_enabled() &&
+      load_np2idx(idx.c_str(), bst.st_size, mtime, n_ref, bf.tid_vbeg,
+                  bf.tid_vend))
+    return true;
+  double t0 = np2_now();
+  if (build_linear_index(bf) != 0) return false;
+  NP2_T("open: index scan", t0);
+  if (np2_idxcache_enabled())
+    save_np2idx(idx.c_str(), bst.st_size, mtime, bf.tid_vbeg, bf.tid_vend);
+  return true;
+}
+
+// Pread + inflate the contig's compressed block range into bf.cur (exact-size
+// output, multi-threaded across blocks). Sets cur_lo/cur_hi to the record
+// byte range within the window. Returns 0 or -3 on corrupt input.
+static int fetch_region(BamFile& bf, uint64_t vbeg, uint64_t vend, int T) {
+  Bytes().d.swap(bf.cur.d);  // actually release the previous window
+  bf.cur_lo = bf.cur_hi = 0;
+  if (vend <= vbeg) return 0;
+  int64_t cbeg = (int64_t)(vbeg >> 16);
+  int64_t ubeg = (int64_t)(vbeg & 0xFFFF);
+  int64_t cend = (int64_t)(vend >> 16);
+  int64_t uend = (int64_t)(vend & 0xFFFF);
+  int64_t cstop;
+  if (uend > 0) {
+    uint8_t hdr[18];
+    if (cend + 18 > bf.fsize || file_pread(bf.fd, hdr, 18, cend) != 18)
+      return -3;
+    int bs = bgzf_bsize(hdr, 18);
+    if (bs < 0) return -3;
+    cstop = cend + bs;
+  } else {
+    cstop = cend;
+  }
+  if (cstop > bf.fsize) cstop = bf.fsize;
+  if (cstop <= cbeg) return 0;
+  double t0 = np2_now();
+  std::vector<uint8_t> cbuf((size_t)(cstop - cbeg));
+  if (file_pread(bf.fd, cbuf.data(), cstop - cbeg, cbeg) != cstop - cbeg)
+    return -3;
+  NP2_T("fetch_region: pread", t0);
+  t0 = np2_now();
+  struct Blk { int64_t c, u; int bs, us; };
+  std::vector<Blk> blks;
+  int64_t c = 0, u = 0, u_at_cend = -1;
+  int64_t clim = cstop - cbeg;
+  while (c < clim) {
+    int bs = bgzf_bsize(cbuf.data() + c, clim - c);
+    if (bs < 0 || c + bs > clim) return -3;
+    int us = (int)rd_u32(cbuf.data() + c + bs - 4);
+    if (us < 0 || us > (1 << 20)) return -3;
+    if (cbeg + c == cend) u_at_cend = u;
+    blks.push_back({c, u, bs, us});
+    c += bs;
+    u += us;
+  }
+  bf.cur.d.resize((size_t)u);
+  int nT = T < 1 ? 1 : (T > 16 ? 16 : T);
+  if ((int64_t)blks.size() < 2 * nT) nT = 1;
+  std::atomic<int> err(0);
+  auto work = [&](int t) {
+    Inflater inf;
+    size_t lo = blks.size() * (size_t)t / (size_t)nT;
+    size_t hi = blks.size() * (size_t)(t + 1) / (size_t)nT;
+    for (size_t i = lo; i < hi; i++) {
+      if (inf.block(cbuf.data() + blks[i].c, blks[i].bs,
+                    bf.cur.d.data() + blks[i].u, blks[i].us) != blks[i].us) {
+        err.store(1);
+        return;
+      }
+    }
+  };
+  if (nT == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nT; t++) ths.emplace_back(work, t);
+    for (auto& th : ths) th.join();
+  }
+  if (err.load()) return -3;
+  NP2_T("fetch_region: inflate", t0);
+  bf.cur_lo = ubeg;
+  bf.cur_hi = (uend > 0 && u_at_cend >= 0) ? u_at_cend + uend : u;
+  if (bf.cur_hi > u) bf.cur_hi = u;
+  if (bf.cur_lo > bf.cur_hi) return -3;
+  return 0;
+}
+
 // ---------- alignment expansion ----------
 
 // CIGAR ops: MIDNSHP=X
@@ -240,15 +736,59 @@ struct RecInfo {
   bool clip;
 };
 
-// One pass over the whole BAM: collect the qnames of secondary records, then
-// store their primaries' SEQ (ASCII, reverse-complemented to forward/read
-// orientation). Mirrors io/bam.retrieve_secondary_seqs / secondary.rs:8-64.
+// Collect one primary record's SEQ into sec_seqs if its qname is wanted
+// (ASCII, stored in forward/read orientation).
+static void collect_primary_seq(BamFile& bf,
+                                const std::unordered_set<std::string>& ids,
+                                const uint8_t* q) {
+  uint16_t flag = rd_u16(q + 14);
+  if (flag & 0x900) return;  // only primaries donate SEQ
+  uint8_t l_rn = q[8];
+  std::string qn((const char*)q + 32, (size_t)l_rn - 1);
+  if (!ids.count(qn) || bf.sec_seqs.count(qn)) return;
+  int32_t l_seq = rd_i32(q + 16);
+  uint32_t n_cigar = rd_u16(q + 12);
+  const uint8_t* seq4 = q + 32 + l_rn + 4 * n_cigar;
+  std::vector<uint8_t> ascii((size_t)l_seq);
+  for (int32_t i = 0; i < l_seq; i++) {
+    uint8_t b = seq4[i >> 1];
+    ascii[(size_t)i] = kSeq4AsciiT[(i & 1) ? (b & 0xF) : (b >> 4)];
+  }
+  if (flag & 0x10) {  // store forward-strand orientation
+    std::vector<uint8_t> rc(ascii.size());
+    for (size_t i = 0; i < ascii.size(); i++)
+      rc[i] = kRevCompAscii[ascii[ascii.size() - 1 - i]];
+    ascii.swap(rc);
+  }
+  bf.sec_seqs.emplace(std::move(qn), std::move(ascii));
+}
+
+// Two passes over the whole BAM: collect the qnames of secondary records,
+// then store their primaries' SEQ. Mirrors io/bam.retrieve_secondary_seqs /
+// secondary.rs:8-64,82-148. On the BGZF path both passes stream blocks with
+// bounded memory (only the wanted SEQs stay resident — same shape as the
+// reference's shared sec_seqs map, main.rs:1691-1696).
 static void prefetch_secondary(BamFile& bf) {
   if (bf.sec_prefetched) return;
   bf.sec_prefetched = true;
+  std::unordered_set<std::string> ids;
+  if (bf.bgzf) {
+    bgzf_walk(bf.fd, bf.fsize, nullptr, nullptr,
+              [&](uint64_t, const uint8_t* q) {
+                if (rd_u16(q + 14) & 0x100)
+                  ids.emplace((const char*)q + 32, (size_t)q[8] - 1);
+                return true;
+              });
+    if (ids.empty()) return;
+    bgzf_walk(bf.fd, bf.fsize, nullptr, nullptr,
+              [&](uint64_t, const uint8_t* q) {
+                collect_primary_seq(bf, ids, q);
+                return true;
+              });
+    return;
+  }
   const uint8_t* p = bf.raw.d.data();
   size_t n = bf.raw.d.size();
-  std::unordered_set<std::string> ids;
   for (size_t off = bf.rec_off; off + 4 <= n;) {
     int32_t block = rd_i32(p + off); off += 4;
     if (off + (size_t)block > n) break;
@@ -261,26 +801,7 @@ static void prefetch_secondary(BamFile& bf) {
     int32_t block = rd_i32(p + off); off += 4;
     if (off + (size_t)block > n) break;
     const uint8_t* q = p + off; off += block;
-    uint16_t flag = rd_u16(q + 14);
-    if (flag & 0x900) continue;  // only primaries donate SEQ
-    uint8_t l_rn = q[8];
-    std::string qn((const char*)q + 32, (size_t)l_rn - 1);
-    if (!ids.count(qn) || bf.sec_seqs.count(qn)) continue;
-    int32_t l_seq = rd_i32(q + 16);
-    uint32_t n_cigar = rd_u16(q + 12);
-    const uint8_t* seq4 = q + 32 + l_rn + 4 * n_cigar;
-    std::vector<uint8_t> ascii((size_t)l_seq);
-    for (int32_t i = 0; i < l_seq; i++) {
-      uint8_t b = seq4[i >> 1];
-      ascii[(size_t)i] = kSeq4AsciiT[(i & 1) ? (b & 0xF) : (b >> 4)];
-    }
-    if (flag & 0x10) {  // store forward-strand orientation
-      std::vector<uint8_t> rc(ascii.size());
-      for (size_t i = 0; i < ascii.size(); i++)
-        rc[i] = kRevCompAscii[ascii[ascii.size() - 1 - i]];
-      ascii.swap(rc);
-    }
-    bf.sec_seqs.emplace(std::move(qn), std::move(ascii));
+    collect_primary_seq(bf, ids, q);
   }
 }
 
@@ -443,11 +964,36 @@ static void emit_tags(const std::vector<uint8_t>& q_codes,
 
 extern "C" {
 
-// Opaque handle: decompressed BAM kept resident across per-contig calls.
+// Opaque handle. BGZF inputs (the standard BAM encoding) use indexed
+// random access: only the compressed file stays on disk and one contig's
+// decompressed window lives in RAM at a time. Plain-gzip inputs fall back
+// to the legacy whole-file-resident path.
 void* np2_open(const char* bam_path) {
   init_tables();
   BamFile* bf = new BamFile();
-  if (!inflate_file(bam_path, bf->raw) || !parse_bam_header(*bf)) {
+  int fd = open(bam_path, O_RDONLY);
+  struct stat st{};
+  bool is_bgzf = false;
+  if (fd >= 0 && fstat(fd, &st) == 0 && st.st_size >= 28) {
+    uint8_t hdr[18];
+    if (file_pread(fd, hdr, 18, 0) == 18 && bgzf_bsize(hdr, 18) > 0)
+      is_bgzf = true;
+  }
+  if (!is_bgzf) {
+    if (fd >= 0) ::close(fd);
+    if (!inflate_file(bam_path, bf->raw) || !parse_bam_header(*bf)) {
+      delete bf;
+      return nullptr;
+    }
+    return bf;
+  }
+  bf->fd = fd;
+  bf->fsize = st.st_size;
+  bf->bgzf = true;
+  // header only: the walk stops at the first record
+  int rc = bgzf_walk(fd, st.st_size, &bf->refs, nullptr,
+                     [](uint64_t, const uint8_t*) { return false; });
+  if (rc < 0 || !load_contig_index(*bf, bam_path)) {
     delete bf;
     return nullptr;
   }
@@ -459,21 +1005,40 @@ void np2_close(void* handle) {
 }
 
 // Number of references and their lengths (for contig lookup without pysam).
+// BGZF inputs stream only as far as the header; plain gzip inflates fully.
 int np2_bam_refs(const char* bam_path, char* names_out, int64_t names_cap,
                  int64_t* lens_out, int64_t lens_cap, int64_t* n_refs) {
-  BamFile bf;
-  if (!inflate_file(bam_path, bf.raw)) return -1;
-  if (!parse_bam_header(bf)) return -2;
-  if ((int64_t)bf.refs.size() > lens_cap) return 1;
-  int64_t pos = 0;
-  for (size_t i = 0; i < bf.refs.size(); i++) {
-    int64_t l = (int64_t)bf.refs[i].first.size();
-    if (pos + l + 1 > names_cap) return 1;
-    memcpy(names_out + pos, bf.refs[i].first.c_str(), l + 1);
-    pos += l + 1;
-    lens_out[i] = bf.refs[i].second;
+  init_tables();
+  std::vector<std::pair<std::string, int64_t>> refs;
+  int fd = open(bam_path, O_RDONLY);
+  struct stat st{};
+  bool streamed = false;
+  if (fd >= 0 && fstat(fd, &st) == 0 && st.st_size >= 28) {
+    uint8_t hdr[18];
+    if (file_pread(fd, hdr, 18, 0) == 18 && bgzf_bsize(hdr, 18) > 0) {
+      int rc = bgzf_walk(fd, st.st_size, &refs, nullptr,
+                         [](uint64_t, const uint8_t*) { return false; });
+      if (rc < 0) { ::close(fd); return -2; }
+      streamed = true;
+    }
   }
-  *n_refs = (int64_t)bf.refs.size();
+  if (fd >= 0) ::close(fd);
+  if (!streamed) {
+    BamFile bf;
+    if (!inflate_file(bam_path, bf.raw)) return -1;
+    if (!parse_bam_header(bf)) return -2;
+    refs = std::move(bf.refs);
+  }
+  if ((int64_t)refs.size() > lens_cap) return 1;
+  int64_t pos = 0;
+  for (size_t i = 0; i < refs.size(); i++) {
+    int64_t l = (int64_t)refs[i].first.size();
+    if (pos + l + 1 > names_cap) return 1;
+    memcpy(names_out + pos, refs[i].first.c_str(), l + 1);
+    pos += l + 1;
+    lens_out[i] = refs[i].second;
+  }
+  *n_refs = (int64_t)refs.size();
   return 0;
 }
 
@@ -497,12 +1062,26 @@ int np2_extract_begin3(void* handle, int32_t want_tid,
                     (int)trim_len, short_ref_len};
   double t0 = np2_now();
 
-  // locate this contig's records (cheap header-only scan)
+  // locate this contig's records: BGZF path preads + inflates only the
+  // contig's block range (indexed, bounded memory); the legacy plain-gzip
+  // path scans the resident whole-file stream.
   std::vector<const uint8_t*> recs;
   std::vector<int64_t> est;  // cumulative l_seq for load balancing
-  const uint8_t* p = bf.raw.d.data();
-  size_t n = bf.raw.d.size();
-  size_t off = bf.rec_off;
+  const uint8_t* p;
+  size_t n, off;
+  if (bf.bgzf) {
+    if (want_tid < 0 || want_tid >= (int32_t)bf.refs.size()) return -6;
+    int frc = fetch_region(bf, bf.tid_vbeg[(size_t)want_tid],
+                           bf.tid_vend[(size_t)want_tid], (int)n_threads);
+    if (frc != 0) return frc;
+    p = bf.cur.d.data();
+    n = (size_t)bf.cur_hi;
+    off = (size_t)bf.cur_lo;
+  } else {
+    p = bf.raw.d.data();
+    n = bf.raw.d.size();
+    off = bf.rec_off;
+  }
   int64_t prev_pos = -1, est_sum = 0;
   while (off + 4 <= n) {
     int32_t block = rd_i32(p + off); off += 4;
@@ -635,6 +1214,10 @@ int np2_extract_fetch3(void* handle, int32_t* t_pos_out, int32_t* key_out,
   bf.v3_off.clear();
   bf.v3_bounds.clear();
   bf.v3_clip.clear();
+  if (bf.bgzf) {  // release this contig's decompressed window
+    Bytes().d.swap(bf.cur.d);
+    bf.cur_lo = bf.cur_hi = 0;
+  }
   for (int t = 0; t < T; t++) if (err[t]) return err[t];
   return 0;
 }

@@ -1,8 +1,12 @@
 """BAM reading/writing in pure Python (no htslib in this environment).
 
-Reader streams a coordinate-sorted BAM sequentially and groups records per contig —
-a design departure from the reference, whose workers each open an IndexedReader for
-random access (main.rs:1745-1747) only because they pull contigs out of order.
+Reader streams a coordinate-sorted BAM sequentially and groups records per contig.
+NOTE: this fallback decompresses the WHOLE file through python's gzip module and
+(in by_contig) holds one contig's records at a time but rescans from the start per
+random access — it exists for environments without the native library. The
+production path is the native indexed ingest (io/_native/np2native.cc: BGZF
+virtual-offset random access via .bai / .np2idx, bounded memory, the equivalent of
+the reference's htslib IndexedReader::fetch at main.rs:1741-1745).
 
 Record fields and filter helpers mirror what the reference worker uses
 (main.rs:1751-1816 via rust-htslib).

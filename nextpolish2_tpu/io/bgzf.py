@@ -32,7 +32,9 @@ class BgzfWriter:
     def _flush_block(self, payload: bytes) -> None:
         co = zlib.compressobj(self._level, zlib.DEFLATED, -15)
         cdata = co.compress(payload) + co.flush()
-        bsize = len(cdata) + 25 + 1  # header(12)+xlen(6)+cdata+crc(4)+isize(4) - 1
+        # BSIZE = total block length - 1 (SAMv1 spec 4.1): total is
+        # header(12) + xlen(6) + cdata + crc(4) + isize(4) = len(cdata) + 26.
+        bsize = len(cdata) + 25
         header = struct.pack(
             "<4BI2BH2BHH",
             0x1F, 0x8B, 0x08, 0x04,  # gzip magic, deflate, FEXTRA
