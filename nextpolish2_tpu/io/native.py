@@ -68,6 +68,40 @@ def load() -> Optional[ctypes.CDLL]:
     return lib
 
 
+_obj_mod = None
+_obj_failed = False
+
+
+def load_obj():
+    """Import the np2obj CPython extension (fast LqSeq type + bulk builder,
+    np2obj.c), building it on demand; None when unavailable."""
+    global _obj_mod, _obj_failed
+    if _obj_mod is not None or _obj_failed:
+        return _obj_mod
+    so = os.path.join(_DIR, "np2obj.so")
+    src = os.path.join(_DIR, "np2obj.c")
+    try:
+        stale = os.path.getmtime(src) > os.path.getmtime(so)
+    except OSError:
+        stale = False
+    if (not os.path.exists(so) or stale) and not build():
+        if not os.path.exists(so):
+            _obj_failed = True
+            return None
+    try:
+        import importlib.machinery
+        import importlib.util
+
+        loader = importlib.machinery.ExtensionFileLoader("np2obj", so)
+        spec = importlib.util.spec_from_loader("np2obj", loader)
+        mod = importlib.util.module_from_spec(spec)
+        loader.exec_module(mod)
+        _obj_mod = mod
+    except Exception:
+        _obj_failed = True
+    return _obj_mod
+
+
 import threading
 
 _handles: dict = {}

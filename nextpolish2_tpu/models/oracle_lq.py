@@ -80,24 +80,41 @@ def extract_alleles(alignseqs: List[AlignTags], lqseqs: List[LqRegion],
         rend = np.fromiter((r.end for r in lqseqs), np.int64, len(lqseqs))
         nseq0 = np.fromiter((len(r.seqs) for r in lqseqs), np.int32,
                             len(lqseqs))
-        res = extract_alleles_native(t_pos_all, q_base_all, aoff, aln_t_s,
-                                     aln_t_e, active, rstart, rend, nseq0,
-                                     table.ksize, max_can)
+        from ..utils.timing import stage
+
+        with stage("extract_native"):
+            res = extract_alleles_native(t_pos_all, q_base_all, aoff, aln_t_s,
+                                         aln_t_e, active, rstart, rend, nseq0,
+                                         table.ksize, max_can)
         if res is not None:
             region, order, soff, seq, prehash, has = res
-            hashes = np.zeros(len(prehash), np.uint64)
-            hi = np.nonzero(has)[0]
-            if len(hi):
-                hashes[hi] = table.to_hash(prehash[hi]).astype(np.uint64)
-            sbytes = seq.tobytes()
-            soff_l = soff.tolist()
-            kmer_l = np.where(has.astype(bool), hashes,
-                              np.uint64(INVALID)).tolist()
-            order_l = order.tolist()
-            for i, r in enumerate(region.tolist()):
-                lqseqs[r].seqs.append(LqSeq(
-                    order_l[i], 0, kmer_l[i],
-                    sbytes[soff_l[i]:soff_l[i + 1]]))
+            with stage("extract_materialize"):
+                hashes = np.zeros(len(prehash), np.uint64)
+                hi = np.nonzero(has)[0]
+                if len(hi):
+                    hashes[hi] = table.to_hash(prehash[hi]).astype(np.uint64)
+                from ..io.native import load_obj
+
+                obj = load_obj()
+                if obj is not None:
+                    # C bulk builder: creates the LqSeq objects and appends
+                    # them to each region's seqs list in one native loop
+                    obj.build_lqseqs([r.seqs for r in lqseqs],
+                                     np.ascontiguousarray(region, np.int32),
+                                     np.ascontiguousarray(order, np.int32),
+                                     hashes, np.ascontiguousarray(has, np.uint8),
+                                     np.ascontiguousarray(soff, np.int64),
+                                     seq.tobytes(), INVALID)
+                    return
+                sbytes = seq.tobytes()
+                soff_l = soff.tolist()
+                kmer_l = np.where(has.astype(bool), hashes,
+                                  np.uint64(INVALID)).tolist()
+                order_l = order.tolist()
+                for i, r in enumerate(region.tolist()):
+                    lqseqs[r].seqs.append(LqSeq(
+                        order_l[i], 0, kmer_l[i],
+                        sbytes[soff_l[i]:soff_l[i + 1]]))
             return
     _extract_alleles_py(alignseqs, lqseqs, table, max_can)
 
