@@ -208,9 +208,11 @@ def main(argv=None) -> int:
           f"{stats.passthrough} passthrough); bases {stats.in_bases} -> "
           f"{stats.out_bases}", file=sys.stderr)
     if stats.batches:
+        dense = (f", dense fallbacks: {stats.dense_reasons}"
+                 if stats.dense_reasons else "")
         print(f"Device batches: {stats.batches} (cross-contig lane fill "
-              f"{stats.batch_fill:.1%}, {stats.csr_batches} CSR-direct)",
-              file=sys.stderr)
+              f"{stats.batch_fill:.1%}, {stats.csr_batches} CSR-direct"
+              f"{dense})", file=sys.stderr)
     return 0
 
 

@@ -349,6 +349,10 @@ def _backtrack_scan_packed(tables: SlotTables, scores: jnp.ndarray,
         out = word | (alive.astype(jnp.int32) << 15)
         return (nxt, alive & (nxt != s)), out
 
+    # NOTE: read at TRACE time — like NP2_BT_SCAN/JUMP, the jit cache is
+    # keyed only on shapes, so changing the env after a shape has compiled
+    # in-process is a silent no-op (results are bit-exact at any factor;
+    # perf-only knob for fresh processes / bench tooling).
     unroll = int(os.environ.get("NP2_BT_UNROLL", "2"))
     if unroll > 1 and max_steps % unroll == 0:
         def step(state, _):

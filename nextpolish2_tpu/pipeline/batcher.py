@@ -39,10 +39,13 @@ LANE_SMALL = 16
 
 
 def _tier_lane_b(tier) -> int:
-    from .engine import CHUNK_B_TIERS
+    from .engine import CHUNK_B_TIERS, K_SMALL, _chunk_b_k48
 
-    if isinstance(tier, tuple) and tier[1] in CHUNK_B_TIERS:
-        return max(LANE_B, int(CHUNK_B_TIERS[tier[1]]))
+    if isinstance(tier, tuple) and tier[1] is not None:
+        if tier[1] in CHUNK_B_TIERS:
+            return max(LANE_B, int(CHUNK_B_TIERS[tier[1]]))
+        if tier[1] > K_SMALL:  # fat tier of a K != 48 config (ADVICE r3)
+            return max(LANE_B, _chunk_b_k48())
     return LANE_B
 
 
@@ -71,6 +74,13 @@ class BatchStats:
         self.lanes_real = 0
         self.csr_batches = 0  # batches that shipped the CSR blob (no dense
         #                       host tables) — the production transfer path
+        # why a batch shipped dense instead of CSR (VERDICT r3: a silent
+        # shape change must not silently halve throughput):
+        #   no_k            tier carries no K (dense-only tier)
+        #   shape_misalign  padded B not divisible by the win-mesh axis
+        #   no_csr_closure  a request was submitted without aggregate_csr
+        #   csr_bailed      the native CSR pass refused (overflow/fallback)
+        self.dense_reasons: Dict[str, int] = {}
 
     @property
     def fill(self) -> float:
@@ -199,9 +209,14 @@ class DeviceBatcher:
             from ..parallel.mesh import axis_size
 
             n_win = axis_size(mesh, "win")
-        use_csr = (K is not None and B % max(n_win, 1) == 0
-                   and all(req.aggregate_csr is not None for req, _, _ in take))
-        if use_csr:
+        dense_reason = None
+        if K is None:
+            dense_reason = "no_k"
+        elif B % max(n_win, 1) != 0:
+            dense_reason = "shape_misalign"
+        elif any(req.aggregate_csr is None for req, _, _ in take):
+            dense_reason = "no_csr_closure"
+        if dense_reason is None:
             futs = [self._agg_pool.submit(req.aggregate_csr, lo, hi)
                     for req, lo, hi in take]
             parts = [f.result() for f in futs]
@@ -238,7 +253,10 @@ class DeviceBatcher:
                                cat(xcnt_p, np.int32),
                                e_bucket=1024, p_bucket=32768, d_bucket=4096)
                 return ("csr", (ns,) + csr, overflow, lead, seed, last, row)
+            dense_reason = "csr_bailed"
 
+        self.stats.dense_reasons[dense_reason] = (
+            self.stats.dense_reasons.get(dense_reason, 0) + 1)
         # dense fallback: aggregate whole requests once; slice rows after
         uniq: Dict[int, Future] = {}
         for req, lo, hi in take:

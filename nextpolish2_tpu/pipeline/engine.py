@@ -88,6 +88,15 @@ def _chunk_b_k48() -> int:
 CHUNK_B_TIERS = {K_SMALL: _chunk_b_k8(), 48: _chunk_b_k48()}
 
 
+def chunk_b_tiers(fat_k: int) -> dict:
+    """CHUNK_B_TIERS with the fat tier guaranteed at the ACTUAL
+    cfg.max_kmers_per_col (window_ktiers returns {K_SMALL, K}); without
+    this, the NP2_CHUNK_B_K48 knob silently no-ops for K != 48 configs."""
+    t = dict(CHUNK_B_TIERS)
+    t.setdefault(int(fat_k), _chunk_b_k48())
+    return t
+
+
 def dispatch_chunk(agg: tuple, lead: np.ndarray, seed: np.ndarray,
                    last_col: np.ndarray, cwidth: int, ck: int, jput=None,
                    sharded: bool = False):
@@ -193,7 +202,8 @@ def plan_tiered_chunks(span_all: np.ndarray, ktier_all: np.ndarray,
     tier_b maps a K tier to a LARGER full-chunk batch (production: the K=8
     tier rides 512-lane chunks — the axon dispatch round trip is a fixed
     ~25 ms floor per chunk, so fewer/bigger dispatches win; the fat K tier
-    stays at chunk_b to bound its dense host aggregation buffers).
+    can too via NP2_CHUNK_B_K48 / chunk_b_tiers(), since CSR-direct
+    aggregation removed the dense-host-buffer bound that once pinned it).
 
     Only FULL chunks are emitted per tier; a K tier's leftovers first form
     full chunk_b chunks of their own (so a tier whose full_b is large, e.g.
@@ -398,7 +408,7 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
                     run_host_fallback(w)
 
         chunks = plan_tiered_chunks(span_all, ktier_all, tiers, CHUNK_B,
-                                    tier_b=CHUNK_B_TIERS if CHUNK_B >= 128
+                                    tier_b=chunk_b_tiers(K) if CHUNK_B >= 128
                                     else None)
 
         # software pipeline: aggregate + dispatch chunks ahead BEFORE

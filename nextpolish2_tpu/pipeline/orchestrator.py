@@ -45,6 +45,10 @@ class PolishStats:
     batches: int = 0
     batch_fill: float = 0.0
     csr_batches: int = 0  # batches shipped as CSR blobs (production upload)
+    # reason -> count for batches that fell back to the dense upload
+    # (no_k / shape_misalign / no_csr_closure / csr_bailed); empty when
+    # every batch shipped CSR-direct
+    dense_reasons: dict = field(default_factory=dict)
 
 
 def _pos_runs(out_path: str) -> List[tuple]:
@@ -343,6 +347,16 @@ def polish(fa_path: str, bam_path: str, yak_paths: Sequence[str],
             stats.batches = batcher.stats.batches
             stats.batch_fill = batcher.stats.fill
             stats.csr_batches = batcher.stats.csr_batches
+            stats.dense_reasons = dict(batcher.stats.dense_reasons)
+            if (stats.csr_batches < stats.batches
+                    and "no_csr_closure" not in stats.dense_reasons):
+                import sys as _sys
+
+                print("[np2] warning: %d/%d device batches fell back to the "
+                      "dense upload (%s) — CSR-direct is the production "
+                      "transfer path" % (
+                          stats.batches - stats.csr_batches, stats.batches,
+                          stats.dense_reasons), file=_sys.stderr)
     stats.seconds = time.time() - t_start
     return results
 

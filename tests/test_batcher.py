@@ -186,3 +186,43 @@ def test_batched_polish_csr_under_mesh(tmp_path):
     assert outs == base
     assert b.stats.batches > 0
     assert b.stats.csr_batches == b.stats.batches
+
+
+def test_dense_fallback_reason_accounting():
+    """A request without a CSR closure ships dense and the batcher records
+    WHY (VERDICT r3: silent CSR-eligibility degradation must be visible)."""
+    from nextpolish2_tpu.pipeline.batcher import _Request
+
+    b = DeviceBatcher(idle_flush_s=1.0)
+    try:
+        width, K, n = 256, 8, 4
+
+        def agg():
+            return (np.full((n, width, K), -1, np.int32),
+                    np.zeros((n, width, K), np.int32),
+                    np.zeros((n, width), np.int32),
+                    np.zeros((n, width), np.int32),
+                    np.zeros(n, bool))
+
+        req = _Request(n=n, aggregate=agg,
+                       lead=np.zeros(n, np.int64),
+                       seed=np.zeros(n, bool),
+                       last=np.full(n, width - 1, np.int32),
+                       aggregate_csr=None)
+        kind, *_ = b._aggregate((width, K), [(req, 0, n)])
+        assert kind == "dense"
+        assert b.stats.dense_reasons == {"no_csr_closure": 1}
+
+        def agg_csr(lo, hi):
+            return None  # native pass bailed
+
+        req2 = _Request(n=n, aggregate=agg,
+                        lead=np.zeros(n, np.int64),
+                        seed=np.zeros(n, bool),
+                        last=np.full(n, width - 1, np.int32),
+                        aggregate_csr=agg_csr)
+        kind, *_ = b._aggregate((width, K), [(req2, 0, n)])
+        assert kind == "dense"
+        assert b.stats.dense_reasons == {"no_csr_closure": 1, "csr_bailed": 1}
+    finally:
+        b.shutdown()

@@ -55,7 +55,12 @@ def main():
     tids, cwidth, ck, pad_b = max(chunks, key=lambda c: len(c[0]))
     ids = tiled[tids]
     csr = aggregate_csr_host(wb, ck, width=cwidth, n_windows=pad_b,
-                             win_idx=ids)[:-1]
+                             win_idx=ids)
+    if csr is None:
+        raise SystemExit("bench_bt: native library required "
+                         "(aggregate_csr_host returned None) — run "
+                         "sh nextpolish2_tpu/io/_native/build.sh")
+    csr = csr[:-1]
     lead = np.zeros(pad_b, np.int64)
     lead[: len(ids)] = lead_all[ids]
     seed = np.zeros(pad_b, bool)
