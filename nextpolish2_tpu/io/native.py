@@ -104,35 +104,53 @@ def load_obj():
 
 import threading
 
-_handles: dict = {}
+# np2_extract_begin3 stashes per-call state (v3_recs/bounds/this contig's
+# decompressed window) INSIDE the BamFile handle for np2_extract_fetch3 to
+# consume, so a handle serves one begin+fetch pair at a time. Indexed opens
+# are cheap (.bai/.np2idx: header parse + index load, no whole-file work), so
+# concurrent contig threads draw from a small per-path handle POOL instead of
+# serializing on one handle (round-3 bottleneck: 18-contig ingest was lock-
+# bound). Pool growth is capped; the first open of an index-less BAM pays the
+# one-time linear scan, later opens reuse the .np2idx it wrote.
 _handles_lock = threading.Lock()  # eager: a lazily-built lock is itself racy
-# np2_extract_begin3 stashes per-call state (v3_recs/v3_bounds/...) INSIDE the
-# BamFile handle for np2_extract_fetch3 to consume; concurrent contig threads
-# sharing the cached handle would trash it (heap corruption). One lock per
-# handle serializes begin+fetch pairs; the native pass is internally
-# multithreaded, so cross-thread ingest parallelism loses little.
-_extract_locks: dict = {}
+_pools: dict = {}  # path -> list of (handle, threading.Lock)
+_POOL_MAX = 8
 
 
 def _handle_for(bam_path: str):
-    """Cache the decompressed BAM across per-contig calls (one open per path)."""
+    """Acquire (handle, lock) for one begin+fetch pair; the LOCK IS TAKEN.
+    Callers must release it when the pair completes."""
     lib = load()
-    with _handles_lock:
-        h = _handles.get(bam_path)
-        if h is None:
+    while True:
+        with _handles_lock:
+            pool = _pools.setdefault(bam_path, [])
+            for h, lk in pool:
+                if lk.acquire(blocking=False):
+                    return h, lk
+            grow = len(pool) < _POOL_MAX
+        if grow:
             h = lib.np2_open(bam_path.encode())
             if not h:
                 raise RuntimeError(f"np2_open failed for {bam_path}")
-            _handles[bam_path] = h
-            _extract_locks[bam_path] = threading.Lock()
-    return h, _extract_locks[bam_path]
+            lk = threading.Lock()
+            lk.acquire()
+            with _handles_lock:
+                _pools.setdefault(bam_path, []).append((h, lk))
+            return h, lk
+        # pool at cap and all busy: wait on the least-recent lock
+        with _handles_lock:
+            h, lk = _pools[bam_path][0]
+        lk.acquire()
+        return h, lk
 
 
 def close_handles() -> None:
     lib = load()
-    for h in _handles.values():
-        lib.np2_close(ctypes.c_void_p(h))
-    _handles.clear()
+    with _handles_lock:
+        for pool in _pools.values():
+            for h, _ in pool:
+                lib.np2_close(ctypes.c_void_p(h))
+        _pools.clear()
 
 
 def available() -> bool:
@@ -176,7 +194,8 @@ def _p(a: np.ndarray, ct):
 
 
 def extract_contig_native(bam_path: str, tid: int, tseq_codes: np.ndarray,
-                          cfg, n_threads: int = 4) -> Optional[tuple]:
+                          cfg, n_threads: int = 4,
+                          lead_room: int = 0) -> Optional[tuple]:
     """Native per-contig extraction -> (t_pos i32, key i32, read_start i64,
     aln_bounds [nr,2] i64, clip_flags u8) flat arrays, or None if the library
     is unavailable.
@@ -186,23 +205,27 @@ def extract_contig_native(bam_path: str, tid: int, tseq_codes: np.ndarray,
     kept records and emits tag streams directly into these buffers — no native
     staging copies (first-touch page faults are the scarce resource on the
     target VMs). Matches build_alignseqs + kmer_stream for the read alignments
-    (the ref pseudo-alignment alignseqs[0] is added by the caller)."""
+    (the ref pseudo-alignment alignseqs[0] is added by the caller).
+
+    lead_room > 0 over-allocates t_pos/key with that many leading entries and
+    returns VIEWS offset past them (view.base is the full buffer): the caller
+    writes the ref pseudo-alignment stream in front so the whole-contig
+    stream needs no later concatenation copy."""
     lib = load()
     if lib is None:
         return None
-    handle, hlock = _handle_for(bam_path)
+    handle, hlock = _handle_for(bam_path)  # lock held for the begin+fetch pair
     stream_n = ctypes.c_int64(0)
     reads_n = ctypes.c_int64(0)
-    hlock.acquire()  # begin3 state lives in the handle until fetch3 reads it
     try:
         return _extract_contig_locked(lib, handle, tid, tseq_codes, cfg,
-                                      n_threads, stream_n, reads_n)
+                                      n_threads, stream_n, reads_n, lead_room)
     finally:
         hlock.release()
 
 
 def _extract_contig_locked(lib, handle, tid, tseq_codes, cfg, n_threads,
-                           stream_n, reads_n):
+                           stream_n, reads_n, lead_room=0):
     rc = lib.np2_extract_begin3(
         ctypes.c_void_p(handle), ctypes.c_int32(tid),
         _p(tseq_codes, ctypes.c_uint8), ctypes.c_int64(len(tseq_codes)),
@@ -224,8 +247,8 @@ def _extract_contig_locked(lib, handle, tid, tseq_codes, cfg, n_threads,
     per_entry = int(os.environ.get("NP2_PREFAULT_PER_ENTRY", "48"))
     if ns and per_entry:
         prefault(ns * per_entry, 8)
-    t_pos = np.empty(ns, dtype=np.int32)
-    key = np.empty(ns, dtype=np.int32)
+    t_pos = np.empty(lead_room + ns, dtype=np.int32)[lead_room:]
+    key = np.empty(lead_room + ns, dtype=np.int32)[lead_room:]
     read_start = np.empty(nr, dtype=np.int64)
     aln_bounds = np.empty(2 * nr, dtype=np.int64)
     clip_flags = np.empty(nr, dtype=np.uint8)

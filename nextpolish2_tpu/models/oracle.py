@@ -59,30 +59,64 @@ def build_alignseqs_native(bam_path: str, tid: int, tseq: bytes,
     Produces the same AlignTags as build_alignseqs, with kmer keys cached
     (each AlignTags is a view into one contiguous contig stream; `delta`
     derives lazily from t_pos)."""
+    res = build_alignseqs_native_flat(bam_path, tid, tseq, cfg)
+    return None if res is None else res[0]
+
+
+def build_alignseqs_native_flat(bam_path: str, tid: int, tseq: bytes,
+                                cfg: PolishConfig) -> Optional[tuple]:
+    """build_alignseqs_native + the whole-contig flat stream, zero-copy.
+
+    Returns (alignseqs, flat) where flat = {"t", "k", "q": i32/i32/u8 arrays
+    of the FULL stream (ref pseudo-alignment first, then every kept read in
+    BAM order — exactly the alignseqs order, dropped reads included),
+    "aoff": i64 exclusive offsets per alignseq}. The ref stream is written
+    into lead_room the extraction pass left in front of the read stream, so
+    neither the window planner (_collect_stream) nor allele extraction
+    (ea_concat) pays the ~400 MB/contig re-concatenation the round-3 profile
+    charged them (stream_collect 185 s + extract glue 170 s on the 92 Mb
+    run)."""
     from ..io.native import extract_contig_native
+    from .oracle_msa import kmer_stream
 
     tseq_codes = ASCII2CODE[np.frombuffer(tseq, dtype=np.uint8)]
-    res = extract_contig_native(bam_path, tid, tseq_codes, cfg)
+    nref = len(tseq_codes)
+    res = extract_contig_native(bam_path, tid, tseq_codes, cfg,
+                                lead_room=nref)
     if res is None:
         return None
     t_pos, key, read_start, bounds, clips = res
     n = len(t_pos)
+    t_full = t_pos.base if t_pos.base is not None else t_pos
+    k_full = key.base if key.base is not None else key
+    assert len(t_full) == nref + n
+    # ref pseudo-alignment stream in front (reference main.rs:1732-1739)
+    t_full[:nref] = np.arange(nref, dtype=np.int32)
+    rk = kmer_stream(ref_as_tags(tseq_codes))[1]
+    k_full[:nref] = rk.astype(np.uint32).view(np.int32)
     # out= + unsafe cast: `(key & 0xF).astype(u8)` would materialize a 4-byte
     # temp of the whole contig stream (first-touch page faults are ~4-40 MB/s
     # on the target VMs — that temp alone cost minutes at 138M entries)
-    q_base = np.empty(n, dtype=np.uint8)
-    np.bitwise_and(key, 0xF, out=q_base, casting="unsafe")
+    q_full = np.empty(nref + n, dtype=np.uint8)
+    np.bitwise_and(k_full, 0xF, out=q_full, casting="unsafe")
 
-    alignseqs: List[AlignTags] = [ref_as_tags(tseq_codes)]
+    ref_tags = AlignTags(aln_t_s=0, aln_t_e=nref - 1, t_pos=t_full[:nref],
+                         q_base=q_full[:nref], kkey=k_full[:nref])
+    alignseqs: List[AlignTags] = [ref_tags]
     ends = np.append(read_start[1:], n)
     for i in range(len(read_start)):
         s, e = int(read_start[i]), int(ends[i])
         alignseqs.append(AlignTags(
             aln_t_s=int(bounds[i, 0]), aln_t_e=int(bounds[i, 1]),
-            t_pos=t_pos[s:e], q_base=q_base[s:e],
+            t_pos=t_pos[s:e], q_base=q_full[nref + s:nref + e],
             clip_label=bool(clips[i]), kkey=key[s:e]))
     filter_by_clip(alignseqs, cfg)
-    return alignseqs
+    aoff = np.empty(len(alignseqs) + 1, dtype=np.int64)
+    aoff[0] = 0
+    aoff[1] = nref
+    aoff[2:] = nref + np.append(read_start[1:], n)
+    flat = {"t": t_full, "k": k_full, "q": q_full, "aoff": aoff}
+    return alignseqs, flat
 
 
 def polish_contig(tseq: bytes, records: Sequence[BamRecord],

@@ -513,17 +513,26 @@ def polish_contig_tpu(tseq: bytes, records: Sequence[BamRecord],
     tables = sorted(tables, key=lambda t: t.ksize)
     ref_codes = ASCII2CODE[np.frombuffer(tseq, dtype=np.uint8)]
     alignseqs = None
+    flat = None
     with stage("ingest_alignseqs"):
         if native is not None:
-            from ..models.oracle import build_alignseqs_native
+            from ..models.oracle import build_alignseqs_native_flat
 
-            alignseqs = build_alignseqs_native(native[0], native[1], tseq, cfg)
+            res = build_alignseqs_native_flat(native[0], native[1], tseq, cfg)
+            if res is not None:
+                alignseqs, flat = res
         if alignseqs is None:
             alignseqs = build_alignseqs(tseq, records, cfg)
 
     saved_drops = [a.dropped for a in alignseqs]
     try:
         stream_cache: dict = {}
+        if flat is not None:
+            # whole-contig flat stream (ref first): the window planner sorts
+            # it directly and allele extraction reuses it as ea_concat —
+            # no per-read re-concatenation (oracle.build_alignseqs_native_flat)
+            stream_cache["flat_all"] = flat
+            stream_cache["ea_concat"] = (flat["t"], flat["q"], flat["aoff"])
         for i in range(cfg.iter_count):
             out_cns = i + 1 == cfg.iter_count
             pos, base, qv, lowcov = device_consensus_stream(

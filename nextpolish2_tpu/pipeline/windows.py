@@ -521,23 +521,42 @@ def build_window_batch(alignseqs: List[AlignTags], n_pos: int,
     from ..io.native import sort_stream_native
     from ..utils.timing import stage
 
+    def _filter_cached():
+        """Drop-mask filter of the cached sorted stream (stable; used by
+        every iteration after the first sort when the cache holds reads the
+        current iteration excludes)."""
+        from ..io.native import filter_stream_native
+
+        drop = np.array([a.dropped or len(a) == 0 for a in alignseqs])
+        if not drop.any():
+            return stream_cache["t_sorted"], stream_cache["k_sorted"]
+        res = filter_stream_native(stream_cache["t_sorted"],
+                                   stream_cache["k_sorted"],
+                                   stream_cache["rid_sorted"], drop)
+        if res is not None:
+            return res
+        keep = ~drop[stream_cache["rid_sorted"]]
+        return (stream_cache["t_sorted"][keep],
+                stream_cache["k_sorted"][keep])
+
     if stream_cache is not None and "t_sorted" in stream_cache:
         with stage("stream_filter_iter2"):
-            from ..io.native import filter_stream_native
-
-            drop = np.array([a.dropped or len(a) == 0 for a in alignseqs])
-            res = filter_stream_native(stream_cache["t_sorted"],
-                                       stream_cache["k_sorted"],
-                                       stream_cache["rid_sorted"], drop)
-            if res is not None:
-                t_sorted, k_sorted = res
-            else:
-                keep = ~drop[stream_cache["rid_sorted"]]
-                t_sorted = stream_cache["t_sorted"][keep]
-                k_sorted = stream_cache["k_sorted"][keep]
+            t_sorted, k_sorted = _filter_cached()
     else:
+        from_flat_all = False
         with stage("stream_collect"):
-            if flat_stream is not None:
+            if stream_cache is not None and "flat_all" in stream_cache:
+                # zero-copy whole-contig stream from the native ingest (ref
+                # pseudo-alignment first, every read in BAM order INCLUDING
+                # clip-dropped ones — the post-sort filter below removes
+                # them, exactly like iteration 2 removes phased-out reads)
+                fa = stream_cache["flat_all"]
+                t_all, k_all = fa["t"], fa["k"]
+                lens = np.diff(fa["aoff"])
+                rid_all = np.repeat(
+                    np.arange(len(lens), dtype=np.int32), lens)
+                from_flat_all = True
+            elif flat_stream is not None:
                 t_all, k_all, rid_all = flat_stream
             else:
                 t_all, k_all, rid_all = _collect_stream(alignseqs)
@@ -562,6 +581,11 @@ def build_window_batch(alignseqs: List[AlignTags], n_pos: int,
             stream_cache["t_sorted"] = t_sorted
             stream_cache["k_sorted"] = k_sorted
             stream_cache["rid_sorted"] = rid_sorted
+        if from_flat_all:
+            # the cache includes clip-dropped reads: filter them out for
+            # THIS iteration too (stable, so slot order is unchanged)
+            with stage("stream_filter_iter1"):
+                t_sorted, k_sorted = _filter_cached()
 
     with stage("find_anchors"):
         from ..io.native import find_anchors_native
