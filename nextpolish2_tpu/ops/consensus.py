@@ -571,23 +571,32 @@ def dp_backtrack_sparse(dense_key, dense_cnt, coverage, overflow,
                         use_pallas=use_pallas)
 
 
-def assemble_csr(ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt,
+def assemble_csr(ns_u8, keylo, clo, dgap, dval, eidx, xkey, xcnt,
                  B: int, W: int, K: int, win_lo=None, Bl: int = 0):
     """Rebuild the dense key/count tables + per-column coverage from the flat
     CSR upload (see dp_backtrack_csr). Trace-time code — called inside the
     jitted dispatch; factored out so tests can bit-compare the assembled
     tables against the host aggregation's. Deltas arrive as a sparse sidecar
-    (didx/dval) scattered over the 3-byte main stream; full exceptions
-    overwrite afterwards, so a byte-clamped sidecar delta on an exception
-    entry is harmless.
+    scattered over the 3-byte main stream — GAP-ENCODED (dgap u16,
+    pipeline.windows.encode_dgap: didx = cumsum(dgap) - 1; entries with
+    dval == 0 are escapes/padding, remapped past the stream and dropped) —
+    full exceptions overwrite afterwards, so a byte-clamped sidecar delta on
+    an exception entry is harmless.
 
     win_lo/Bl: assemble only the LOCAL window range [win_lo, win_lo + Bl)
     into [Bl, W, K] tables (the mesh-sharded dispatch; win_lo is traced).
     Scatter hints: the entry stream is (window, column, slot)-ordered, so
     indices are unique and — in the global case, where padding maps past the
-    end — sorted; didx is sorted unique; eidx unique (the native exception
-    list is thread-interleaved, so not sorted)."""
+    end — sorted; decoded didx is unique (real deltas strictly increase;
+    escape/pad remap targets are distinct past-the-end) but NOT sorted after
+    the remap; eidx unique (the native exception list is thread-interleaved,
+    so not sorted)."""
     P = keylo.shape[0]
+    Pd = dgap.shape[0]
+    didx = jnp.where(
+        dval > 0,
+        jnp.cumsum(dgap.astype(jnp.int32)) - 1,
+        P + jnp.arange(Pd, dtype=jnp.int32))
     local = win_lo is not None
     if not local:
         win_lo, Bl = 0, B
@@ -609,7 +618,6 @@ def assemble_csr(ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt,
                     | (clo.astype(jnp.uint32) << 24))
         packed_e = packed_e.at[didx].add(dval.astype(jnp.uint32) << 16,
                                          mode="drop",
-                                         indices_are_sorted=True,
                                          unique_indices=True)
     elif not narrow:
         # entry-stream prep for the i32 formulations: deltas + exceptions
@@ -617,7 +625,6 @@ def assemble_csr(ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt,
         key_e = keylo.astype(jnp.int32)
         cnt_e = clo.astype(jnp.int32)
         key_e = key_e.at[didx].add(dval.astype(jnp.int32) << 16, mode="drop",
-                                   indices_are_sorted=True,
                                    unique_indices=True)
         key_e = key_e.at[eidx].set(xkey, mode="drop", unique_indices=True)
         cnt_e = cnt_e.at[eidx].set(xcnt, mode="drop", unique_indices=True)
@@ -718,17 +725,17 @@ def assemble_csr(ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt,
 
 @functools.partial(jax.jit,
                    static_argnames=("B", "W", "K", "max_steps", "use_pallas"))
-def dp_backtrack_csr(ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt,
+def dp_backtrack_csr(ns_u8, keylo, clo, dgap, dval, eidx, xkey, xcnt,
                      overflow, lead_abs, seed_anchor, last_col,
                      B: int, W: int, K: int, max_steps: int,
                      use_pallas: bool = False):
     """Fused DP + backtrack from the flat CSR upload (pipeline.windows.
     split_csr): ONE entry stream of real slots (3 bytes each: key_lo u16 +
-    count u8; nonzero deltas ride the sparse didx/dval sidecar) ordered by
-    (window, column, slot), plus per-column slot counts (u8) — no dense
-    planes, no coverage upload (recomputed here from the assembled table:
-    coverage = sum of counts whose key flag bit0 is clear, i.e. b3-delta ==
-    0; kmer.rs coverage semantics / main.rs:241).
+    count u8; nonzero deltas ride the sparse gap-encoded dgap/dval sidecar)
+    ordered by (window, column, slot), plus per-column slot counts (u8) — no
+    dense planes, no coverage upload (recomputed here from the assembled
+    table: coverage = sum of counts whose key flag bit0 is clear, i.e.
+    b3-delta == 0; kmer.rs coverage semantics / main.rs:241).
 
     Assembly is pure vectorized XLA: the entry->column mapping inverts the
     cumsum of slot counts with one scatter-add + cumsum (colid[e] = #{columns
@@ -736,7 +743,7 @@ def dp_backtrack_csr(ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt,
     [B, W, K] table. Entry padding resolves to colid == B*W and
     delta/exception padding to index P; both drop. Bit-exact vs the dense
     dispatch."""
-    key, cnt, coverage = assemble_csr(ns_u8, keylo, clo, didx, dval, eidx,
+    key, cnt, coverage = assemble_csr(ns_u8, keylo, clo, dgap, dval, eidx,
                                       xkey, xcnt, B, W, K)
     tables = SlotTables(key=key, count=cnt, coverage=coverage,
                         n_slots=None, overflow=overflow)
@@ -811,8 +818,9 @@ def nibble_ns_for(B: int, W: int, K: int) -> bool:
 
 def _parse_csr_blob(blob, B: int, W: int, K: int, P: int, Pd: int, Pe: int):
     """THE blob parser (single- and mesh-sharded dispatch share it; layout:
-    pipeline.windows.pack_csr_blob). Returns (ns_u8 [B, W], keylo, clo, didx,
-    dval, eidx, xkey, xcnt, lead, seed, last_col); trace-time."""
+    pipeline.windows.pack_csr_blob). Returns (ns_u8 [B, W], keylo, clo, dgap,
+    dval, eidx, xkey, xcnt, lead, seed, last_col); trace-time. dgap is the
+    RAW u16 gap stream (encode_dgap) — assemble_csr decodes it."""
     o = [0]
 
     def take(n: int):
@@ -827,7 +835,7 @@ def _parse_csr_blob(blob, B: int, W: int, K: int, P: int, Pd: int, Pe: int):
         ns_u8 = take(B * W).reshape(B, W)
     keylo = _le16u(take(2 * P))
     clo = take(P)
-    didx = _le32i(take(4 * Pd))
+    dgap = _le16u(take(2 * Pd))
     dval = take(Pd)
     eidx = _le32i(take(4 * Pe))
     xkey = _le32i(take(4 * Pe))
@@ -838,7 +846,7 @@ def _parse_csr_blob(blob, B: int, W: int, K: int, P: int, Pd: int, Pe: int):
     # trace-time layout check: a packer/parser drift would otherwise shift
     # every field silently
     assert o[0] == blob.shape[0],         f"CSR blob layout mismatch: parsed {o[0]} of {blob.shape[0]} bytes"
-    return (ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt,
+    return (ns_u8, keylo, clo, dgap, dval, eidx, xkey, xcnt,
             lead, seed, last_col)
 
 
@@ -855,10 +863,10 @@ def dp_backtrack_csr_blob(blob, B: int, W: int, K: int, P: int, Pd: int,
     fused elementwise work on device. For K < 16 tiers the per-column slot
     counts arrive nibble-packed (two columns per byte). Bit-exact vs
     dp_backtrack_csr."""
-    (ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt,
+    (ns_u8, keylo, clo, dgap, dval, eidx, xkey, xcnt,
      lead, seed, last_col) = _parse_csr_blob(blob, B, W, K, P, Pd, Pe)
     out, lvl = dp_backtrack_csr(
-        ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt,
+        ns_u8, keylo, clo, dgap, dval, eidx, xkey, xcnt,
         jnp.zeros(B, bool), lead, seed, last_col,
         B=B, W=W, K=K, max_steps=max_steps, use_pallas=use_pallas)
     return pack_backtrack_out(out, lvl)
@@ -902,11 +910,11 @@ def dp_backtrack_csr_blob_sharded(blob, mesh, B: int, W: int, K: int,
     Bl = B // n_win
 
     def shard_fn(blob):
-        (ns_u8, keylo, clo, didx, dval, eidx, xkey, xcnt,
+        (ns_u8, keylo, clo, dgap, dval, eidx, xkey, xcnt,
          lead, seed, last_col) = _parse_csr_blob(blob, B, W, K, P, Pd, Pe)
         win_lo = jax.lax.axis_index("win").astype(jnp.int32) * Bl
         # local assembly: only this shard's window range lands in the table
-        key, cnt, coverage = assemble_csr(ns_u8, keylo, clo, didx, dval,
+        key, cnt, coverage = assemble_csr(ns_u8, keylo, clo, dgap, dval,
                                           eidx, xkey, xcnt, B=B, W=W, K=K,
                                           win_lo=win_lo, Bl=Bl)
         sl = lambda x: jax.lax.dynamic_slice_in_dim(x, win_lo, Bl)  # noqa: E731

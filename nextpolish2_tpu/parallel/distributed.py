@@ -104,16 +104,23 @@ def merge_shards(out_path: str, n_hosts: int, contig_names: List[str],
 def finalize_shards(out_path: str, shard: HostShard, fa_path: str,
                     out_pos: bool = False,
                     timeout_s: Optional[float] = None) -> bool:
-    """Multi-host completion barrier + host-0 auto-merge (over the shared
-    filesystem the shard files already require).
+    """Multi-host completion barrier + host-0 auto-merge.
+
+    REQUIRES A SHARED FILESYSTEM (NFS/GCS-fuse/Lustre — whatever already
+    hosts the shard files): the sentinels and shards of every host must be
+    visible to host 0 at `out_path`'s directory. Without one, set
+    NP2_NO_AUTOMERGE=1 and run tools/merge_shards.py after copying shards
+    to one machine.
 
     Every host drops a `<out>.shard<h>.done` sentinel when its shard is
-    complete; host 0 waits for all sentinels, then merges the shards into
-    `out_path` in input contig order (merge_shards) and removes the
-    sentinels. Shard files are kept (crash forensics; cheap). Returns True
-    on the host that wrote the merged output. Timeout (default env
+    complete; host 0 waits for all sentinels (logging the pending host set
+    to stderr every NP2_MERGE_LOG_S seconds, default 60), then merges the
+    shards into `out_path` in input contig order (merge_shards) and removes
+    the sentinels. Shard files are kept (crash forensics; cheap). Returns
+    True on the host that wrote the merged output. Timeout (default env
     NP2_MERGE_TIMEOUT_S or 86400) raises — silently shipping a partial
     assembly is worse than failing loudly."""
+    import sys
     import time
 
     if shard.n_hosts <= 1:
@@ -125,14 +132,22 @@ def finalize_shards(out_path: str, shard: HostShard, fa_path: str,
         return False
     if timeout_s is None:
         timeout_s = float(os.environ.get("NP2_MERGE_TIMEOUT_S", "86400"))
+    log_every = float(os.environ.get("NP2_MERGE_LOG_S", "60"))
     t0 = time.time()
+    next_log = t0 + log_every
     pending = set(range(shard.n_hosts))
     while pending:
         pending = {h for h in pending
                    if not os.path.exists(f"{out_path}.shard{h}.done")}
         if not pending:
             break
-        if time.time() - t0 > timeout_s:
+        now = time.time()
+        if now >= next_log:
+            print(f"[np2] finalize_shards: waiting on host(s) "
+                  f"{sorted(pending)} ({now - t0:.0f}s elapsed)",
+                  file=sys.stderr, flush=True)
+            next_log = now + log_every
+        if now - t0 > timeout_s:
             raise TimeoutError(
                 f"finalize_shards: hosts {sorted(pending)} incomplete after "
                 f"{timeout_s:.0f}s (no .done sentinel)")

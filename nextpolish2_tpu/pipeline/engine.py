@@ -501,11 +501,17 @@ def polish_contig_tpu(tseq: bytes, records: Sequence[BamRecord],
                       tables: Sequence[KmerTable],
                       cfg: Optional[PolishConfig] = None,
                       fallback: bool = True,
-                      native: Optional[tuple] = None) -> Consensus:
+                      native: Optional[tuple] = None,
+                      pre_ingest=None) -> Consensus:
     """TPU-path per-contig polish; output matches models.oracle.polish_contig.
 
     native: optional (bam_path, tid) to ingest via the C++ fast path
     (io/_native) instead of the `records` list.
+    pre_ingest: optional Future (or plain tuple) carrying an ALREADY-RUN
+    build_alignseqs_native_flat result for this contig — the orchestrator's
+    one-contig lookahead overlaps the next contig's BAM ingest with the
+    current contig's device work (reference input-thread prefetch,
+    main.rs:1703-1715).
     """
     cfg = cfg or PolishConfig()
     if len(tseq) < cfg.min_ctg_len:
@@ -515,7 +521,12 @@ def polish_contig_tpu(tseq: bytes, records: Sequence[BamRecord],
     alignseqs = None
     flat = None
     with stage("ingest_alignseqs"):
-        if native is not None:
+        if pre_ingest is not None:
+            res = (pre_ingest.result() if hasattr(pre_ingest, "result")
+                   else pre_ingest)
+            if res is not None:
+                alignseqs, flat = res
+        if alignseqs is None and native is not None:
             from ..models.oracle import build_alignseqs_native_flat
 
             res = build_alignseqs_native_flat(native[0], native[1], tseq, cfg)

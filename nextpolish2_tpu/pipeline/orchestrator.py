@@ -268,7 +268,7 @@ def polish(fa_path: str, bam_path: str, yak_paths: Sequence[str],
     results: List[PolishedContig] = []
     stats = stats if stats is not None else PolishStats()
 
-    def run_one(name: str, seq: bytes):
+    def run_one(name: str, seq: bytes, pre=None):
         t_contig = time.time()
         if len(seq) >= (1 << 32):
             raise ValueError(f"{name} is too long!")  # main.rs:1707-1711
@@ -281,7 +281,8 @@ def polish(fa_path: str, bam_path: str, yak_paths: Sequence[str],
             native = (bam_path, tid) if (use_native and tid is not None) else None
             if engine == "tpu":
                 from .engine import polish_contig_tpu
-                cb = polish_contig_tpu(seq, recs, tables, cfg, native=native)
+                cb = polish_contig_tpu(seq, recs, tables, cfg, native=native,
+                                       pre_ingest=pre)
             else:
                 cb = polish_contig(seq, recs, tables, cfg)
             passthrough = False
@@ -333,6 +334,32 @@ def polish(fa_path: str, bam_path: str, yak_paths: Sequence[str],
                         for name, seq in todo]
                 for name, seq, fut in futs:
                     cb, passthrough, dt = fut.result()
+                    finish(name, seq, cb, passthrough, dt)
+        elif engine == "tpu" and use_native and len(todo) > 1:
+            # one-contig lookahead at -t 1 (reference input-thread prefetch,
+            # main.rs:1703-1715): the NEXT contig's BAM ingest — the native
+            # extraction at the front of the per-contig pipeline — runs on a
+            # helper thread while the current contig occupies the device, so
+            # few-large-contig assemblies don't serialize ingest behind DP.
+            # Bounded memory: at most ONE extra contig's stream is resident.
+            from concurrent.futures import ThreadPoolExecutor
+
+            from ..models.oracle import build_alignseqs_native_flat
+
+            def _pre_ingest(name: str, seq: bytes):
+                tid = name_to_tid.get(name)
+                if tid is None or len(seq) < cfg.min_ctg_len:
+                    return None
+                return build_alignseqs_native_flat(bam_path, tid, seq, cfg)
+
+            with ThreadPoolExecutor(max_workers=1) as pre_pool:
+                pre_futs: Dict[int, object] = {}
+                for i, (name, seq) in enumerate(todo):
+                    if i + 1 < len(todo):
+                        pre_futs[i + 1] = pre_pool.submit(
+                            _pre_ingest, *todo[i + 1])
+                    cb, passthrough, dt = run_one(
+                        name, seq, pre=pre_futs.pop(i, None))
                     finish(name, seq, cb, passthrough, dt)
         else:
             for name, seq in todo:

@@ -352,12 +352,40 @@ def split_csr(key_tab: np.ndarray, cnt_tab: np.ndarray,
                                e_bucket, p_bucket, d_bucket)
 
 
+def encode_dgap(didx: np.ndarray, dval: np.ndarray) -> tuple:
+    """Gap-encode the sorted-unique delta index list as u16 gaps (the i32
+    didx was 4 bytes/entry of pure upload weight — ~6% of a fat K-tier
+    chunk's blob): device-side `didx = cumsum(dgap) - 1`. Gaps > 0xFFFF are
+    escape-walked with (gap=0xFFFF, dval=0) no-op entries. Real entries
+    always carry dval >= 1 — didx indexes NONZERO deltas by construction
+    (split_csr / aggregate_csr_parts) — so the device separates escapes and
+    bucket padding (dval == 0 -> remapped past the entry stream, dropped)
+    from real deltas without a flag bit. Returns (dgap u16, dval u8),
+    unpadded."""
+    n = len(didx)
+    if n == 0:
+        return np.zeros(0, np.uint16), np.zeros(0, np.uint8)
+    gaps = np.diff(didx.astype(np.int64), prepend=-1)  # first = didx[0] + 1
+    n_esc = (gaps - 1) // 0xFFFF  # per-entry escapes; 0 when gap <= 0xFFFF
+    total = n + int(n_esc.sum())
+    out_g = np.full(total, 0xFFFF, np.uint16)
+    out_v = np.zeros(total, np.uint8)
+    at = (np.cumsum(n_esc + 1) - 1).astype(np.int64)  # real entries' slots
+    out_g[at] = (gaps - n_esc * 0xFFFF).astype(np.uint16)
+    out_v[at] = dval
+    return out_g, out_v
+
+
 def _pad_csr(keylo, clo, didx, dval, eidx, xkey, xcnt,
              e_bucket: int, p_bucket: int, d_bucket: int) -> tuple:
     """Bucket-pad the CSR streams to pow2 static shapes (each distinct
-    (P, Pd, Pe) is one more device compile). Entry padding is dropped on
-    device by resolving to column id B*W; index-list padding points past the
-    entry stream (index P) and drops in the scatter."""
+    (P, Pd, Pe) is one more device compile) and gap-encode the delta index
+    list (encode_dgap — the SINGLE choke point between aggregation and
+    dispatch, so split_csr, the native CSR-direct path and the batcher's
+    part merge all ship the same u16-gap format). Entry padding is dropped
+    on device by resolving to column id B*W; exception index padding points
+    past the entry stream (index P) and drops in the scatter; dgap padding
+    is (0, 0) — dval == 0 marks it dropped on device (see encode_dgap)."""
     from ..utils.jaxcfg import bucket_pow2
 
     E = len(keylo)
@@ -366,14 +394,13 @@ def _pad_csr(keylo, clo, didx, dval, eidx, xkey, xcnt,
         pad = P - E
         keylo = np.concatenate([keylo, np.zeros(pad, np.uint16)])
         clo = np.concatenate([clo, np.zeros(pad, np.uint8)])
-    Pd = bucket_pow2(max(len(didx), 1), d_bucket)
-    if Pd > len(didx):
-        pad = Pd - len(didx)
-        # DISTINCT past-the-end indices (P, P+1, ...): all dropped on device,
-        # and the scatter's unique_indices=True contract holds
-        didx = np.concatenate([didx,
-                               P + np.arange(pad, dtype=np.int32)])
+    dgap, dval = encode_dgap(didx, dval)
+    Pd = bucket_pow2(max(len(dgap), 1), d_bucket)
+    if Pd > len(dgap):
+        pad = Pd - len(dgap)
+        dgap = np.concatenate([dgap, np.zeros(pad, np.uint16)])
         dval = np.concatenate([dval, np.zeros(pad, np.uint8)])
+    didx = dgap
     Pe = bucket_pow2(max(len(eidx), 1), e_bucket)
     if Pe > len(eidx):
         pad = Pe - len(eidx)
@@ -433,7 +460,7 @@ def aggregate_csr_parts(wb: "WindowBatch", K: int, width: int,
 
 
 def pack_csr_blob(ns_u8: np.ndarray, keylo: np.ndarray, clo: np.ndarray,
-                  didx: np.ndarray, dval: np.ndarray, eidx: np.ndarray,
+                  dgap: np.ndarray, dval: np.ndarray, eidx: np.ndarray,
                   xkey: np.ndarray, xcnt: np.ndarray, lead: np.ndarray,
                   seed: np.ndarray, last_col: np.ndarray,
                   nibble_ns: bool = False) -> np.ndarray:
@@ -444,7 +471,7 @@ def pack_csr_blob(ns_u8: np.ndarray, keylo: np.ndarray, clo: np.ndarray,
     device (ops.consensus.dp_backtrack_csr_blob). Layout, all sizes static
     given (B, W, P, Pd, Pe): ns u8[B*W] (or nibble-packed u8[B*W/2] when
     nibble_ns — slot counts <= K < 16 fit a nibble, the dominant K=8 tier) |
-    keylo u16[P] | clo u8[P] | didx i32[Pd] | dval u8[Pd] | eidx i32[Pe] |
+    keylo u16[P] | clo u8[P] | dgap u16[Pd] | dval u8[Pd] | eidx i32[Pe] |
     xkey i32[Pe] | xcnt i32[Pe] | lead i32[B] | seed u8[B] | last_col i32[B].
     The host overflow flags are NOT shipped — the device never reads them
     (harvest consumes the host copy)."""
@@ -455,7 +482,7 @@ def pack_csr_blob(ns_u8: np.ndarray, keylo: np.ndarray, clo: np.ndarray,
         ns_flat,
         np.ascontiguousarray(keylo).view(np.uint8),
         clo.view(np.uint8),
-        np.ascontiguousarray(didx).view(np.uint8),
+        np.ascontiguousarray(dgap).view(np.uint8),
         dval.view(np.uint8),
         np.ascontiguousarray(eidx).view(np.uint8),
         np.ascontiguousarray(xkey).view(np.uint8),

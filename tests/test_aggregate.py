@@ -533,3 +533,37 @@ def test_pack_decode_backtrack_words_roundtrip():
     exp_cols = (last_col[:, None]
                 - (np.cumsum(dec, axis=1) - dec)).astype(np.uint16)
     np.testing.assert_array_equal(cols_r, exp_cols)
+
+
+def test_encode_dgap_roundtrip_with_escapes():
+    """Gap-encoded delta sidecar (u16 gaps, escape entries for gaps > 0xFFFF)
+    decodes back to exactly the original sorted-unique index list via the
+    device rule didx = cumsum(dgap) - 1, dval == 0 dropped. Exercises the
+    escape path real chunks almost never hit (a 65k+ run without deltas)."""
+    from nextpolish2_tpu.pipeline.windows import encode_dgap
+
+    def decode(dgap, dval):
+        cum = np.cumsum(dgap.astype(np.int64))
+        real = dval > 0
+        return cum[real] - 1, dval[real]
+
+    rng = np.random.default_rng(5)
+    cases = [
+        np.array([], np.int64),                      # no deltas
+        np.array([0], np.int64),                     # first entry
+        np.array([70000], np.int64),                 # escape at the front
+        np.array([65534, 65535, 65536, 131071, 131072, 500000], np.int64),
+        np.sort(rng.choice(2_000_000, size=300, replace=False)),
+        np.arange(50),                               # dense run
+    ]
+    for didx in cases:
+        didx = didx.astype(np.int32)
+        dval = rng.integers(1, 256, size=len(didx)).astype(np.uint8)
+        dgap, dv = encode_dgap(didx, dval)
+        assert dgap.dtype == np.uint16 and dv.dtype == np.uint8
+        rid, rval = decode(dgap, dv)
+        np.testing.assert_array_equal(rid, didx.astype(np.int64))
+        np.testing.assert_array_equal(rval, dval)
+        # escapes only where gaps demanded them
+        gaps = np.diff(didx.astype(np.int64), prepend=-1)
+        assert len(dgap) == len(didx) + int(((gaps - 1) // 0xFFFF).sum())
