@@ -66,12 +66,15 @@ def _host_task(args):
 
 def e2e_polish_seconds(n_runs: int = 2):
     """Full-pipeline wall time on the 100 kb contig; run n_runs times and
-    return (last run's seconds, stage->seconds table of that run). The
-    stage table is the regression guard for the NON-DP stages (k-mer
-    scoring, allele extract, splice/recheck, phasing) that the headline
-    windows/s metric does not cover."""
+    return (last run's seconds, stage->seconds table of that run, the REAL
+    long-allele scoring jobs recorded during the steady run — the honest
+    input for the device k-mer scorer A/B below). The stage table is the
+    regression guard for the NON-DP stages (k-mer scoring, allele extract,
+    splice/recheck, phasing) that the headline windows/s metric does not
+    cover."""
     import io
 
+    import nextpolish2_tpu.models.oracle_lq as olq
     from nextpolish2_tpu.config import PolishConfig
     from nextpolish2_tpu.pipeline.orchestrator import polish
     from nextpolish2_tpu.utils import timing
@@ -80,18 +83,104 @@ def e2e_polish_seconds(n_runs: int = 2):
     yaks = [os.path.join(BASE, "k21.yak"), os.path.join(BASE, "k31.yak")]
     cfg = PolishConfig(min_ctg_len=1000)
     dt, stages = 0.0, {}
+    jobs: list = []
+    orig = olq.batch_min_kscores
+
+    def record(seqs, table, minc):
+        if table.ksize < 32:
+            jobs.extend(seqs)
+        return orig(seqs, table, minc)
+
     for i in range(n_runs):
         if i == n_runs - 1:           # time stages on the steady-state run
             timing.reset()
             timing.enable(True)
+            olq.batch_min_kscores = record
         sink = io.BytesIO()
         t0 = time.time()
-        polish(ASM, bam, yaks, cfg, out=sink)
+        try:
+            polish(ASM, bam, yaks, cfg, out=sink)
+        finally:
+            olq.batch_min_kscores = orig
         dt = time.time() - t0
     stages = timing.snapshot()
     timing.enable(False)
     timing.reset()
-    return dt, stages
+    return dt, stages, jobs
+
+
+def kscore_device_ab(jobs, use_pallas: bool):
+    """Device fused k-mer scorer vs the host composite on the REAL allele
+    jobs of the 100 kb polish, tiled to a multi-Mb batch (the routing
+    threshold's regime — VERDICT r3 item 6: the path must be load-bearing
+    and its win/loss recorded at real batch sizes). Returns
+    (speedup, batch_mb, n_alleles) or None off-chip / without jobs.
+    Interleaved min-of-3 per arm (hypervisor noise)."""
+    if not use_pallas or not jobs:
+        return None
+    import nextpolish2_tpu.models.oracle_lq as olq
+    from nextpolish2_tpu.io.yak import load_yak
+    from nextpolish2_tpu.ops.kmer_score import device_min_kscores
+
+    table = load_yak(os.path.join(BASE, "k21.yak"))
+    base_bytes = sum(len(s) for s in jobs)
+    reps = max(1, (8 << 20) // max(1, base_bytes))
+    batch = jobs * reps
+    mb = sum(len(s) for s in batch) / 1e6
+    table.use_device = True
+    dev = device_min_kscores(table, batch, 5)       # compile + table build
+    if dev is None:
+        return None
+    table.use_device = False
+    host = olq.batch_min_kscores(batch, table, 5)   # host composite
+    if not np.array_equal(np.asarray(dev, dtype=np.int64), host):
+        raise AssertionError("device k-mer scorer != host composite")
+    t_dev, t_host = [], []
+    table.use_device = True
+    for _ in range(3):
+        t0 = time.time()
+        device_min_kscores(table, batch, 5)
+        t_dev.append(time.time() - t0)
+        table.use_device = False
+        t0 = time.time()
+        olq.batch_min_kscores(batch, table, 5)
+        t_host.append(time.time() - t0)
+        table.use_device = True
+    return min(t_host) / min(t_dev), mb, len(batch)
+
+
+def e2e_single_large(n_runs: int = 2):
+    """Steady-state polish of the 4.6 Mb SINGLE-contig E. coli fixture at
+    -t 1: the few-large-contig regime VERDICT r3 item 8 tracks (a lone
+    contig must not be the slow case; cross-contig batching can't help it).
+    Returns (seconds, bases, stage table) or None when the fixture is
+    absent."""
+    import io
+
+    from nextpolish2_tpu.config import PolishConfig
+    from nextpolish2_tpu.pipeline.orchestrator import PolishStats, polish
+    from nextpolish2_tpu.utils import timing
+
+    bam = os.path.join(BASE, "ecoli.bam")
+    fa = os.path.join(BASE, "ecoli.fa")
+    yaks = [os.path.join(BASE, "ecoli.k21.yak")]
+    if not (os.path.exists(bam) and os.path.exists(fa)):
+        return None
+    cfg = PolishConfig(min_ctg_len=1000)
+    dt, bases = 0.0, 0
+    for i in range(n_runs):
+        timing.reset()
+        timing.enable(i == n_runs - 1)
+        sink = io.BytesIO()
+        stats = PolishStats()
+        t0 = time.time()
+        polish(fa, bam, yaks, cfg, out=sink, stats=stats)
+        dt = time.time() - t0
+        bases = stats.in_bases
+    stages = timing.snapshot()
+    timing.enable(False)
+    timing.reset()
+    return dt, bases, stages
 
 
 def e2e_multi_seconds(n_runs: int = 2):
@@ -145,7 +234,7 @@ def main() -> int:
 
     # ---- end-to-end first: pays every in-process compile exactly once, and
     # the kernel loop below reuses those caches (same jitted callables)
-    e2e_s, e2e_stages = e2e_polish_seconds(2)
+    e2e_s, e2e_stages, kscore_jobs = e2e_polish_seconds(2)
     contig_bp = 100_000
     e2e_gbp_per_hr = (contig_bp / 1e9) / (e2e_s / 3600.0)
     # regression guard for the stages the windows/s metric does not cover
@@ -153,6 +242,23 @@ def main() -> int:
     # the steady-state e2e run, seconds
     stage_s = {k: round(v, 2) for k, v in sorted(
         e2e_stages.items(), key=lambda kv: -kv[1])[:8]}
+
+    # ---- single-large-contig regime (4.6 Mb E. coli at -t 1)
+    single = e2e_single_large(2)
+    if single is not None:
+        sl_s, sl_bases, sl_stages = single
+        e2e_ecoli_gbp_per_hr = (sl_bases / 1e9) / (sl_s / 3600.0)
+        ecoli_stage_s = {k: round(v, 2) for k, v in sorted(
+            sl_stages.items(), key=lambda kv: -kv[1])[:8]}
+    else:
+        sl_s, e2e_ecoli_gbp_per_hr = -1.0, -1.0
+        ecoli_stage_s = {}
+
+    # ---- fused device k-mer scorer vs host composite on the REAL allele
+    # jobs (multi-Mb tiled batch = the routing threshold's regime)
+    kab = kscore_device_ab(kscore_jobs, use_pallas)
+    kscore_dev_speedup, kscore_mb = (round(kab[0], 2), round(kab[1], 1)) \
+        if kab else (-1.0, -1.0)
 
     # ---- multi-contig production mode (threads=8 through the batcher):
     # the figure that projects to a real assembly (BENCH r3 item 3)
@@ -308,6 +414,11 @@ def main() -> int:
         "e2e_multi_gbp_per_hr": round(e2e_multi_gbp_per_hr, 4),
         "multi_batch_fill": round(multi_fill, 3),
         "multi_csr_share": round(multi_csr, 3),
+        "e2e_ecoli_s": round(sl_s, 1),
+        "e2e_ecoli_stage_s": ecoli_stage_s,
+        "e2e_ecoli_gbp_per_hr": round(e2e_ecoli_gbp_per_hr, 4),
+        "kscore_device_speedup": kscore_dev_speedup,
+        "kscore_batch_mb": kscore_mb,
         "baseline_note": "host baseline is the native C++ window DP "
                          "(np2_host_window_dp) = a true single-thread "
                          "Rust-parity proxy; a 64-thread Rust build "

@@ -2097,10 +2097,26 @@ int np2_prefault(int64_t bytes, int64_t n_threads) {
   char* p = (char*)malloc((size_t)bytes);
   if (!p) return -1;
   madvise(p, (size_t)bytes, MADV_HUGEPAGE);
+  // Touch ONLY pages that are not already resident (mincore): the package
+  // mallopt keeps freed heap pages provisioned, so the per-contig
+  // re-prefault of an already-warm heap must cost ~a mincore scan (ms),
+  // not one cache-missing write per 4 KB of GBs (~4 s/contig measured on
+  // the round-4 E. coli profile — it was the largest single-contig stage).
+  const size_t PG = 4096;
+  size_t base = (size_t)p & ~(PG - 1);
+  size_t len = (size_t)p + (size_t)bytes - base;
+  size_t npages = (len + PG - 1) / PG;
+  unsigned char* vec = (unsigned char*)malloc(npages);
+  bool have_vec = vec && mincore((void*)base, len, vec) == 0;
   int T = (int)(n_threads < 1 ? 1 : (n_threads > 16 ? 16 : n_threads));
   auto work = [&](int t) {
-    int64_t lo = bytes / T * t, hi = (t == T - 1) ? bytes : bytes / T * (t + 1);
-    for (int64_t i = lo; i < hi; i += 4096) ((volatile char*)p)[i] = 0;
+    size_t lo = npages / T * t, hi = (t == T - 1) ? npages : npages / T * (t + 1);
+    for (size_t i = lo; i < hi; i++) {
+      if (have_vec && (vec[i] & 1)) continue;  // already resident
+      volatile char* q = (volatile char*)(base + i * PG);
+      if ((char*)q < p) q = (volatile char*)p;  // head partial page
+      *q = 0;
+    }
   };
   if (T == 1) {
     work(0);
@@ -2109,6 +2125,7 @@ int np2_prefault(int64_t bytes, int64_t n_threads) {
     for (int t = 0; t < T; t++) threads.emplace_back(work, t);
     for (auto& th : threads) th.join();
   }
+  free(vec);
   free(p);
   return 0;
 }

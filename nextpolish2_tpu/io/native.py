@@ -157,13 +157,37 @@ def available() -> bool:
     return load() is not None
 
 
+_pf_lock = threading.Lock()
+_pf_provisioned = 0      # heap bytes this process has ever prefaulted
+_pf_by_thread: dict = {}  # thread ident -> its current working-set request
+
+
 def prefault(n_bytes: int, n_threads: int = 4) -> bool:
-    """Fault `n_bytes` of heap in up front (kept mapped by the package-level
-    mallopt); True if the native library did it."""
+    """Ensure `n_bytes` of ALREADY-PROVISIONED heap for this thread's
+    working set (kept mapped across frees by the package-level mallopt).
+
+    The package's no-mmap/no-trim mallopt means pages provisioned once stay
+    in the heap forever, so the steady state (every contig after the first,
+    per thread) needs NO kernel work at all — yet the old unconditional
+    np2_prefault re-touched 1 byte/4 KB of GBs per contig (~2-5 s each on
+    this vCPU; it was the largest single-contig stage of the round-4
+    E. coli profile). Now each thread registers its current request and the
+    native fault only runs for the DELTA between the sum of live per-thread
+    working sets and the historical provisioned high-water — zero in steady
+    state, exact when concurrent contig threads (or the -t1 ingest
+    lookahead) raise the true concurrent footprint. Conservative: thread
+    exits leave their last request counted (over-provisioning only)."""
     lib = load()
     if lib is None or n_bytes <= 0:
         return False
-    return lib.np2_prefault(ctypes.c_int64(n_bytes),
+    global _pf_provisioned
+    with _pf_lock:
+        _pf_by_thread[threading.get_ident()] = n_bytes
+        delta = sum(_pf_by_thread.values()) - _pf_provisioned
+        if delta <= 0:
+            return True
+        _pf_provisioned += delta
+    return lib.np2_prefault(ctypes.c_int64(delta),
                             ctypes.c_int64(n_threads)) == 0
 
 
