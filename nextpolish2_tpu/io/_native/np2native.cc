@@ -1267,21 +1267,33 @@ int np2_sort_stream(const int32_t* t_pos, const int32_t* key,
   int64_t mb = 0;
   for (int t = 0; t < T; t++) mb = std::max(mb, mbs[t]);
   *max_b1d = mb;
-  // exclusive scan: hist[t][p] <- global start offset for thread t, pos p
+  // exclusive scan: hist[t][p] <- global start offset for thread t, pos p;
+  // bstart[p] <- global bucket start (= hist[0][p] pre-mutation)
+  std::vector<int64_t> bstart(n_pos + 1);
   int64_t acc = 0;
   for (int64_t p = 0; p < n_pos; p++) {
+    bstart[p] = acc;
     for (int t = 0; t < T; t++) {
       int64_t c = hist[t][p];
       hist[t][p] = acc;
       acc += c;
     }
   }
+  bstart[n_pos] = acc;
+  // t_out is fully determined by the histogram (bucket p = p repeated):
+  // SEQUENTIAL fill instead of scattering it — drops a third of the
+  // scatter's random-write traffic (the sort is memory-bound)
+  auto fill_t = [&](int t) {
+    int64_t p0 = n_pos / T * t, p1 = (t == T - 1) ? n_pos : n_pos / T * (t + 1);
+    for (int64_t p = p0; p < p1; p++)
+      std::fill(t_out + bstart[p], t_out + bstart[p + 1], (int32_t)p);
+  };
+  run(fill_t);
   auto scatter = [&](int t) {
     auto& h = hist[t];
     int64_t lo = seg(t), hi = (t == T - 1) ? n : seg(t + 1);
     for (int64_t i = lo; i < hi; i++) {
       int64_t p = h[t_pos[i]]++;
-      t_out[p] = t_pos[i];
       k_out[p] = key[i];
       rid_out[p] = rid[i];
     }

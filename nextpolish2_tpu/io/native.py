@@ -250,38 +250,44 @@ def extract_contig_native(bam_path: str, tid: int, tseq_codes: np.ndarray,
 
 def _extract_contig_locked(lib, handle, tid, tseq_codes, cfg, n_threads,
                            stream_n, reads_n, lead_room=0):
-    rc = lib.np2_extract_begin3(
-        ctypes.c_void_p(handle), ctypes.c_int32(tid),
-        _p(tseq_codes, ctypes.c_uint8), ctypes.c_int64(len(tseq_codes)),
-        ctypes.c_int64(cfg.min_map_qual), ctypes.c_int64(cfg.min_read_len),
-        ctypes.c_int64(cfg.min_map_len), ctypes.c_double(cfg.min_map_fra),
-        ctypes.c_int64(cfg.max_clip_len),
-        ctypes.c_int64(1 if cfg.use_secondary else 0),
-        ctypes.c_int64(1 if cfg.use_supplementary else 0),
-        ctypes.c_int64(cfg.trim_len), ctypes.c_int64(cfg.short_ref_len),
-        ctypes.c_int64(n_threads), ctypes.byref(stream_n), ctypes.byref(reads_n),
-    )
+    from ..utils.timing import stage
+
+    with stage("ingest_begin3"):
+        rc = lib.np2_extract_begin3(
+            ctypes.c_void_p(handle), ctypes.c_int32(tid),
+            _p(tseq_codes, ctypes.c_uint8), ctypes.c_int64(len(tseq_codes)),
+            ctypes.c_int64(cfg.min_map_qual), ctypes.c_int64(cfg.min_read_len),
+            ctypes.c_int64(cfg.min_map_len), ctypes.c_double(cfg.min_map_fra),
+            ctypes.c_int64(cfg.max_clip_len),
+            ctypes.c_int64(1 if cfg.use_secondary else 0),
+            ctypes.c_int64(1 if cfg.use_supplementary else 0),
+            ctypes.c_int64(cfg.trim_len), ctypes.c_int64(cfg.short_ref_len),
+            ctypes.c_int64(n_threads), ctypes.byref(stream_n),
+            ctypes.byref(reads_n),
+        )
     if rc != 0:
         raise RuntimeError(f"np2_extract_begin3 failed rc={rc}")
     ns, nr = stream_n.value, reads_n.value
     # Pre-provision the whole per-contig working set (stream buffers, sorted
     # copies, numpy temporaries) in one threaded THP prefault: ~1-2 GB/s vs
-    # ~4-40 MB/s for lazy 4K first-touch faults on these VMs. Re-prefaulting
-    # already-mapped heap is nearly free, so this is called per contig.
+    # ~4-40 MB/s for lazy 4K first-touch faults on these VMs. The ledger in
+    # prefault() makes the steady-state call (warm heap) free.
     per_entry = int(os.environ.get("NP2_PREFAULT_PER_ENTRY", "48"))
     if ns and per_entry:
-        prefault(ns * per_entry, 8)
-    t_pos = np.empty(lead_room + ns, dtype=np.int32)[lead_room:]
-    key = np.empty(lead_room + ns, dtype=np.int32)[lead_room:]
-    read_start = np.empty(nr, dtype=np.int64)
-    aln_bounds = np.empty(2 * nr, dtype=np.int64)
-    clip_flags = np.empty(nr, dtype=np.uint8)
-    rc = lib.np2_extract_fetch3(
-        ctypes.c_void_p(handle),
-        _p(t_pos, ctypes.c_int32), _p(key, ctypes.c_int32),
-        _p(read_start, ctypes.c_int64), _p(aln_bounds, ctypes.c_int64),
-        _p(clip_flags, ctypes.c_uint8), ctypes.c_int64(n_threads),
-    )
+        with stage("ingest_prefault"):
+            prefault(ns * per_entry, 8)
+    with stage("ingest_fetch3"):
+        t_pos = np.empty(lead_room + ns, dtype=np.int32)[lead_room:]
+        key = np.empty(lead_room + ns, dtype=np.int32)[lead_room:]
+        read_start = np.empty(nr, dtype=np.int64)
+        aln_bounds = np.empty(2 * nr, dtype=np.int64)
+        clip_flags = np.empty(nr, dtype=np.uint8)
+        rc = lib.np2_extract_fetch3(
+            ctypes.c_void_p(handle),
+            _p(t_pos, ctypes.c_int32), _p(key, ctypes.c_int32),
+            _p(read_start, ctypes.c_int64), _p(aln_bounds, ctypes.c_int64),
+            _p(clip_flags, ctypes.c_uint8), ctypes.c_int64(n_threads),
+        )
     if rc != 0:
         raise RuntimeError(f"np2_extract_fetch3 failed rc={rc}")
     return t_pos, key, read_start, aln_bounds.reshape(nr, 2), clip_flags

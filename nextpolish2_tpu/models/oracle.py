@@ -79,6 +79,8 @@ def build_alignseqs_native_flat(bam_path: str, tid: int, tseq: bytes,
     from ..io.native import extract_contig_native
     from .oracle_msa import kmer_stream
 
+    from ..utils.timing import stage
+
     tseq_codes = ASCII2CODE[np.frombuffer(tseq, dtype=np.uint8)]
     nref = len(tseq_codes)
     res = extract_contig_native(bam_path, tid, tseq_codes, cfg,
@@ -90,15 +92,17 @@ def build_alignseqs_native_flat(bam_path: str, tid: int, tseq: bytes,
     t_full = t_pos.base if t_pos.base is not None else t_pos
     k_full = key.base if key.base is not None else key
     assert len(t_full) == nref + n
-    # ref pseudo-alignment stream in front (reference main.rs:1732-1739)
-    t_full[:nref] = np.arange(nref, dtype=np.int32)
-    rk = kmer_stream(ref_as_tags(tseq_codes))[1]
-    k_full[:nref] = rk.astype(np.uint32).view(np.int32)
-    # out= + unsafe cast: `(key & 0xF).astype(u8)` would materialize a 4-byte
-    # temp of the whole contig stream (first-touch page faults are ~4-40 MB/s
-    # on the target VMs — that temp alone cost minutes at 138M entries)
-    q_full = np.empty(nref + n, dtype=np.uint8)
-    np.bitwise_and(k_full, 0xF, out=q_full, casting="unsafe")
+    with stage("ingest_refstream"):
+        # ref pseudo-alignment stream in front (reference main.rs:1732-1739)
+        t_full[:nref] = np.arange(nref, dtype=np.int32)
+        rk = kmer_stream(ref_as_tags(tseq_codes))[1]
+        k_full[:nref] = rk.astype(np.uint32).view(np.int32)
+        # out= + unsafe cast: `(key & 0xF).astype(u8)` would materialize a
+        # 4-byte temp of the whole contig stream (first-touch page faults
+        # are ~4-40 MB/s on the target VMs — that temp alone cost minutes at
+        # 138M entries)
+        q_full = np.empty(nref + n, dtype=np.uint8)
+        np.bitwise_and(k_full, 0xF, out=q_full, casting="unsafe")
 
     ref_tags = AlignTags(aln_t_s=0, aln_t_e=nref - 1, t_pos=t_full[:nref],
                          q_base=q_full[:nref], kkey=k_full[:nref])
