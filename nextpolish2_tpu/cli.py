@@ -203,6 +203,18 @@ def main(argv=None) -> int:
                   file=sys.stderr)
     if args.timing:
         timing.report()
+        try:
+            # distinct compiled device-program shapes (each is minutes of
+            # axon compile at scale; the pow2 P/Pd/Pe buckets bound this)
+            from .ops import consensus as _c
+
+            n_prog = sum(f._cache_size() for f in (
+                _c.dp_backtrack_csr_blob, _c.dp_backtrack_csr_blob_sharded,
+                _c.dp_backtrack_sparse_packed))
+            print(f"[np2 timing] device DP programs compiled: {n_prog}",
+                  file=sys.stderr)
+        except Exception:
+            pass
     print(resource_str(__version__), file=sys.stderr)
     print(f"Contigs: {stats.contigs} ({stats.polished} polished, "
           f"{stats.passthrough} passthrough); bases {stats.in_bases} -> "
