@@ -268,30 +268,50 @@ def retrieve_kmer_count(lqseqs: List[LqRegion], table: KmerTable,
                         min_kmer_count: int) -> None:
     """Score each allele by its min k-mer count (main.rs:740-778), batched."""
     ksize = table.ksize
-    long_refs: List[LqSeq] = []
-    long_seqs: List[bytes] = []
-    single_refs: List[LqSeq] = []
-    single_hashes: List[int] = []
-    for lqseq in lqseqs:
-        for seq in lqseq.seqs:
-            if len(seq.seq) > ksize:
-                long_refs.append(seq)
-                long_seqs.append(seq.seq)
-            elif seq.kmer != INVALID:
-                single_refs.append(seq)
-                single_hashes.append(seq.kmer)
+    from ..io.native import load_obj
+
+    obj = load_obj()
+    parts = None
+    if obj is not None and hasattr(obj, "collect_score_jobs"):
+        try:
+            # one C pass over ~150k alleles (np2obj.collect_score_jobs);
+            # TypeError = dataclass-spec LqSeqs -> the Python twin below
+            parts = obj.collect_score_jobs(lqseqs, ksize, INVALID)
+        except TypeError:
+            parts = None
+    if parts is not None:
+        long_refs, long_seqs, single_refs, single_hashes = parts
+    else:
+        long_refs: List[LqSeq] = []
+        long_seqs: List[bytes] = []
+        single_refs: List[LqSeq] = []
+        single_hashes: List[int] = []
+        for lqseq in lqseqs:
+            for seq in lqseq.seqs:
+                if len(seq.seq) > ksize:
+                    long_refs.append(seq)
+                    long_seqs.append(seq.seq)
+                elif seq.kmer != INVALID:
+                    single_refs.append(seq)
+                    single_hashes.append(seq.kmer)
+
+    def put(refs, scores):
+        scores = np.ascontiguousarray(scores, dtype=np.int64)
+        if parts is not None and hasattr(obj, "assign_kscores"):
+            obj.assign_kscores(refs, scores)
+            return
+        for s, v in zip(refs, scores.tolist()):
+            s.kscore = v
+
     if long_seqs:
-        scores = batch_min_kscores(long_seqs, table, min_kmer_count)
-        for s, v in zip(long_refs, scores):
-            s.kscore = int(v)
+        put(long_refs, batch_min_kscores(long_seqs, table, min_kmer_count))
     if single_hashes:
         from ..utils.timing import stage
 
         with stage("kscore_single"):
             counts = table.get(np.array(single_hashes, dtype=np.uint64),
                                min_kmer_count)
-        for s, v in zip(single_refs, counts):
-            s.kscore = int(v)
+        put(single_refs, counts)
 
 
 def is_valid_snp(seq1: bytes, seq2: bytes) -> bool:

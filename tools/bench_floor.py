@@ -116,15 +116,15 @@ def main():
             t_dp.append(time.time() - t0)
 
             t0 = time.time()
-            w, m = jax.device_get(out)
+            w = jax.device_get(out)   # ONE packed u16 array (pack_backtrack_out)
             t_pull.append(time.time() - t0)
 
             t0 = time.time()
             db = jnp.asarray(pack_csr_blob(*csr, lead, seed, last,
                                            nibble_ns=nibble_ns_for(B, W, ck)))
-            w, m = jax.device_get(dp_backtrack_csr_blob(db, **args))
+            w = jax.device_get(dp_backtrack_csr_blob(db, **args))
             t_full.append(time.time() - t0)
-        pull_mb = (w.nbytes + m.nbytes) / 1e6
+        pull_mb = w.nbytes / 1e6
         n_ch = shape_n[key]
         print(f"W={cwidth} K={ck} B={B} x{n_ch} chunks | blob {mb:.2f} MB "
               f"pull {pull_mb:.2f} MB | pack {min(t_pack)*1e3:.0f} ms "
