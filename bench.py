@@ -359,6 +359,11 @@ def main() -> int:
     per_group_wps = [n_real * iters_per_group / dt for dt in group_dt]
     windows_per_s = float(np.mean(per_group_wps))
     cv = float(np.std(per_group_wps) / np.mean(per_group_wps))
+    # peak sustained group: the tunneled hypervisor stalls 2-10x hour to
+    # hour (CLAUDE.md); the max group is the least-stalled observation of
+    # the SAME fixed work (each group = 5 full sweeps), reported alongside
+    # the mean so a noisy hour is visible rather than silently low
+    windows_per_s_peak = float(np.max(per_group_wps))
     bases_per_s = windows_per_s * float(np.mean(wb.window_len))
 
     # ---- host baselines: same DP semantics, sampled at size quantiles of
@@ -406,6 +411,10 @@ def main() -> int:
         "vs_host_mt": round(vs_mt, 2),
         "host_threads": nproc,
         "device_cv": round(cv, 3),
+        "value_peak_group": round(windows_per_s_peak, 2),
+        "scale_run": "SCALE_r04.json: 92.5 Mb / 18 contigs at -t4 on chip, "
+                     "476 s = 0.70 Gbp/hr, peak RSS 26.9 GB, 18/18 "
+                     "byte-identical to truth + oracle spot checks",
         "e2e_s_100kb": round(e2e_s, 1),
         "e2e_stage_s": stage_s,
         "e2e_gbp_per_hr": round(e2e_gbp_per_hr, 4),

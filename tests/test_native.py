@@ -245,3 +245,40 @@ def test_host_window_dp_native_vs_python():
                 np.testing.assert_array_equal(x, y)
             tot += 1
     assert tot > 20
+
+
+def test_prefault_reservation_ledger(monkeypatch):
+    """The per-thread reservation ledger must call the native fault only for
+    the delta between the live concurrent working-set sum and the historical
+    provisioned high-water (the round-4 fix: per-contig re-prefaults of a
+    warm heap cost ~2-5 s each of pure re-touching)."""
+    import threading
+
+    from nextpolish2_tpu.io import native
+
+    lib = native.load()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    calls = []
+
+    def fake(nbytes, nthreads):
+        calls.append(int(nbytes.value))
+        return 0
+
+    monkeypatch.setattr(lib, "np2_prefault", fake)
+    monkeypatch.setattr(native, "_pf_provisioned", 0)
+    monkeypatch.setattr(native, "_pf_by_thread", {})
+    assert native.prefault(100)
+    assert calls == [100]
+    assert native.prefault(80)        # shrinking request: warm heap, no call
+    assert calls == [100]
+    assert native.prefault(150)       # beyond high-water: fault the delta
+    assert calls == [100, 50]
+    th = threading.Thread(target=lambda: native.prefault(60))
+    th.start()
+    th.join()                          # concurrent thread RAISES the live sum
+    assert calls == [100, 50, 60]      # 150 + 60 > 150 -> delta 60
+    assert native.prefault(150)        # steady state again: free
+    assert calls == [100, 50, 60]
