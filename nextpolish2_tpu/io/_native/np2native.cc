@@ -1231,11 +1231,96 @@ int np2_extract_fetch3(void* handle, int32_t* t_pos_out, int32_t* key_out,
 // (pass 1), an exclusive scan ordered (pos-major, thread-minor) so each
 // thread scatters its own input segment to stable global offsets (pass 2).
 // Thread count is capped so the histograms stay under ~1.5 GB.
+// Two-level stable bucket sort (np2_sort_stream's large-n strategy): the
+// one-level counting sort's scatter does one random DRAM write per entry
+// across a ~GB output span — latency-bound at ~600-700 MB/s on these VMs.
+// Level 1 scatters entries to ~16k-entry position BUCKETS (the cursor set
+// fits cache, writes are near-sequential per bucket); level 2 counting-sorts
+// each bucket through a thread-local staging buffer (everything cache-hot)
+// and writes the final segment SEQUENTIALLY. Stability: level 1 is one
+// in-order pass, level 2 is a stable counting sort per bucket. Level 2
+// threads by bucket range (disjoint output segments, no atomics).
+static int sort_stream_bucketed(const int32_t* t_pos, const int32_t* key,
+                                const int32_t* rid, int64_t n, int64_t n_pos,
+                                int32_t* t_out, int32_t* k_out,
+                                int32_t* rid_out, int64_t* max_b1d, int T) {
+  int shift = 0;
+  while ((n_pos >> shift) > (n >> 14) + 1) shift++;   // avg ~16k entries/bucket
+  const int64_t NB = ((n_pos - 1) >> shift) + 1;
+  const int64_t SPAN = (int64_t)1 << shift;
+  std::vector<int64_t> bcnt(NB + 1, 0);
+  int64_t mb = 0;
+  for (int64_t i = 0; i < n; i++) {
+    int64_t tp = t_pos[i];
+    if (tp < 0 || tp >= n_pos) return -1;
+    bcnt[(tp >> shift) + 1]++;
+    int64_t d = (int64_t)(((uint32_t)key[i]) >> 16);
+    if (d > mb) mb = d;
+  }
+  *max_b1d = mb;
+  for (int64_t b = 0; b < NB; b++) bcnt[b + 1] += bcnt[b];
+  // level 1: stable scatter into bucket segments of the OUTPUT arrays
+  {
+    std::vector<int64_t> cur(bcnt.begin(), bcnt.end() - 1);
+    for (int64_t i = 0; i < n; i++) {
+      int64_t p = cur[t_pos[i] >> shift]++;
+      t_out[p] = t_pos[i];
+      k_out[p] = key[i];
+      rid_out[p] = rid[i];
+    }
+  }
+  // level 2: stable counting sort of each bucket via thread-local staging
+  std::vector<int> errs(T, 0);
+  auto work = [&](int t) {
+    std::vector<int32_t> sk, sr;
+    std::vector<int64_t> hist(SPAN + 1), cur(SPAN);
+    int64_t b0 = NB / T * t, b1 = (t == T - 1) ? NB : NB / T * (t + 1);
+    for (int64_t b = b0; b < b1; b++) {
+      int64_t lo = bcnt[b], hi = bcnt[b + 1], m = hi - lo;
+      if (m <= 1) continue;
+      const int64_t base = b << shift;
+      std::fill(hist.begin(), hist.begin() + SPAN + 1, 0);
+      for (int64_t i = lo; i < hi; i++) hist[(t_out[i] - base) + 1]++;
+      for (int64_t p = 0; p < SPAN; p++) hist[p + 1] += hist[p];
+      sk.assign(k_out + lo, k_out + hi);
+      sr.assign(rid_out + lo, rid_out + hi);
+      std::copy(hist.begin(), hist.begin() + SPAN, cur.begin());
+      for (int64_t i = 0; i < m; i++) {
+        int64_t rel = t_out[lo + i] - base;
+        int64_t p = lo + cur[rel]++;
+        // t_out rewritten from the histogram below; only payloads scatter
+        k_out[p] = sk[i];
+        rid_out[p] = sr[i];
+      }
+      for (int64_t p = 0; p < SPAN; p++) {
+        int32_t tv = (int32_t)(base + p);
+        for (int64_t i = lo + hist[p]; i < lo + hist[p + 1]; i++) t_out[i] = tv;
+      }
+    }
+  };
+  if (T == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < T; t++) ths.emplace_back(work, t);
+    for (auto& th : ths) th.join();
+  }
+  return 0;
+}
+
 int np2_sort_stream(const int32_t* t_pos, const int32_t* key,
                     const int32_t* rid, int64_t n, int64_t n_pos,
                     int32_t* t_out, int32_t* k_out, int32_t* rid_out,
                     int64_t* max_b1d, int64_t n_threads) {
   int T = (int)(n_threads < 1 ? 1 : (n_threads > 16 ? 16 : n_threads));
+  const char* env = getenv("NP2_SORT_BUCKETED");
+  bool bucketed = !(env && env[0] == '0');
+  if (bucketed && n >= ((int64_t)1 << 22) && n_pos >= (1 << 16))
+    return sort_stream_bucketed(t_pos, key, rid, n, n_pos, t_out, k_out,
+                                rid_out, max_b1d, T < 1 ? 1 : T);
+  // one-level path: the per-thread-histogram scatter measured 15x SLOWER
+  // than serial on this VM (round-2 note) — always run it single-threaded
+  T = 1;
   while (T > 1 && (int64_t)T * (n_pos + 1) * 8 > (int64_t)3 << 29) T /= 2;
   if (n < (int64_t)1 << 20) T = 1;
   std::vector<std::vector<int64_t>> hist(T);

@@ -294,14 +294,17 @@ def _extract_contig_locked(lib, handle, tid, tseq_codes, cfg, n_threads,
 
 
 def sort_stream_native(t_pos: np.ndarray, key: np.ndarray, rid: np.ndarray,
-                       n_pos: int, n_threads: int = 1) -> Optional[tuple]:
+                       n_pos: int, n_threads: int = 4) -> Optional[tuple]:
     """Stable counting-sort of the global (t_pos, key, rid) stream by t_pos.
     Returns (t_sorted, k_sorted, rid_sorted, max_b1_delta) or None.
 
-    Default is serial: the threaded scatter pass needs T full-size position
-    histograms and scatters each thread's input across the whole output
-    range; on this 4-core VM that measured 15x SLOWER (84 s vs 5.7 s at
-    138M entries) than the cache-friendly serial sweep."""
+    Large streams take the two-level BUCKETED strategy (np2native
+    sort_stream_bucketed: cache-resident bucket cursors, per-bucket
+    counting sort through thread-local staging, sequential final writes —
+    the one-level scatter was DRAM-latency-bound at ~600-700 MB/s;
+    NP2_SORT_BUCKETED=0 reverts). n_threads parallelizes its second level
+    by bucket range. The small/one-level path stays serial: its threaded
+    scatter variant measured 15x SLOWER on this VM (round-2 note)."""
     lib = load()
     if lib is None:
         return None
