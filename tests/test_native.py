@@ -282,3 +282,37 @@ def test_prefault_reservation_ledger(monkeypatch):
     assert calls == [100, 50, 60]      # 150 + 60 > 150 -> delta 60
     assert native.prefault(150)        # steady state again: free
     assert calls == [100, 50, 60]
+
+
+def test_native_sort_stream_bucketed_matches_one_level():
+    """The two-level bucketed strategy (engaged at n >= 2^22, n_pos >= 2^16)
+    must be bit-identical to the one-level stable counting sort, including
+    skew: one mega-column, empty bucket runs, and entries landing at the
+    contig edges."""
+    import os
+
+    from nextpolish2_tpu.io.native import load, sort_stream_native
+
+    if load() is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(11)
+    n_pos = 1 << 17
+    n = (1 << 22) + 12345
+    t = rng.integers(0, n_pos, size=n, dtype=np.int32)
+    t[: n // 8] = 777                       # skew: a mega-column
+    t[-5:] = [0, 0, n_pos - 1, n_pos - 1, 0]  # edges
+    k = rng.integers(-(1 << 31), 1 << 31, size=n, dtype=np.int64).astype(
+        np.int32)
+    rid = rng.integers(0, 1 << 20, size=n, dtype=np.int32)
+    os.environ["NP2_SORT_BUCKETED"] = "0"
+    try:
+        ref = sort_stream_native(t, k, rid, n_pos)
+        os.environ["NP2_SORT_BUCKETED"] = "1"
+        got = sort_stream_native(t, k, rid, n_pos, n_threads=3)
+    finally:
+        os.environ.pop("NP2_SORT_BUCKETED", None)
+    for a, b in zip(ref[:3], got[:3]):
+        np.testing.assert_array_equal(a, b)
+    assert ref[3] == got[3]
