@@ -1471,6 +1471,11 @@ int64_t np2_filter_stream(const int32_t* t_sorted, const int32_t* k_sorted,
   std::vector<int64_t> off(T, 0);
   for (int t = 1; t < T; t++) off[t] = off[t - 1] + kept[t - 1];
   int64_t total = off[T - 1] + kept[T - 1];
+  // IN-PLACE mode (t_out == t_sorted): forward compaction is safe
+  // sequentially (write index p never passes read index i) but NOT per
+  // thread segment — thread t's writes start at off[t] <= seg(t), inside
+  // thread t-1's unread range. The count pass above stays threaded.
+  bool aliased = (t_out == t_sorted) || (k_out == k_sorted);
   auto fill = [&](int t) {
     int64_t lo = seg(t), hi = (t == T - 1) ? n : seg(t + 1), p = off[t];
     for (int64_t i = lo; i < hi; i++) {
@@ -1481,7 +1486,18 @@ int64_t np2_filter_stream(const int32_t* t_sorted, const int32_t* k_sorted,
       }
     }
   };
-  run(fill);
+  if (aliased) {
+    int64_t p = 0;
+    for (int64_t i = 0; i < n; i++) {
+      if (!drop[rid_sorted[i]]) {
+        t_out[p] = t_sorted[i];
+        k_out[p] = k_sorted[i];
+        p++;
+      }
+    }
+  } else {
+    run(fill);
+  }
   return total;
 }
 

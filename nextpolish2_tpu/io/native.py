@@ -355,9 +355,17 @@ def find_anchors_native(t_sorted: np.ndarray, k_sorted: np.ndarray,
 
 def filter_stream_native(t_sorted: np.ndarray, k_sorted: np.ndarray,
                          rid_sorted: np.ndarray, drop: np.ndarray,
-                         n_threads: int = 8) -> Optional[tuple]:
+                         n_threads: int = 8,
+                         in_place: bool = False) -> Optional[tuple]:
     """Filter the sorted stream by a per-read drop mask, preserving order
-    (np2_filter_stream); returns (t_kept, k_kept) views or None."""
+    (np2_filter_stream); returns (t_kept, k_kept) views or None.
+
+    in_place: compact INTO t_sorted/k_sorted (forward compaction; the
+    native fill runs sequentially to keep the write index behind the read
+    index) and return prefix views of them — the FINAL phasing iteration's
+    filter needs no second 8 B/entry copy of the stream, which lowers the
+    per-contig working-set high-water the prefault must provision. The
+    caller owns invalidating any cache that aliased these arrays."""
     lib = load()
     if lib is None:
         return None
@@ -366,8 +374,11 @@ def filter_stream_native(t_sorted: np.ndarray, k_sorted: np.ndarray,
     k_sorted = np.ascontiguousarray(k_sorted, dtype=np.int32)
     rid_sorted = np.ascontiguousarray(rid_sorted, dtype=np.int32)
     drop = np.ascontiguousarray(drop, dtype=np.uint8)
-    t_out = np.empty(n, dtype=np.int32)
-    k_out = np.empty(n, dtype=np.int32)
+    if in_place:
+        t_out, k_out = t_sorted, k_sorted
+    else:
+        t_out = np.empty(n, dtype=np.int32)
+        k_out = np.empty(n, dtype=np.int32)
     kept = lib.np2_filter_stream(
         _p(t_sorted, ctypes.c_int32), _p(k_sorted, ctypes.c_int32),
         _p(rid_sorted, ctypes.c_int32), ctypes.c_int64(n),

@@ -263,6 +263,7 @@ def window_ktiers(wb, n_pos: int, K: int, k_small: int = 8) -> np.ndarray:
 def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
                             ref_codes: np.ndarray, cfg: PolishConfig,
                             stream_cache: Optional[dict] = None,
+                            final_iter: bool = False,
                             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Run the device engine; return the global REVERSED backtrack stream as
     (pos, base_ascii, qv, lowcov) arrays — the exact stream the reference
@@ -275,8 +276,11 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
 
     configure_jax()
     with stage("plan_windows"):
+        # final_iter: the last phasing iteration's drop filter may compact
+        # the cached sorted stream in place (no 8 B/entry copy)
         wb = build_window_batch(alignseqs, n_pos, ref_codes, target=cfg.window_len,
-                                stream_cache=stream_cache)
+                                stream_cache=stream_cache,
+                                consume_cache=final_iter)
     if wb.n_windows == 0:
         raise WindowOverflow("no windows")
     K = cfg.max_kmers_per_col
@@ -547,7 +551,8 @@ def polish_contig_tpu(tseq: bytes, records: Sequence[BamRecord],
         for i in range(cfg.iter_count):
             out_cns = i + 1 == cfg.iter_count
             pos, base, qv, lowcov = device_consensus_stream(
-                alignseqs, len(tseq), ref_codes, cfg, stream_cache)
+                alignseqs, len(tseq), ref_codes, cfg, stream_cache,
+                final_iter=out_cns)
             with stage("lq_detect"):
                 cb, lqseqs = lq_from_qv_stream(pos, base, qv, lowcov,
                                                cfg.hq_min_qv,

@@ -532,7 +532,8 @@ def build_window_batch(alignseqs: List[AlignTags], n_pos: int,
                        ref_codes: np.ndarray,
                        target: int = 1024,
                        stream_cache: Optional[dict] = None,
-                       flat_stream: Optional[tuple] = None) -> WindowBatch:
+                       flat_stream: Optional[tuple] = None,
+                       consume_cache: bool = False) -> WindowBatch:
     """Plan windows over the t-sorted contig stream.
 
     Window w's range holds observations with t_pos in [start-2, end]; kmers at
@@ -544,11 +545,16 @@ def build_window_batch(alignseqs: List[AlignTags], n_pos: int,
     (stable-sorted order is preserved by filtering).
     flat_stream: optional precollected (t_all i32, k_all i32, rid_all i32) in
     alignment order (native ingest hands these straight through).
+    consume_cache: this is the LAST use of the cached sorted stream (the
+    final phasing iteration): the drop filter may compact it IN PLACE
+    instead of copying 8 B/entry, and the sorted-stream cache keys are
+    invalidated — lowers the per-contig working-set high-water the
+    prefault must provision.
     """
     from ..io.native import sort_stream_native
     from ..utils.timing import stage
 
-    def _filter_cached():
+    def _filter_cached(consume: bool = False):
         """Drop-mask filter of the cached sorted stream (stable; used by
         every iteration after the first sort when the cache holds reads the
         current iteration excludes)."""
@@ -559,16 +565,22 @@ def build_window_batch(alignseqs: List[AlignTags], n_pos: int,
             return stream_cache["t_sorted"], stream_cache["k_sorted"]
         res = filter_stream_native(stream_cache["t_sorted"],
                                    stream_cache["k_sorted"],
-                                   stream_cache["rid_sorted"], drop)
-        if res is not None:
-            return res
-        keep = ~drop[stream_cache["rid_sorted"]]
-        return (stream_cache["t_sorted"][keep],
-                stream_cache["k_sorted"][keep])
+                                   stream_cache["rid_sorted"], drop,
+                                   in_place=consume)
+        if res is None:
+            keep = ~drop[stream_cache["rid_sorted"]]
+            res = (stream_cache["t_sorted"][keep],
+                   stream_cache["k_sorted"][keep])
+        if consume:
+            # the cached arrays are consumed (compacted in place when the
+            # native path ran): no later iteration may reuse them
+            for k in ("t_sorted", "k_sorted", "rid_sorted"):
+                stream_cache.pop(k, None)
+        return res
 
     if stream_cache is not None and "t_sorted" in stream_cache:
         with stage("stream_filter_iter2"):
-            t_sorted, k_sorted = _filter_cached()
+            t_sorted, k_sorted = _filter_cached(consume=consume_cache)
     else:
         from_flat_all = False
         with stage("stream_collect"):
