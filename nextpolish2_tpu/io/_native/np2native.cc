@@ -30,6 +30,8 @@
 #include <unordered_set>
 #include <algorithm>
 #include <atomic>
+#include <memory>
+#include <mutex>
 #include <fcntl.h>
 #include <unistd.h>
 #include <sys/mman.h>
@@ -445,10 +447,31 @@ struct BamFile {
   int64_t v3_total = 0;
   Filters v3_f{};
   // -S support: qname -> primary SEQ normalized to forward orientation
-  // (ASCII; mirrors io/bam.retrieve_secondary_seqs, secondary.rs:8-64,82-148)
-  std::unordered_map<std::string, std::vector<uint8_t>> sec_seqs;
-  bool sec_prefetched = false;
+  // (ASCII; mirrors io/bam.retrieve_secondary_seqs, secondary.rs:8-64,82-148).
+  // SHARED per path across the handle pool: the two full-file prefetch
+  // passes and the resident SEQ map are paid once per BAM, not once per
+  // pooled handle (matches the reference's single shared map,
+  // main.rs:1691-1696).
+  struct SecShared {
+    std::mutex mu;
+    bool done = false;
+    std::unordered_map<std::string, std::vector<uint8_t>> seqs;
+  };
+  std::shared_ptr<SecShared> sec;
 };
+
+// per-path registry of the shared -S maps (np2_open attaches; entries live
+// for the process — the maps themselves are built lazily and only under -S)
+static std::mutex g_sec_mu;
+static std::unordered_map<std::string, std::shared_ptr<BamFile::SecShared>>
+    g_sec_reg;
+
+static std::shared_ptr<BamFile::SecShared> sec_shared_for(const char* path) {
+  std::lock_guard<std::mutex> g(g_sec_mu);
+  auto& sp = g_sec_reg[path];
+  if (!sp) sp = std::make_shared<BamFile::SecShared>();
+  return sp;
+}
 
 static bool parse_bam_header(BamFile& bf) {
   const uint8_t* p = bf.raw.d.data();
@@ -738,14 +761,14 @@ struct RecInfo {
 
 // Collect one primary record's SEQ into sec_seqs if its qname is wanted
 // (ASCII, stored in forward/read orientation).
-static void collect_primary_seq(BamFile& bf,
-                                const std::unordered_set<std::string>& ids,
-                                const uint8_t* q) {
+static void collect_primary_seq(
+    std::unordered_map<std::string, std::vector<uint8_t>>& sec_seqs,
+    const std::unordered_set<std::string>& ids, const uint8_t* q) {
   uint16_t flag = rd_u16(q + 14);
   if (flag & 0x900) return;  // only primaries donate SEQ
   uint8_t l_rn = q[8];
   std::string qn((const char*)q + 32, (size_t)l_rn - 1);
-  if (!ids.count(qn) || bf.sec_seqs.count(qn)) return;
+  if (!ids.count(qn) || sec_seqs.count(qn)) return;
   int32_t l_seq = rd_i32(q + 16);
   uint32_t n_cigar = rd_u16(q + 12);
   const uint8_t* seq4 = q + 32 + l_rn + 4 * n_cigar;
@@ -760,7 +783,7 @@ static void collect_primary_seq(BamFile& bf,
       rc[i] = kRevCompAscii[ascii[ascii.size() - 1 - i]];
     ascii.swap(rc);
   }
-  bf.sec_seqs.emplace(std::move(qn), std::move(ascii));
+  sec_seqs.emplace(std::move(qn), std::move(ascii));
 }
 
 // Two passes over the whole BAM: collect the qnames of secondary records,
@@ -769,8 +792,12 @@ static void collect_primary_seq(BamFile& bf,
 // bounded memory (only the wanted SEQs stay resident — same shape as the
 // reference's shared sec_seqs map, main.rs:1691-1696).
 static void prefetch_secondary(BamFile& bf) {
-  if (bf.sec_prefetched) return;
-  bf.sec_prefetched = true;
+  auto sp = bf.sec;
+  if (!sp) return;  // non-registry open (shouldn't happen) -> no -S subst
+  std::lock_guard<std::mutex> g(sp->mu);
+  if (sp->done) return;
+  sp->done = true;
+  auto& out = sp->seqs;
   std::unordered_set<std::string> ids;
   if (bf.bgzf) {
     bgzf_walk(bf.fd, bf.fsize, nullptr, nullptr,
@@ -782,7 +809,7 @@ static void prefetch_secondary(BamFile& bf) {
     if (ids.empty()) return;
     bgzf_walk(bf.fd, bf.fsize, nullptr, nullptr,
               [&](uint64_t, const uint8_t* q) {
-                collect_primary_seq(bf, ids, q);
+                collect_primary_seq(out, ids, q);
                 return true;
               });
     return;
@@ -801,7 +828,7 @@ static void prefetch_secondary(BamFile& bf) {
     int32_t block = rd_i32(p + off); off += 4;
     if (off + (size_t)block > n) break;
     const uint8_t* q = p + off; off += block;
-    collect_primary_seq(bf, ids, q);
+    collect_primary_seq(out, ids, q);
   }
 }
 
@@ -811,8 +838,8 @@ static const std::vector<uint8_t>* sub_for(const BamFile& bf, const uint8_t* q,
                                            uint16_t flag, int* err) {
   if (!(flag & 0x100) || !bf.v3_f.use_secondary) return nullptr;
   std::string qn((const char*)q + 32, (size_t)q[8] - 1);
-  auto it = bf.sec_seqs.find(qn);
-  if (it == bf.sec_seqs.end()) { *err = -7; return nullptr; }
+  auto it = bf.sec->seqs.find(qn);
+  if (it == bf.sec->seqs.end()) { *err = -7; return nullptr; }
   return &it->second;
 }
 
@@ -971,6 +998,7 @@ extern "C" {
 void* np2_open(const char* bam_path) {
   init_tables();
   BamFile* bf = new BamFile();
+  bf->sec = sec_shared_for(bam_path);
   int fd = open(bam_path, O_RDONLY);
   struct stat st{};
   bool is_bgzf = false;
@@ -1270,7 +1298,6 @@ static int sort_stream_bucketed(const int32_t* t_pos, const int32_t* key,
     }
   }
   // level 2: stable counting sort of each bucket via thread-local staging
-  std::vector<int> errs(T, 0);
   auto work = [&](int t) {
     std::vector<int32_t> sk, sr;
     std::vector<int64_t> hist(SPAN + 1), cur(SPAN);
@@ -1442,10 +1469,15 @@ int np2_find_anchors(const int32_t* t_sorted, const int32_t* k_sorted,
 // Filter the sorted stream by a per-read drop mask (phasing iteration 2):
 // keeps entries whose rid is not dropped, preserving order. Returns the kept
 // count (>= 0) or a negative error. Threaded two-pass (count, prefix, fill).
+// kept_maxd (nullable): max(key >> 16) over KEPT entries — the delta-
+// overflow guard must be taken over the stream the DP will actually see;
+// the flat_all ingest path's unfiltered stream includes clip-dropped reads
+// whose deltas must not force a whole-contig oracle fallback.
 int64_t np2_filter_stream(const int32_t* t_sorted, const int32_t* k_sorted,
                           const int32_t* rid_sorted, int64_t n,
                           const uint8_t* drop, int64_t n_reads,
-                          int32_t* t_out, int32_t* k_out, int64_t n_threads) {
+                          int32_t* t_out, int32_t* k_out, int64_t n_threads,
+                          int64_t* kept_maxd) {
   int T = (int)(n_threads < 1 ? 1 : (n_threads > 16 ? 16 : n_threads));
   if (n < (int64_t)1 << 20) T = 1;
   std::vector<int64_t> kept(T, 0);
@@ -1476,27 +1508,40 @@ int64_t np2_filter_stream(const int32_t* t_sorted, const int32_t* k_sorted,
   // thread segment — thread t's writes start at off[t] <= seg(t), inside
   // thread t-1's unread range. The count pass above stays threaded.
   bool aliased = (t_out == t_sorted) || (k_out == k_sorted);
+  std::vector<int64_t> kmax(T, 0);
   auto fill = [&](int t) {
     int64_t lo = seg(t), hi = (t == T - 1) ? n : seg(t + 1), p = off[t];
+    int64_t km = 0;
     for (int64_t i = lo; i < hi; i++) {
       if (!drop[rid_sorted[i]]) {
         t_out[p] = t_sorted[i];
         k_out[p] = k_sorted[i];
+        int64_t d = (int64_t)(((uint32_t)k_sorted[i]) >> 16);
+        if (d > km) km = d;
         p++;
       }
     }
+    kmax[t] = km;
   };
   if (aliased) {
-    int64_t p = 0;
+    int64_t p = 0, km = 0;
     for (int64_t i = 0; i < n; i++) {
       if (!drop[rid_sorted[i]]) {
         t_out[p] = t_sorted[i];
         k_out[p] = k_sorted[i];
+        int64_t d = (int64_t)(((uint32_t)k_sorted[i]) >> 16);
+        if (d > km) km = d;
         p++;
       }
     }
+    kmax[0] = km;
   } else {
     run(fill);
+  }
+  if (kept_maxd) {
+    int64_t km = 0;
+    for (int t = 0; t < T; t++) if (kmax[t] > km) km = kmax[t];
+    *kept_maxd = km;
   }
   return total;
 }

@@ -178,6 +178,11 @@ static PyObject *collect_score_jobs(PyObject *self, PyObject *args) {
                 LqSeqObj *o = (LqSeqObj *)item;
                 Py_ssize_t slen = PyBytes_Check(o->seq)
                     ? PyBytes_GET_SIZE(o->seq) : PyObject_Length(o->seq);
+                if (slen < 0) {  /* length-less seq: propagate, don't
+                                    misclassify with an exception pending */
+                    Py_DECREF(seqs);
+                    goto done;
+                }
                 int rc = 0;
                 if (slen > ksize) {
                     rc = PyList_Append(long_refs, item) < 0

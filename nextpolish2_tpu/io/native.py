@@ -88,6 +88,13 @@ def load_obj():
         if not os.path.exists(so):
             _obj_failed = True
             return None
+        # rebuild failed but a stale .so exists: loading it would run OLD
+        # C semantics against new Python spec code — warn loudly (mirrors
+        # the libnp2native missing-lib warning)
+        import sys as _sys
+
+        print("[np2] warning: np2obj.c is newer than np2obj.so and the "
+              "rebuild failed — loading the STALE extension", file=_sys.stderr)
     try:
         import importlib.machinery
         import importlib.util
@@ -114,6 +121,7 @@ import threading
 # one-time linear scan, later opens reuse the .np2idx it wrote.
 _handles_lock = threading.Lock()  # eager: a lazily-built lock is itself racy
 _pools: dict = {}  # path -> list of (handle, threading.Lock)
+_grow_locks: dict = {}  # path -> Lock serializing pool growth (np2_open)
 _POOL_MAX = 8
 
 
@@ -121,27 +129,40 @@ def _handle_for(bam_path: str):
     """Acquire (handle, lock) for one begin+fetch pair; the LOCK IS TAKEN.
     Callers must release it when the pair completes."""
     lib = load()
-    while True:
-        with _handles_lock:
-            pool = _pools.setdefault(bam_path, [])
-            for h, lk in pool:
-                if lk.acquire(blocking=False):
-                    return h, lk
-            grow = len(pool) < _POOL_MAX
-        if grow:
-            h = lib.np2_open(bam_path.encode())
-            if not h:
-                raise RuntimeError(f"np2_open failed for {bam_path}")
-            lk = threading.Lock()
-            lk.acquire()
+    with _handles_lock:
+        pool = _pools.setdefault(bam_path, [])
+        for h, lk in pool:
+            if lk.acquire(blocking=False):
+                return h, lk
+        grow = len(pool) < _POOL_MAX
+        glk = _grow_locks.setdefault(bam_path, threading.Lock())
+    if grow:
+        # ONE grower at a time per path: without this, N racing threads all
+        # see len(pool) < cap and each np2_open — on an index-less BAM that
+        # is N concurrent full-file linear index scans (the .np2idx cache is
+        # only written when a scan completes), and the pool overshoots its
+        # cap permanently
+        with glk:
             with _handles_lock:
-                _pools.setdefault(bam_path, []).append((h, lk))
-            return h, lk
-        # pool at cap and all busy: wait on the least-recent lock
-        with _handles_lock:
-            h, lk = _pools[bam_path][0]
-        lk.acquire()
-        return h, lk
+                pool = _pools[bam_path]
+                for h, lk in pool:
+                    if lk.acquire(blocking=False):
+                        return h, lk   # another grower's handle freed up
+                grow = len(pool) < _POOL_MAX
+            if grow:
+                h = lib.np2_open(bam_path.encode())
+                if not h:
+                    raise RuntimeError(f"np2_open failed for {bam_path}")
+                lk = threading.Lock()
+                lk.acquire()
+                with _handles_lock:
+                    _pools[bam_path].append((h, lk))
+                return h, lk
+    # pool at cap and all busy: wait on the least-recent lock
+    with _handles_lock:
+        h, lk = _pools[bam_path][0]
+    lk.acquire()
+    return h, lk
 
 
 def close_handles() -> None:
@@ -183,11 +204,17 @@ def prefault(n_bytes: int, n_threads: int = 4) -> bool:
     global _pf_provisioned
     with _pf_lock:
         _pf_by_thread[threading.get_ident()] = n_bytes
-        delta = sum(_pf_by_thread.values()) - _pf_provisioned
-        if delta <= 0:
+        need = sum(_pf_by_thread.values())
+        if need <= _pf_provisioned:
             return True
-        _pf_provisioned += delta
-    return lib.np2_prefault(ctypes.c_int64(delta),
+        _pf_provisioned = need
+    # fault the FULL current sum, not the delta: a delta-sized malloc would
+    # typically be carved from already-resident freed heap and the mincore
+    # pass would touch nothing — exactly when the working set grew past the
+    # high-water. A need-sized malloc forces the allocator past the resident
+    # free space; mincore keeps the cost proportional to the non-resident
+    # tail (~the delta), so re-faulting the resident prefix stays a scan.
+    return lib.np2_prefault(ctypes.c_int64(need),
                             ctypes.c_int64(n_threads)) == 0
 
 
@@ -365,29 +392,39 @@ def filter_stream_native(t_sorted: np.ndarray, k_sorted: np.ndarray,
     index) and return prefix views of them — the FINAL phasing iteration's
     filter needs no second 8 B/entry copy of the stream, which lowers the
     per-contig working-set high-water the prefault must provision. The
-    caller owns invalidating any cache that aliased these arrays."""
+    caller owns invalidating any cache that aliased these arrays.
+
+    Returns (t_kept, k_kept, kept_max_b1d) — the max key delta over KEPT
+    entries, for the delta-overflow guard on filtered streams."""
     lib = load()
     if lib is None:
         return None
     n = len(t_sorted)
+    t_in, k_in = t_sorted, k_sorted
     t_sorted = np.ascontiguousarray(t_sorted, dtype=np.int32)
     k_sorted = np.ascontiguousarray(k_sorted, dtype=np.int32)
     rid_sorted = np.ascontiguousarray(rid_sorted, dtype=np.int32)
     drop = np.ascontiguousarray(drop, dtype=np.uint8)
+    if in_place and (t_sorted is not t_in or k_sorted is not k_in):
+        # the conversion copied (non-contiguous / wrong dtype input): an
+        # "in-place" compaction of the hidden copy would silently RAISE peak
+        # memory (original + copy) while the caller's buffer stays untouched
+        in_place = False
     if in_place:
         t_out, k_out = t_sorted, k_sorted
     else:
         t_out = np.empty(n, dtype=np.int32)
         k_out = np.empty(n, dtype=np.int32)
+    kept_maxd = ctypes.c_int64(0)
     kept = lib.np2_filter_stream(
         _p(t_sorted, ctypes.c_int32), _p(k_sorted, ctypes.c_int32),
         _p(rid_sorted, ctypes.c_int32), ctypes.c_int64(n),
         _p(drop, ctypes.c_uint8), ctypes.c_int64(len(drop)),
         _p(t_out, ctypes.c_int32), _p(k_out, ctypes.c_int32),
-        ctypes.c_int64(n_threads))
+        ctypes.c_int64(n_threads), ctypes.byref(kept_maxd))
     if kept < 0:
         raise RuntimeError(f"np2_filter_stream failed rc={kept}")
-    return t_out[:kept], k_out[:kept]
+    return t_out[:kept], k_out[:kept], kept_maxd.value
 
 
 def aggregate3_native(t_sorted: np.ndarray, k_sorted: np.ndarray,

@@ -375,8 +375,12 @@ def polish(fa_path: str, bam_path: str, yak_paths: Sequence[str],
             stats.batch_fill = batcher.stats.fill
             stats.csr_batches = batcher.stats.csr_batches
             stats.dense_reasons = dict(batcher.stats.dense_reasons)
-            if (stats.csr_batches < stats.batches
-                    and "no_csr_closure" not in stats.dense_reasons):
+            # warn about any dense fallback EXCEPT pure no-CSR-closure runs
+            # (a request without a CSR aggregation closure is expected to go
+            # dense; a bail or shape misalignment in other batches is not,
+            # and must stay visible even when both kinds occur in one run)
+            unexpected = set(stats.dense_reasons) - {"no_csr_closure"}
+            if stats.csr_batches < stats.batches and unexpected:
                 import sys as _sys
 
                 print("[np2] warning: %d/%d device batches fell back to the "

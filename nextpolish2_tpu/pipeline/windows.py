@@ -557,20 +557,25 @@ def build_window_batch(alignseqs: List[AlignTags], n_pos: int,
     def _filter_cached(consume: bool = False):
         """Drop-mask filter of the cached sorted stream (stable; used by
         every iteration after the first sort when the cache holds reads the
-        current iteration excludes)."""
+        current iteration excludes). Returns (t, k, kept_max_b1d) where the
+        max is None when nothing was dropped (the caller's unfiltered max
+        applies)."""
         from ..io.native import filter_stream_native
 
         drop = np.array([a.dropped or len(a) == 0 for a in alignseqs])
         if not drop.any():
-            return stream_cache["t_sorted"], stream_cache["k_sorted"]
+            return (stream_cache["t_sorted"], stream_cache["k_sorted"],
+                    None)
         res = filter_stream_native(stream_cache["t_sorted"],
                                    stream_cache["k_sorted"],
                                    stream_cache["rid_sorted"], drop,
                                    in_place=consume)
         if res is None:
             keep = ~drop[stream_cache["rid_sorted"]]
-            res = (stream_cache["t_sorted"][keep],
-                   stream_cache["k_sorted"][keep])
+            k_kept = stream_cache["k_sorted"][keep]
+            maxd = int((k_kept.view(np.uint32)
+                        >> np.uint32(16)).max()) if len(k_kept) else 0
+            res = (stream_cache["t_sorted"][keep], k_kept, maxd)
         if consume:
             # the cached arrays are consumed (compacted in place when the
             # native path ran): no later iteration may reuse them
@@ -580,7 +585,10 @@ def build_window_batch(alignseqs: List[AlignTags], n_pos: int,
 
     if stream_cache is not None and "t_sorted" in stream_cache:
         with stage("stream_filter_iter2"):
-            t_sorted, k_sorted = _filter_cached(consume=consume_cache)
+            # no overflow re-check here: a later iteration's stream is a
+            # subset of iteration 1's filtered stream, so its max delta can
+            # only be <= the one already checked
+            t_sorted, k_sorted = _filter_cached(consume=consume_cache)[:2]
     else:
         from_flat_all = False
         with stage("stream_collect"):
@@ -612,19 +620,24 @@ def build_window_batch(alignseqs: List[AlignTags], n_pos: int,
                 k_sorted = k_all[order]
                 rid_sorted = rid_all[order]
         del t_all, k_all, rid_all  # release the unsorted copies before anchors
-        if max_b1d >= (1 << 14):
-            # insertion runs >= 2^14 columns would overflow the i32 key packing;
-            # absurd input — let the engine fall back to the oracle
-            raise WindowOverflow("delta overflow: insertion run >= 16384 columns")
         if stream_cache is not None:
             stream_cache["t_sorted"] = t_sorted
             stream_cache["k_sorted"] = k_sorted
             stream_cache["rid_sorted"] = rid_sorted
         if from_flat_all:
             # the cache includes clip-dropped reads: filter them out for
-            # THIS iteration too (stable, so slot order is unchanged)
+            # THIS iteration too (stable, so slot order is unchanged). The
+            # delta-overflow guard below uses the KEPT entries' max — a
+            # clip-dropped read's pathological insertion run must not force
+            # a whole-contig oracle fallback (it contributes nothing).
             with stage("stream_filter_iter1"):
-                t_sorted, k_sorted = _filter_cached()
+                t_sorted, k_sorted, fmaxd = _filter_cached()
+            if fmaxd is not None:
+                max_b1d = fmaxd
+        if max_b1d >= (1 << 14):
+            # insertion runs >= 2^14 columns would overflow the i32 key packing;
+            # absurd input — let the engine fall back to the oracle
+            raise WindowOverflow("delta overflow: insertion run >= 16384 columns")
 
     with stage("find_anchors"):
         from ..io.native import find_anchors_native

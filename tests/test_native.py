@@ -164,10 +164,30 @@ def test_native_filter_stream_matches_numpy():
     n, n_pos, n_reads = 1_100_000, 4_000, 500
     t, k, rid = _random_stream(rng, n, n_pos, n_reads)
     drop = (rng.random(n_reads) < 0.3)
-    t2, k2 = filter_stream_native(t, k, rid, drop)
+    t2, k2, maxd = filter_stream_native(t, k, rid, drop)
     keep = ~drop[rid]
     assert np.array_equal(t2, t[keep])
     assert np.array_equal(k2, k[keep])
+    # kept_max_b1d is over KEPT entries only: a dropped read's pathological
+    # delta must not count (the flat_all overflow-guard fix)
+    exp = int((k[keep].view(np.uint32) >> np.uint32(16)).max())
+    assert maxd == exp
+    # controlled stream: a dropped read's huge delta must not leak into the
+    # kept max (it would otherwise force a whole-contig oracle fallback)
+    tt = np.arange(10, dtype=np.int32)
+    kk = np.full(10, 0x00020000 | 3, dtype=np.int32)        # delta 2
+    kk[7] = np.uint32(0xFFFF0000 | 5).astype(np.int32)      # huge, read 1
+    rr = np.array([0] * 5 + [1] * 5, dtype=np.int32)
+    dd = np.array([False, True])
+    _, _, maxd2 = filter_stream_native(tt, kk, rr, dd)
+    assert maxd2 == 2
+    # in-place compaction: same results, caller's buffers compacted
+    t3 = t.copy()
+    k3 = k.copy()
+    t4, k4, maxd4 = filter_stream_native(t3, k3, rid, drop, in_place=True)
+    assert np.array_equal(t4, t[keep]) and np.array_equal(k4, k[keep])
+    assert maxd4 == exp
+    assert t4.base is t3 and k4.base is k3  # views of the caller's arrays
 
 
 def _edit_read(rng, t, s, L):
@@ -274,14 +294,16 @@ def test_prefault_reservation_ledger(monkeypatch):
     assert calls == [100]
     assert native.prefault(80)        # shrinking request: warm heap, no call
     assert calls == [100]
-    assert native.prefault(150)       # beyond high-water: fault the delta
-    assert calls == [100, 50]
+    # growth faults the FULL live sum (a delta-sized malloc would land in
+    # resident freed heap and provision nothing); mincore bounds the cost
+    assert native.prefault(150)
+    assert calls == [100, 150]
     th = threading.Thread(target=lambda: native.prefault(60))
     th.start()
     th.join()                          # concurrent thread RAISES the live sum
-    assert calls == [100, 50, 60]      # 150 + 60 > 150 -> delta 60
+    assert calls == [100, 150, 210]    # 150 + 60 > 150
     assert native.prefault(150)        # steady state again: free
-    assert calls == [100, 50, 60]
+    assert calls == [100, 150, 210]
 
 
 def test_native_sort_stream_bucketed_matches_one_level():
