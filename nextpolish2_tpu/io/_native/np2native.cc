@@ -1252,49 +1252,89 @@ int np2_extract_fetch3(void* handle, int32_t* t_pos_out, int32_t* key_out,
 
 // ---------- stream sort + aggregation ----------
 
-// Stable counting-sort of the (t_pos, key, rid) stream by t_pos.
+// Stable counting-sort of the (t_pos, key[, rid]) stream by t_pos.
 // O(n + n_pos); replaces numpy's stable argsort (the round-1 plan_windows
 // bottleneck at Mb scale). Also returns max(key>>16) for the delta-overflow
-// guard (build_window_batch). Threaded: per-thread position histograms
-// (pass 1), an exclusive scan ordered (pos-major, thread-minor) so each
-// thread scatters its own input segment to stable global offsets (pass 2).
-// Thread count is capped so the histograms stay under ~1.5 GB.
-// Two-level stable bucket sort (np2_sort_stream's large-n strategy): the
-// one-level counting sort's scatter does one random DRAM write per entry
-// across a ~GB output span — latency-bound at ~600-700 MB/s on these VMs.
-// Level 1 scatters entries to ~16k-entry position BUCKETS (the cursor set
-// fits cache, writes are near-sequential per bucket); level 2 counting-sorts
-// each bucket through a thread-local staging buffer (everything cache-hot)
-// and writes the final segment SEQUENTIALLY. Stability: level 1 is one
-// in-order pass, level 2 is a stable counting sort per bucket. Level 2
-// threads by bucket range (disjoint output segments, no atomics).
-static int sort_stream_bucketed(const int32_t* t_pos, const int32_t* key,
-                                const int32_t* rid, int64_t n, int64_t n_pos,
-                                int32_t* t_out, int32_t* k_out,
-                                int32_t* rid_out, int64_t* max_b1d, int T) {
+// guard (build_window_batch).
+//
+// Run mask (aoff/drop/nr, aoff nullable): entries live in per-alignseq runs
+// [aoff[r], aoff[r+1]); drop[r] != 0 excludes run r entirely. The stable
+// sort of the kept subsequence is BY CONSTRUCTION identical to filtering the
+// stable sort of the full stream — the production path exploits that to sort
+// straight off the resident flat ingest stream with the iteration's
+// cumulative drop mask fused in, carrying NO rid plane and making NO filter
+// copies (the old rid_in/rid_out/filter buffers were 16+ B/entry of pure
+// sort-time working set the prefault had to provision). rid/rid_out are
+// nullable; the masked production path passes null.
+//
+// Two-level stable bucket sort (large-n strategy): the one-level counting
+// sort's scatter does one random DRAM write per entry across a ~GB output
+// span — latency-bound at ~600-700 MB/s on these VMs. Level 1 scatters
+// entries to ~16k-entry position BUCKETS (the cursor set fits cache, writes
+// are near-sequential per bucket); level 2 counting-sorts each bucket through
+// a thread-local staging buffer (everything cache-hot) and writes the final
+// segment SEQUENTIALLY. Stability: level 1 is one in-order pass, level 2 is a
+// stable counting sort per bucket. Level 2 threads by bucket range (disjoint
+// output segments, no atomics). Returns kept entry count, or -1 on a
+// t_pos out of [0, n_pos).
+static int64_t sort_stream_bucketed(const int32_t* t_pos, const int32_t* key,
+                                    const int32_t* rid,
+                                    const int64_t* aoff, const uint8_t* drop,
+                                    int64_t nr, int64_t n, int64_t n_pos,
+                                    int32_t* t_out, int32_t* k_out,
+                                    int32_t* rid_out, int64_t* max_b1d,
+                                    int T) {
   int shift = 0;
   while ((n_pos >> shift) > (n >> 14) + 1) shift++;   // avg ~16k entries/bucket
   const int64_t NB = ((n_pos - 1) >> shift) + 1;
   const int64_t SPAN = (int64_t)1 << shift;
+  const bool has_rid = rid != nullptr && rid_out != nullptr;
   std::vector<int64_t> bcnt(NB + 1, 0);
-  int64_t mb = 0;
-  for (int64_t i = 0; i < n; i++) {
-    int64_t tp = t_pos[i];
-    if (tp < 0 || tp >= n_pos) return -1;
-    bcnt[(tp >> shift) + 1]++;
-    int64_t d = (int64_t)(((uint32_t)key[i]) >> 16);
-    if (d > mb) mb = d;
+  int64_t mb = 0, n_kept = 0;
+  // pass 1: bucket histogram + max delta over KEPT entries
+  auto count_range = [&](int64_t lo, int64_t hi) -> int {
+    for (int64_t i = lo; i < hi; i++) {
+      int64_t tp = t_pos[i];
+      if (tp < 0 || tp >= n_pos) return -1;
+      bcnt[(tp >> shift) + 1]++;
+      int64_t d = (int64_t)(((uint32_t)key[i]) >> 16);
+      if (d > mb) mb = d;
+    }
+    n_kept += hi - lo;
+    return 0;
+  };
+  if (aoff) {
+    for (int64_t r = 0; r < nr; r++)
+      if (!drop[r] && count_range(aoff[r], aoff[r + 1])) return -1;
+  } else {
+    if (count_range(0, n)) return -1;
   }
   *max_b1d = mb;
   for (int64_t b = 0; b < NB; b++) bcnt[b + 1] += bcnt[b];
   // level 1: stable scatter into bucket segments of the OUTPUT arrays
   {
     std::vector<int64_t> cur(bcnt.begin(), bcnt.end() - 1);
-    for (int64_t i = 0; i < n; i++) {
-      int64_t p = cur[t_pos[i] >> shift]++;
-      t_out[p] = t_pos[i];
-      k_out[p] = key[i];
-      rid_out[p] = rid[i];
+    auto scat_range = [&](int64_t lo, int64_t hi) {
+      if (has_rid) {
+        for (int64_t i = lo; i < hi; i++) {
+          int64_t p = cur[t_pos[i] >> shift]++;
+          t_out[p] = t_pos[i];
+          k_out[p] = key[i];
+          rid_out[p] = rid[i];
+        }
+      } else {
+        for (int64_t i = lo; i < hi; i++) {
+          int64_t p = cur[t_pos[i] >> shift]++;
+          t_out[p] = t_pos[i];
+          k_out[p] = key[i];
+        }
+      }
+    };
+    if (aoff) {
+      for (int64_t r = 0; r < nr; r++)
+        if (!drop[r]) scat_range(aoff[r], aoff[r + 1]);
+    } else {
+      scat_range(0, n);
     }
   }
   // level 2: stable counting sort of each bucket via thread-local staging
@@ -1310,14 +1350,14 @@ static int sort_stream_bucketed(const int32_t* t_pos, const int32_t* key,
       for (int64_t i = lo; i < hi; i++) hist[(t_out[i] - base) + 1]++;
       for (int64_t p = 0; p < SPAN; p++) hist[p + 1] += hist[p];
       sk.assign(k_out + lo, k_out + hi);
-      sr.assign(rid_out + lo, rid_out + hi);
+      if (has_rid) sr.assign(rid_out + lo, rid_out + hi);
       std::copy(hist.begin(), hist.begin() + SPAN, cur.begin());
       for (int64_t i = 0; i < m; i++) {
         int64_t rel = t_out[lo + i] - base;
         int64_t p = lo + cur[rel]++;
         // t_out rewritten from the histogram below; only payloads scatter
         k_out[p] = sk[i];
-        rid_out[p] = sr[i];
+        if (has_rid) rid_out[p] = sr[i];
       }
       for (int64_t p = 0; p < SPAN; p++) {
         int32_t tv = (int32_t)(base + p);
@@ -1332,86 +1372,108 @@ static int sort_stream_bucketed(const int32_t* t_pos, const int32_t* key,
     for (int t = 0; t < T; t++) ths.emplace_back(work, t);
     for (auto& th : ths) th.join();
   }
-  return 0;
+  return n_kept;
+}
+
+// One-level counting sort (small-n strategy; single-threaded — the threaded
+// scatter variant measured 15x SLOWER on this VM, round-2 note). Same run
+// mask / nullable-rid contract as sort_stream_bucketed. t_out is filled
+// SEQUENTIALLY from the histogram (bucket p = p repeated) — drops a third of
+// the scatter's random-write traffic (the sort is memory-bound).
+static int64_t sort_stream_onelevel(const int32_t* t_pos, const int32_t* key,
+                                    const int32_t* rid,
+                                    const int64_t* aoff, const uint8_t* drop,
+                                    int64_t nr, int64_t n, int64_t n_pos,
+                                    int32_t* t_out, int32_t* k_out,
+                                    int32_t* rid_out, int64_t* max_b1d) {
+  const bool has_rid = rid != nullptr && rid_out != nullptr;
+  std::vector<int64_t> hist(n_pos + 1, 0);
+  int64_t mb = 0, n_kept = 0;
+  auto count_range = [&](int64_t lo, int64_t hi) -> int {
+    for (int64_t i = lo; i < hi; i++) {
+      int64_t tp = t_pos[i];
+      if (tp < 0 || tp >= n_pos) return -1;
+      hist[tp + 1]++;
+      int64_t d = (int64_t)(((uint32_t)key[i]) >> 16);
+      if (d > mb) mb = d;
+    }
+    n_kept += hi - lo;
+    return 0;
+  };
+  if (aoff) {
+    for (int64_t r = 0; r < nr; r++)
+      if (!drop[r] && count_range(aoff[r], aoff[r + 1])) return -1;
+  } else {
+    if (count_range(0, n)) return -1;
+  }
+  *max_b1d = mb;
+  for (int64_t p = 0; p < n_pos; p++) hist[p + 1] += hist[p];
+  for (int64_t p = 0; p < n_pos; p++)
+    std::fill(t_out + hist[p], t_out + hist[p + 1], (int32_t)p);
+  std::vector<int64_t> cur(hist.begin(), hist.begin() + n_pos);
+  auto scat_range = [&](int64_t lo, int64_t hi) {
+    if (has_rid) {
+      for (int64_t i = lo; i < hi; i++) {
+        int64_t p = cur[t_pos[i]]++;
+        k_out[p] = key[i];
+        rid_out[p] = rid[i];
+      }
+    } else {
+      for (int64_t i = lo; i < hi; i++) {
+        int64_t p = cur[t_pos[i]]++;
+        k_out[p] = key[i];
+      }
+    }
+  };
+  if (aoff) {
+    for (int64_t r = 0; r < nr; r++)
+      if (!drop[r]) scat_range(aoff[r], aoff[r + 1]);
+  } else {
+    scat_range(0, n);
+  }
+  return n_kept;
+}
+
+static int64_t sort_stream_core(const int32_t* t_pos, const int32_t* key,
+                                const int32_t* rid,
+                                const int64_t* aoff, const uint8_t* drop,
+                                int64_t nr, int64_t n, int64_t n_pos,
+                                int32_t* t_out, int32_t* k_out,
+                                int32_t* rid_out, int64_t* max_b1d,
+                                int64_t n_threads) {
+  int T = (int)(n_threads < 1 ? 1 : (n_threads > 16 ? 16 : n_threads));
+  const char* env = getenv("NP2_SORT_BUCKETED");
+  bool bucketed = !(env && env[0] == '0');
+  if (bucketed && n >= ((int64_t)1 << 22) && n_pos >= (1 << 16))
+    return sort_stream_bucketed(t_pos, key, rid, aoff, drop, nr, n, n_pos,
+                                t_out, k_out, rid_out, max_b1d, T);
+  return sort_stream_onelevel(t_pos, key, rid, aoff, drop, nr, n, n_pos,
+                              t_out, k_out, rid_out, max_b1d);
 }
 
 int np2_sort_stream(const int32_t* t_pos, const int32_t* key,
                     const int32_t* rid, int64_t n, int64_t n_pos,
                     int32_t* t_out, int32_t* k_out, int32_t* rid_out,
                     int64_t* max_b1d, int64_t n_threads) {
-  int T = (int)(n_threads < 1 ? 1 : (n_threads > 16 ? 16 : n_threads));
-  const char* env = getenv("NP2_SORT_BUCKETED");
-  bool bucketed = !(env && env[0] == '0');
-  if (bucketed && n >= ((int64_t)1 << 22) && n_pos >= (1 << 16))
-    return sort_stream_bucketed(t_pos, key, rid, n, n_pos, t_out, k_out,
-                                rid_out, max_b1d, T < 1 ? 1 : T);
-  // one-level path: the per-thread-histogram scatter measured 15x SLOWER
-  // than serial on this VM (round-2 note) — always run it single-threaded
-  T = 1;
-  while (T > 1 && (int64_t)T * (n_pos + 1) * 8 > (int64_t)3 << 29) T /= 2;
-  if (n < (int64_t)1 << 20) T = 1;
-  std::vector<std::vector<int64_t>> hist(T);
-  std::vector<int64_t> mbs(T, 0);
-  std::vector<int> errs(T, 0);
-  auto seg = [&](int t) { return n / T * t; };
-  auto count = [&](int t) {
-    auto& h = hist[t];
-    h.assign(n_pos, 0);
-    int64_t lo = seg(t), hi = (t == T - 1) ? n : seg(t + 1);
-    int64_t mb = 0;
-    for (int64_t i = lo; i < hi; i++) {
-      int64_t tp = t_pos[i];
-      if (tp < 0 || tp >= n_pos) { errs[t] = -1; return; }
-      h[tp]++;
-      int64_t d = (int64_t)(((uint32_t)key[i]) >> 16);
-      if (d > mb) mb = d;
-    }
-    mbs[t] = mb;
-  };
-  auto run = [&](auto fn) {
-    if (T == 1) { fn(0); return; }
-    std::vector<std::thread> ths;
-    for (int t = 0; t < T; t++) ths.emplace_back(fn, t);
-    for (auto& th : ths) th.join();
-  };
-  run(count);
-  for (int t = 0; t < T; t++) if (errs[t]) return errs[t];
-  int64_t mb = 0;
-  for (int t = 0; t < T; t++) mb = std::max(mb, mbs[t]);
-  *max_b1d = mb;
-  // exclusive scan: hist[t][p] <- global start offset for thread t, pos p;
-  // bstart[p] <- global bucket start (= hist[0][p] pre-mutation)
-  std::vector<int64_t> bstart(n_pos + 1);
-  int64_t acc = 0;
-  for (int64_t p = 0; p < n_pos; p++) {
-    bstart[p] = acc;
-    for (int t = 0; t < T; t++) {
-      int64_t c = hist[t][p];
-      hist[t][p] = acc;
-      acc += c;
-    }
-  }
-  bstart[n_pos] = acc;
-  // t_out is fully determined by the histogram (bucket p = p repeated):
-  // SEQUENTIAL fill instead of scattering it — drops a third of the
-  // scatter's random-write traffic (the sort is memory-bound)
-  auto fill_t = [&](int t) {
-    int64_t p0 = n_pos / T * t, p1 = (t == T - 1) ? n_pos : n_pos / T * (t + 1);
-    for (int64_t p = p0; p < p1; p++)
-      std::fill(t_out + bstart[p], t_out + bstart[p + 1], (int32_t)p);
-  };
-  run(fill_t);
-  auto scatter = [&](int t) {
-    auto& h = hist[t];
-    int64_t lo = seg(t), hi = (t == T - 1) ? n : seg(t + 1);
-    for (int64_t i = lo; i < hi; i++) {
-      int64_t p = h[t_pos[i]]++;
-      k_out[p] = key[i];
-      rid_out[p] = rid[i];
-    }
-  };
-  run(scatter);
-  return 0;
+  int64_t r = sort_stream_core(t_pos, key, rid, nullptr, nullptr, 0, n,
+                               n_pos, t_out, k_out, rid_out, max_b1d,
+                               n_threads);
+  return r < 0 ? -1 : 0;
+}
+
+// Fused drop-filter + stable sort off the flat per-alignseq run stream:
+// sorts only kept runs' entries into t_out/k_out (capacity >= kept count;
+// full n is always enough), no rid plane anywhere. Returns the kept entry
+// count, or -1 on a t_pos out of range. max_b1d is the max key>>16 over
+// KEPT entries only (the overflow guard must not trip on a dropped read's
+// pathological insertion run).
+int64_t np2_sort_stream_runs(const int32_t* t_pos, const int32_t* key,
+                             const int64_t* aoff, const uint8_t* drop,
+                             int64_t nr, int64_t n, int64_t n_pos,
+                             int32_t* t_out, int32_t* k_out,
+                             int64_t* max_b1d, int64_t n_threads) {
+  return sort_stream_core(t_pos, key, nullptr, aoff, drop, nr, n, n_pos,
+                          t_out, k_out, nullptr, max_b1d, n_threads);
 }
 
 // Anchor sweep straight off the t-sorted stream (find_anchors_stream

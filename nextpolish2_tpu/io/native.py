@@ -54,6 +54,7 @@ def load() -> Optional[ctypes.CDLL]:
     lib.np2_extract_begin3.restype = ctypes.c_int
     lib.np2_extract_fetch3.restype = ctypes.c_int
     lib.np2_sort_stream.restype = ctypes.c_int
+    lib.np2_sort_stream_runs.restype = ctypes.c_int64
     lib.np2_aggregate3.restype = ctypes.c_int
     lib.np2_aggregate_csr.restype = ctypes.c_int
     lib.np2_col_slots.restype = ctypes.c_int
@@ -299,7 +300,12 @@ def _extract_contig_locked(lib, handle, tid, tseq_codes, cfg, n_threads,
     # copies, numpy temporaries) in one threaded THP prefault: ~1-2 GB/s vs
     # ~4-40 MB/s for lazy 4K first-touch faults on these VMs. The ledger in
     # prefault() makes the steady-state call (warm heap) free.
-    per_entry = int(os.environ.get("NP2_PREFAULT_PER_ENTRY", "48"))
+    # 32 B/entry since the fused run-masked sort (np2_sort_stream_runs)
+    # removed the rid planes + per-iteration filter copies (~16 B/entry) the
+    # old 48 covered; under-provisioning pushes 4K faults into the dispatch
+    # path (SCALE_r04 run4), over-provisioning pays the hypervisor for pages
+    # never touched.
+    per_entry = int(os.environ.get("NP2_PREFAULT_PER_ENTRY", "32"))
     if ns and per_entry:
         with stage("ingest_prefault"):
             prefault(ns * per_entry, 8)
@@ -352,6 +358,48 @@ def sort_stream_native(t_pos: np.ndarray, key: np.ndarray, rid: np.ndarray,
     if rc != 0:
         raise RuntimeError(f"np2_sort_stream failed rc={rc}")
     return t_out, k_out, rid_out, max_b1d.value
+
+
+def sort_stream_runs_native(t_pos: np.ndarray, key: np.ndarray,
+                            aoff: np.ndarray, drop: np.ndarray,
+                            n_pos: int,
+                            t_out: Optional[np.ndarray] = None,
+                            k_out: Optional[np.ndarray] = None,
+                            n_threads: int = 4) -> Optional[tuple]:
+    """Fused drop-filter + stable counting sort straight off the flat
+    per-alignseq run stream (np2_sort_stream_runs): entries of run r live at
+    [aoff[r], aoff[r+1]); drop[r] excludes the run. Sorting the kept
+    subsequence stably is identical to filtering the stable sort of the full
+    stream, so iteration 2+ of the phasing loop re-sorts from the PRISTINE
+    resident flat stream with the cumulative drop mask — no rid plane, no
+    filter copies (that was 16+ B/entry of sort-time working set).
+
+    t_out/k_out: optional full-capacity (len >= n) reuse buffers persisted
+    across phasing iterations; fresh exact-size buffers are allocated when
+    absent. Returns (t_sorted, k_sorted, kept_max_b1d) prefix views, or None
+    without the native lib."""
+    lib = load()
+    if lib is None:
+        return None
+    n = len(t_pos)
+    nr = len(drop)
+    t_pos = np.ascontiguousarray(t_pos, dtype=np.int32)
+    key = np.ascontiguousarray(key, dtype=np.int32)
+    aoff = np.ascontiguousarray(aoff, dtype=np.int64)
+    drop = np.ascontiguousarray(drop, dtype=np.uint8)
+    if t_out is None or k_out is None or len(t_out) < n:
+        t_out = np.empty(n, dtype=np.int32)
+        k_out = np.empty(n, dtype=np.int32)
+    max_b1d = ctypes.c_int64(0)
+    kept = lib.np2_sort_stream_runs(
+        _p(t_pos, ctypes.c_int32), _p(key, ctypes.c_int32),
+        _p(aoff, ctypes.c_int64), _p(drop, ctypes.c_uint8),
+        ctypes.c_int64(nr), ctypes.c_int64(n), ctypes.c_int64(n_pos),
+        _p(t_out, ctypes.c_int32), _p(k_out, ctypes.c_int32),
+        ctypes.byref(max_b1d), ctypes.c_int64(n_threads))
+    if kept < 0:
+        raise RuntimeError(f"np2_sort_stream_runs failed rc={kept}")
+    return t_out[:kept], k_out[:kept], max_b1d.value
 
 
 def find_anchors_native(t_sorted: np.ndarray, k_sorted: np.ndarray,

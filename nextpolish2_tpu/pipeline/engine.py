@@ -276,8 +276,12 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
 
     configure_jax()
     with stage("plan_windows"):
-        # final_iter: the last phasing iteration's drop filter may compact
-        # the cached sorted stream in place (no 8 B/entry copy)
+        # final_iter only matters on the LEGACY (no flat_all) path: its last
+        # phasing iteration's drop filter may compact the cached sorted
+        # stream in place (no 8 B/entry copy). The flat_all production path
+        # re-sorts from the pristine flat stream with the drop mask fused
+        # into the counting sort (np2_sort_stream_runs) — zero per-iteration
+        # allocations, so there is nothing to compact
         wb = build_window_batch(alignseqs, n_pos, ref_codes, target=cfg.window_len,
                                 stream_cache=stream_cache,
                                 consume_cache=final_iter)

@@ -583,7 +583,55 @@ def build_window_batch(alignseqs: List[AlignTags], n_pos: int,
                 stream_cache.pop(k, None)
         return res
 
-    if stream_cache is not None and "t_sorted" in stream_cache:
+    def _fused_sort():
+        """Fused drop-filter + stable sort off the RESIDENT flat ingest
+        stream (np2_sort_stream_runs): every iteration re-sorts the pristine
+        flat (t, k) runs with the iteration's cumulative drop mask fused
+        into the counting sort's passes, writing full-capacity output
+        buffers reused across iterations. No rid plane, no filter copies:
+        sort-time working set = the already-resident flat stream + the two
+        output buffers (16 B/entry, was ~32 with rid_all/rid_sorted/filter
+        outputs) — it is the provisioning high-water the prefault must
+        cover, not CPU, that bounds ≥50 Mb runs. A stable sort of the kept
+        subsequence is byte-identical to filtering the stable sort (the
+        legacy iter-2 path), so all golden gates hold. Returns
+        (t, k, kept_max_b1d) with max None on a drop-signature cache hit,
+        or None without the native lib."""
+        from ..io.native import sort_stream_runs_native
+
+        fa = stream_cache["flat_all"]
+        drop = np.array([a.dropped or len(a) == 0 for a in alignseqs],
+                        dtype=np.uint8)
+        sig = drop.tobytes()
+        if (stream_cache.get("sorted_dropsig") == sig
+                and "t_sorted" in stream_cache):
+            # same drop set as the previous iteration (e.g. phasing found
+            # nothing new): the cached sorted prefix is still exact
+            return (stream_cache["t_sorted"], stream_cache["k_sorted"], None)
+        t_buf, k_buf = stream_cache.get("sort_bufs", (None, None))
+        with stage("stream_sort"):
+            res = sort_stream_runs_native(fa["t"], fa["k"], fa["aoff"],
+                                          drop, n_pos, t_buf, k_buf)
+        if res is None:
+            return None
+        t_s, k_s, maxd = res
+        stream_cache["sort_bufs"] = (
+            t_s.base if t_s.base is not None else t_s,
+            k_s.base if k_s.base is not None else k_s)
+        stream_cache["t_sorted"] = t_s
+        stream_cache["k_sorted"] = k_s
+        stream_cache["sorted_dropsig"] = sig
+        return t_s, k_s, maxd
+
+    fused = None
+    if stream_cache is not None and "flat_all" in stream_cache:
+        fused = _fused_sort()
+    if fused is not None:
+        t_sorted, k_sorted, fmaxd = fused
+        if fmaxd is not None and fmaxd >= (1 << 14):
+            raise WindowOverflow(
+                "delta overflow: insertion run >= 16384 columns")
+    elif stream_cache is not None and "t_sorted" in stream_cache:
         with stage("stream_filter_iter2"):
             # no overflow re-check here: a later iteration's stream is a
             # subset of iteration 1's filtered stream, so its max delta can

@@ -190,6 +190,139 @@ def test_native_filter_stream_matches_numpy():
     assert t4.base is t3 and k4.base is k3  # views of the caller's arrays
 
 
+def test_native_sort_stream_runs_matches_sort_then_filter():
+    """np2_sort_stream_runs (fused drop-filter + stable sort off per-read
+    runs, no rid plane) must be byte-identical to sort-then-filter for both
+    strategies (one-level small-n, bucketed large-n), all thread counts."""
+    from nextpolish2_tpu.io.native import sort_stream_native, \
+        sort_stream_runs_native
+
+    rng = np.random.default_rng(17)
+    for n, n_pos in ((300_000, 4_000),          # one-level
+                     (4_500_000, 80_000)):      # bucketed (n>=2^22, pos>=2^16)
+        n_reads = 700
+        # runs: entries grouped per read in flat (alignment) order
+        lens = rng.multinomial(n, np.ones(n_reads) / n_reads)
+        aoff = np.zeros(n_reads + 1, dtype=np.int64)
+        aoff[1:] = np.cumsum(lens)
+        t = np.empty(n, dtype=np.int32)
+        for r in range(n_reads):   # each read covers a contiguous t span
+            lo = int(rng.integers(0, n_pos))
+            t[aoff[r]:aoff[r + 1]] = np.minimum(
+                lo + np.arange(lens[r]) // 3, n_pos - 1)
+        k = rng.integers(-(2**31), 2**31, n, dtype=np.int64).astype(np.int32)
+        rid = np.repeat(np.arange(n_reads, dtype=np.int32), lens)
+        drop = (rng.random(n_reads) < 0.35).astype(np.uint8)
+        keep = ~drop.view(bool)[rid]
+        for thr in (1, 3):
+            ts, ks, rs, _ = sort_stream_native(t, k, rid, n_pos,
+                                               n_threads=thr)
+            ksel = ks[~drop.view(bool)[rs]]
+            tsel = ts[~drop.view(bool)[rs]]
+            res = sort_stream_runs_native(t, k, aoff, drop, n_pos,
+                                          n_threads=thr)
+            assert res is not None
+            t2, k2, maxd = res
+            assert np.array_equal(t2, tsel)
+            assert np.array_equal(k2, ksel)
+            exp = int((k[keep].view(np.uint32) >> np.uint32(16)).max())
+            assert maxd == exp
+        # reuse buffers (capacity n) across calls: second sort with a
+        # different mask lands in the same memory
+        bufs = (np.empty(n, np.int32), np.empty(n, np.int32))
+        drop2 = (rng.random(n_reads) < 0.6).astype(np.uint8)
+        r1 = sort_stream_runs_native(t, k, aoff, drop2, n_pos,
+                                     bufs[0], bufs[1])
+        assert r1[0].base is bufs[0] and r1[1].base is bufs[1]
+        keep2 = ~drop2.view(bool)[rid]
+        order = np.argsort(t, kind="stable")
+        kref = k[order][~drop2.view(bool)[rid[order]]]
+        assert np.array_equal(r1[1], kref)
+        assert len(r1[0]) == int(keep2.sum())
+        # nothing dropped == plain sort
+        r2 = sort_stream_runs_native(t, k, aoff,
+                                     np.zeros(n_reads, np.uint8), n_pos)
+        ts, ks, _, mb = sort_stream_native(t, k, rid, n_pos)
+        assert np.array_equal(r2[0], ts) and np.array_equal(r2[1], ks)
+        assert r2[2] == mb
+        # everything dropped == empty
+        r3 = sort_stream_runs_native(t, k, aoff,
+                                     np.ones(n_reads, np.uint8), n_pos)
+        assert len(r3[0]) == 0 and r3[2] == 0
+
+
+def test_build_window_batch_fused_flat_sort_and_dropsig_cache():
+    """build_window_batch with a flat_all cache takes the fused run-masked
+    sort: results match the legacy collect+sort+rid-filter path, an
+    unchanged drop signature reuses the cached sorted prefix without
+    re-sorting, and a new drop re-sorts from the pristine flat stream."""
+    from nextpolish2_tpu.pipeline.windows import build_window_batch
+
+    class _A:
+        def __init__(self, t_s, n):
+            self.dropped = False
+            self.aln_t_s = t_s
+            self._n = n
+
+        def __len__(self):
+            return self._n
+
+    rng = np.random.default_rng(23)
+    n_pos = 3000
+    ref_codes = rng.integers(0, 4, n_pos).astype(np.uint8)
+    # runs of plausible entries: mostly pure-match keys so anchors exist
+    runs, t_parts, k_parts = [], [], []
+    lens = []
+    for r in range(40):
+        s = int(rng.integers(0, n_pos - 600))
+        L = int(rng.integers(300, 600))
+        tp = (s + np.arange(L)).astype(np.int32)
+        b3 = ref_codes[tp].astype(np.int32)
+        mask = rng.random(L) < 0.05
+        kk = np.where(mask, b3 | 0x1000, b3).astype(np.int32)
+        runs.append(_A(s, L))
+        t_parts.append(tp)
+        k_parts.append(kk)
+        lens.append(L)
+    aoff = np.zeros(len(runs) + 1, dtype=np.int64)
+    aoff[1:] = np.cumsum(lens)
+    flat = {"t": np.concatenate(t_parts), "k": np.concatenate(k_parts),
+            "aoff": aoff}
+    cache = {"flat_all": flat}
+    wb1 = build_window_batch(runs, n_pos, ref_codes, target=256,
+                             stream_cache=cache)
+    # legacy reference: explicit rid stream + numpy stable sort, no cache
+    rid = np.repeat(np.arange(len(runs), dtype=np.int32),
+                    np.array(lens, dtype=np.int64))
+    wb_ref = build_window_batch(runs, n_pos, ref_codes, target=256,
+                                flat_stream=(flat["t"], flat["k"], rid))
+    assert np.array_equal(wb1.t_sorted, wb_ref.t_sorted)
+    assert np.array_equal(wb1.k_sorted, wb_ref.k_sorted)
+    assert np.array_equal(wb1.window_start, wb_ref.window_start)
+    # same drop signature: cached prefix reused (identity, no re-sort)
+    wb2 = build_window_batch(runs, n_pos, ref_codes, target=256,
+                             stream_cache=cache)
+    assert wb2.t_sorted is cache["t_sorted"]
+    assert wb2.t_sorted is wb1.t_sorted
+    # new drops: re-sorted from the pristine flat stream, matches legacy
+    for i in (3, 11, 29):
+        runs[i].dropped = True
+    wb3 = build_window_batch(runs, n_pos, ref_codes, target=256,
+                             stream_cache=cache)
+    # legacy reference for the dropped set: pre-filtered flat stream (the
+    # flat_stream branch ships entries as-is; _collect_stream would skip
+    # dropped reads, so emulate that by masking here)
+    keep_entries = ~np.array([a.dropped for a in runs])[rid]
+    wb_ref2 = build_window_batch(runs, n_pos, ref_codes, target=256,
+                                 flat_stream=(flat["t"][keep_entries],
+                                              flat["k"][keep_entries],
+                                              rid[keep_entries]))
+    assert np.array_equal(wb3.t_sorted, wb_ref2.t_sorted)
+    assert np.array_equal(wb3.k_sorted, wb_ref2.k_sorted)
+    # the reuse buffers persist: iteration 2 wrote into the same memory
+    assert wb3.t_sorted.base is cache["sort_bufs"][0]
+
+
 def _edit_read(rng, t, s, L):
     """Random edit script over t[s:s+L] -> (seq, cigar) with valid lengths."""
     seq = bytearray()
