@@ -306,7 +306,15 @@ def _extract_contig_locked(lib, handle, tid, tseq_codes, cfg, n_threads,
     # path (SCALE_r04 run4), over-provisioning pays the hypervisor for pages
     # never touched.
     per_entry = int(os.environ.get("NP2_PREFAULT_PER_ENTRY", "32"))
-    if ns and per_entry:
+    # Small-working-set bypass (VERDICT r4): a tiny contig's stream (m20:
+    # ~50 MB/contig) lazily faults in well under the cost of provisioning
+    # the over-estimated envelope up front — the 23 s cumulative prefault on
+    # a ~1 Mb assembly was pure waste, and the staggered stalls it induced
+    # also broke cross-contig batch packing (fill 0.96 -> 0.67). The
+    # threaded THP prefault only pays off when the per-contig working set
+    # is large (SCALE_r04 run3: 3x worse without it at 4-8 Mb contigs).
+    min_bytes = int(os.environ.get("NP2_PREFAULT_MIN_MB", "256")) << 20
+    if ns and per_entry and ns * per_entry >= min_bytes:
         with stage("ingest_prefault"):
             prefault(ns * per_entry, 8)
     with stage("ingest_fetch3"):
@@ -387,7 +395,14 @@ def sort_stream_runs_native(t_pos: np.ndarray, key: np.ndarray,
     key = np.ascontiguousarray(key, dtype=np.int32)
     aoff = np.ascontiguousarray(aoff, dtype=np.int64)
     drop = np.ascontiguousarray(drop, dtype=np.uint8)
-    if t_out is None or k_out is None or len(t_out) < n:
+    # run contract: aoff delimits nr runs over the n-entry stream; a caller
+    # whose alignseqs list diverged from the flat stream's runs would
+    # otherwise fault inside native code instead of raising here
+    if len(aoff) != nr + 1 or int(aoff[-1]) > n:
+        raise ValueError(
+            f"run contract violated: len(aoff)={len(aoff)} nr={nr} "
+            f"aoff[-1]={int(aoff[-1]) if len(aoff) else 'n/a'} n={n}")
+    if t_out is None or k_out is None or len(t_out) < n or len(k_out) < n:
         t_out = np.empty(n, dtype=np.int32)
         k_out = np.empty(n, dtype=np.int32)
     max_b1d = ctypes.c_int64(0)
