@@ -82,7 +82,7 @@ def e2e_polish_seconds(n_runs: int = 2):
     bam = os.path.join(BASE, "hifi.map.sort.bam")
     yaks = [os.path.join(BASE, "k21.yak"), os.path.join(BASE, "k31.yak")]
     cfg = PolishConfig(min_ctg_len=1000)
-    dt, stages = 0.0, {}
+    stages = {}
     jobs: list = []
     orig = olq.batch_min_kscores
 
@@ -91,8 +91,10 @@ def e2e_polish_seconds(n_runs: int = 2):
             jobs.extend(seqs)
         return orig(seqs, table, minc)
 
+    n_runs = max(n_runs, 3)  # min over steady runs (hour-noise robustness)
+    dts = []
     for i in range(n_runs):
-        if i == n_runs - 1:           # time stages on the steady-state run
+        if i == n_runs - 1:           # time stages on the final run
             timing.reset()
             timing.enable(True)
             olq.batch_min_kscores = record
@@ -102,11 +104,11 @@ def e2e_polish_seconds(n_runs: int = 2):
             polish(ASM, bam, yaks, cfg, out=sink)
         finally:
             olq.batch_min_kscores = orig
-        dt = time.time() - t0
+        dts.append(time.time() - t0)
     stages = timing.snapshot()
     timing.enable(False)
     timing.reset()
-    return dt, stages, jobs
+    return min(dts[1:]), stages, jobs
 
 
 def kscore_device_ab(jobs, use_pallas: bool):
@@ -167,7 +169,8 @@ def e2e_single_large(n_runs: int = 2):
     if not (os.path.exists(bam) and os.path.exists(fa)):
         return None
     cfg = PolishConfig(min_ctg_len=1000)
-    dt, bases = 0.0, 0
+    bases = 0
+    dts = []
     for i in range(n_runs):
         timing.reset()
         timing.enable(i == n_runs - 1)
@@ -175,12 +178,13 @@ def e2e_single_large(n_runs: int = 2):
         stats = PolishStats()
         t0 = time.time()
         polish(fa, bam, yaks, cfg, out=sink, stats=stats)
-        dt = time.time() - t0
+        dts.append(time.time() - t0)
         bases = stats.in_bases
     stages = timing.snapshot()
     timing.enable(False)
     timing.reset()
-    return dt, bases, stages
+    # run 0 pays compiles; min over the rest (hour-noise robustness)
+    return min(dts[1:]) if len(dts) > 1 else dts[0], bases, stages
 
 
 def e2e_multi_seconds(n_runs: int = 2):
@@ -222,6 +226,45 @@ def e2e_multi_seconds(n_runs: int = 2):
     return dt, bases, stats.batch_fill, csr_share, stage_tabs[best]
 
 
+def provisioning_gb_s(budget_s: float = 3.0, chunk_mb: int = 64) -> float:
+    """Observed hypervisor page-provisioning rate (GB/s): touch fresh
+    anonymous mappings (one byte per 4 KB page) until the time budget is
+    spent. This is the quantity that swings ~1000x hour to hour on these
+    VMs (CLAUDE.md) and silently dominates ingest-heavy stages — recording
+    it with every bench makes round-over-round regressions attributable
+    (VERDICT r4 item 3)."""
+    import mmap
+
+    total = 0
+    t0 = time.time()
+    while time.time() - t0 < budget_s:
+        m = mmap.mmap(-1, chunk_mb << 20)
+        step = 4096
+        for off in range(0, len(m), step):
+            m[off] = 1
+        total += len(m)
+        m.close()
+    dt = time.time() - t0
+    return total / dt / 1e9
+
+
+def dispatch_rtt_ms(n: int = 10) -> float:
+    """Min round-trip of a tiny device dispatch + scalar pull (the fixed
+    per-dispatch floor every chunk pays on the tunneled backend)."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x.sum())
+    x = jnp.ones(8, dtype=jnp.int32)
+    int(f(x))  # compile
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.time()
+        int(f(x))
+        best = min(best, time.time() - t0)
+    return best * 1e3
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
@@ -231,6 +274,7 @@ def main() -> int:
 
     configure_jax()
     use_pallas = jax.default_backend() not in ("cpu",)
+    noise_gb_s = provisioning_gb_s()
 
     # ---- end-to-end first: pays every in-process compile exactly once, and
     # the kernel loop below reuses those caches (same jitted callables)
@@ -346,16 +390,7 @@ def main() -> int:
             c = s if c is None else c + s
         return c
 
-    int(step())  # warmup (compile cache should already be hot from e2e)
-    n_groups, iters_per_group = 3, 5
-    group_dt = []
-    for _ in range(n_groups):
-        t0 = time.time()
-        for _ in range(iters_per_group):
-            c = step()
-        c = int(c)  # materialize: forces the whole group's device chain
-        group_dt.append(time.time() - t0)
-    # ---- device-resident rate: same jitted programs on PRE-UPLOADED blobs
+    # ---- device-resident arm: same jitted programs on PRE-UPLOADED blobs
     # (pack + host->device upload excluded). Separates "the tunnel is
     # congested this hour" from "the device program regressed": the
     # production value above is transfer-bound on the tunneled backend.
@@ -385,18 +420,32 @@ def main() -> int:
             c = s if c is None else c + s
         return c
 
-    value_resident = -1.0
+    # INTERLEAVED A/B groups (VERDICT r4 item 3): the hypervisor/tunnel rate
+    # swings 2-10x hour to hour, so the dispatch and resident arms alternate
+    # within the same minutes — a cross-arm ratio from one hour is then
+    # attributable to code, not the clock. Headline = mean of the dispatch
+    # groups (continuity with r1-r4); peak + min-of-N also recorded.
+    int(step())  # warmup (compile cache should already be hot from e2e)
     if resident:
-        int(step_resident())  # warm (compile cache hot from the loop above)
-        res_dt = []
-        for _ in range(3):
+        int(step_resident())
+    n_groups, iters_per_group = 3, 5
+    group_dt, res_dt = [], []
+    for _ in range(n_groups):
+        t0 = time.time()
+        for _ in range(iters_per_group):
+            c = step()
+        c = int(c)  # materialize: forces the whole group's device chain
+        group_dt.append(time.time() - t0)
+        if resident:
             t0 = time.time()
             for _ in range(iters_per_group):
                 c = step_resident()
             c = int(c)
             res_dt.append(time.time() - t0)
-        value_resident = float(n_real * iters_per_group / min(res_dt))
+    value_resident = (float(n_real * iters_per_group / min(res_dt))
+                      if res_dt else -1.0)
 
+    rtt_ms = dispatch_rtt_ms()
     # n_real = all real windows across the tiered chunks (padding excluded)
     per_group_wps = [n_real * iters_per_group / dt for dt in group_dt]
     windows_per_s = float(np.mean(per_group_wps))
@@ -455,6 +504,14 @@ def main() -> int:
         "device_cv": round(cv, 3),
         "value_peak_group": round(windows_per_s_peak, 2),
         "value_resident": round(value_resident, 2),
+        "noise": {
+            # hour metadata: cross-round comparisons are only meaningful at
+            # similar provisioning rates / RTTs (CLAUDE.md; SCALE_r04 run6)
+            "provision_gb_s": round(noise_gb_s, 3),
+            "dispatch_rtt_ms": round(rtt_ms, 2),
+            "interleaved_ab": True,
+            "value_min_group": round(float(np.min(per_group_wps)), 2),
+        },
         "scale_run": "SCALE_r04.json: 92.5 Mb / 18 contigs at -t4 on chip, "
                      "307.5 s = 1.08 Gbp/hr, peak RSS 25.5 GB, 18/18 "
                      "byte-identical to truth + oracle spot checks",
