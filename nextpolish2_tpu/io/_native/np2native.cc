@@ -2351,3 +2351,334 @@ int np2_prefault(int64_t bytes, int64_t n_threads) {
 }
 
 }  // extern "C"
+
+// ---------- sequential range scanner (chromosome-scale segmented ingest) ----
+//
+// One forward pass over a contig's records serving ascending position-range
+// requests with bounded memory: each kept record is decoded + filtered +
+// trimmed + expanded ONCE (analyze_record/emit_tags, identical semantics to
+// np2_extract_begin3/fetch3) and held in a carry until no later range can
+// need it. The clip filter (filter_alignseqs_by_clip, main.rs:531-574) runs
+// incrementally: the covered-range chain is built in record order as the scan
+// advances, and a clipped record's verdict is only read once the scan
+// frontier is provably past any read that could still extend a range over it
+// (an unscanned record extends the open range only if its margin-adjusted
+// start <= open_e, and starts are >= frontier — so once frontier >= end +
+// 2*margin + slack the verdict is final).
+
+namespace {
+
+struct CarryRec {
+  int64_t order;             // global kept-record ordinal (1-based; ref = 0)
+  int64_t aln_t_s, aln_t_e;  // post-trim bounds (absolute)
+  uint8_t clip;              // raw clip label (pre filter)
+  uint8_t drop;              // clip-filter verdict (valid once decided)
+  uint8_t decided;
+  std::vector<int32_t> t, k; // expanded tag stream (absolute t)
+};
+
+struct RangeScan {
+  BamFile* bf = nullptr;
+  Filters f{};
+  std::vector<uint8_t> tseq_copy;  // owned copy (caller array may be freed)
+  int64_t clip_margin = 50;
+  int32_t want_tid = -1;
+  // BGZF streaming state (bgzf path)
+  BgzfScan* sc = nullptr;
+  std::vector<uint8_t> ubuf;
+  size_t cursor = 0;
+  int64_t skip_first = 0;          // uncompressed offset into first block
+  // plain-gzip path: cursor walks bf->raw directly
+  size_t raw_cursor = 0;
+  bool raw_positioned = false;
+  bool done = false;               // contig exhausted
+  int64_t prev_pos = -1;
+  int64_t frontier = -1;           // pos of last scanned record
+  std::deque<CarryRec> carry;
+  int64_t order_ctr = 0;
+  // incremental clip chain (mirrors filter_by_clip construction)
+  std::vector<int64_t> closed_s, closed_e;
+  int64_t open_s = 0, open_e = 0;
+  // pending emitted set (between next and fetch)
+  std::vector<CarryRec*> set;
+  int64_t set_stream = 0, base = 0, maxt = 0;
+  std::vector<uint8_t> sq, st;     // analyze scratch
+  ~RangeScan() {
+    delete sc;
+    if (bf) delete bf;
+  }
+};
+
+// Ensure at least `need` unconsumed bytes in rs.ubuf (bgzf path). Returns
+// false at clean end-of-stream with fewer than `need` bytes, or on error
+// (sets rs.done either way; *err set negative on corrupt input).
+static bool rs_ensure(RangeScan& rs, size_t need, int* err) {
+  std::vector<uint8_t> blk;
+  while (rs.ubuf.size() - rs.cursor < need) {
+    if (rs.cursor > (size_t)(1 << 23)) {
+      rs.ubuf.erase(rs.ubuf.begin(), rs.ubuf.begin() + rs.cursor);
+      rs.cursor = 0;
+    }
+    int64_t bcoff = 0;
+    int us = rs.sc->next(blk, &bcoff);
+    if (us == -1) return false;
+    if (us < -1) { *err = -3; return false; }
+    size_t from = 0;
+    if (rs.skip_first > 0) {
+      from = (size_t)std::min<int64_t>(rs.skip_first, us);
+      rs.skip_first -= (int64_t)from;
+    }
+    rs.ubuf.insert(rs.ubuf.end(), blk.begin() + from, blk.begin() + us);
+  }
+  return true;
+}
+
+// Peek the next record's (tid, pos) without consuming. Returns 1 on success,
+// 0 at end of contig/stream (rs.done set), negative on corrupt input.
+static int rs_peek(RangeScan& rs, int32_t* pos_out, const uint8_t** q_out,
+                   uint32_t* bs_out) {
+  if (rs.done) return 0;
+  int err = 0;
+  if (rs.bf->bgzf) {
+    if (!rs_ensure(rs, 4, &err)) { rs.done = true; return err ? err : 0; }
+    uint32_t bs = rd_u32(rs.ubuf.data() + rs.cursor);
+    if (bs < 32 || bs > (1u << 30)) return -3;
+    if (!rs_ensure(rs, 4 + (size_t)bs, &err)) { rs.done = true; return err ? err : 0; }
+    const uint8_t* q = rs.ubuf.data() + rs.cursor + 4;
+    int32_t tid = rd_i32(q);
+    if (tid != rs.want_tid) { rs.done = true; return 0; }
+    *pos_out = rd_i32(q + 4);
+    *q_out = q;
+    *bs_out = bs;
+    return 1;
+  }
+  // plain-gzip: walk the resident stream; position to the contig lazily
+  const uint8_t* p = rs.bf->raw.d.data();
+  size_t n = rs.bf->raw.d.size();
+  if (!rs.raw_positioned) {
+    rs.raw_cursor = rs.bf->rec_off;
+    rs.raw_positioned = true;
+  }
+  for (;;) {
+    if (rs.raw_cursor + 4 > n) { rs.done = true; return 0; }
+    uint32_t bs = rd_u32(p + rs.raw_cursor);
+    if (bs < 32 || rs.raw_cursor + 4 + bs > n) return -3;
+    const uint8_t* q = p + rs.raw_cursor + 4;
+    int32_t tid = rd_i32(q);
+    if (tid > rs.want_tid || tid < 0) { rs.done = true; return 0; }
+    if (tid < rs.want_tid) { rs.raw_cursor += 4 + bs; continue; }
+    *pos_out = rd_i32(q + 4);
+    *q_out = q;
+    *bs_out = bs;
+    return 1;
+  }
+}
+
+// Consume the peeked record (q/bs from rs_peek): filter + expand + trim into
+// the carry, update the clip chain. Returns 0 or negative error.
+static int rs_consume(RangeScan& rs, const uint8_t* q, uint32_t bs) {
+  BamRec r;
+  parse_rec(q, r);
+  if ((int64_t)r.pos < rs.prev_pos) return -4;  // unsorted (main.rs:1753)
+  rs.prev_pos = r.pos;
+  rs.frontier = r.pos;
+  int e = 0;
+  const std::vector<uint8_t>* sub = sub_for(*rs.bf, q, r.flag, &e);
+  if (e) return e;
+  RecInfo ri;
+  if (analyze_record(r, rs.f, rs.sq, rs.st, ri, sub)) {
+    rs.order_ctr++;
+    rs.carry.emplace_back();
+    CarryRec& cr = rs.carry.back();
+    cr.order = rs.order_ctr;
+    cr.aln_t_s = ri.aln_t_s;
+    cr.aln_t_e = ri.aln_t_e;
+    cr.clip = ri.clip ? 1 : 0;
+    cr.drop = 0;
+    cr.decided = 0;
+    int64_t len = ri.new_len - ri.shift;
+    cr.t.resize((size_t)len);
+    cr.k.resize((size_t)len);
+    emit_tags(rs.sq, rs.st, ri, cr.t.data(), cr.k.data());
+    if (!ri.clip) {
+      // covered-range chain, reference construction order (main.rs:537-556)
+      int64_t ats = ri.aln_t_s + rs.clip_margin;
+      int64_t ate = ri.aln_t_e - rs.clip_margin;
+      if (rs.open_s == rs.open_e) {
+        rs.open_s = ats; rs.open_e = ate;
+      } else if (ats > rs.open_e) {
+        rs.closed_s.push_back(rs.open_s);
+        rs.closed_e.push_back(rs.open_e);
+        rs.open_s = ats; rs.open_e = ate;
+      } else if (rs.open_e < ate) {
+        rs.open_e = ate;
+      }
+    }
+  }
+  if (rs.bf->bgzf) rs.cursor += 4 + bs;
+  else rs.raw_cursor += 4 + bs;
+  return 0;
+}
+
+static void rs_decide_clip(RangeScan& rs, CarryRec& cr) {
+  if (cr.decided) return;
+  cr.decided = 1;
+  cr.drop = 0;
+  if (!cr.clip) return;
+  // in_ranges over closed ranges (insertion order, early break) then the
+  // open range — identical to the global list where the open range is last
+  for (size_t i = 0; i < rs.closed_s.size(); i++) {
+    if (rs.closed_s[i] <= cr.aln_t_s && cr.aln_t_e <= rs.closed_e[i]) {
+      cr.drop = 1;
+      return;
+    }
+    if (cr.aln_t_e < rs.closed_s[i]) return;
+  }
+  if (rs.open_s != rs.open_e && rs.open_s <= cr.aln_t_s &&
+      cr.aln_t_e <= rs.open_e)
+    cr.drop = 1;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* np2_range_open(const char* bam_path, int32_t tid,
+                     const uint8_t* tseq_codes, int64_t tlen,
+                     int64_t min_map_qual, int64_t min_read_len,
+                     int64_t min_map_len, double min_map_fra,
+                     int64_t max_clip_len, int64_t use_secondary,
+                     int64_t use_supplementary, int64_t trim_len,
+                     int64_t short_ref_len, int64_t clip_margin) {
+  init_tables();
+  BamFile* bf = static_cast<BamFile*>(np2_open(bam_path));
+  if (!bf) return nullptr;
+  RangeScan* rs = new RangeScan();
+  rs->bf = bf;
+  rs->tseq_copy.assign(tseq_codes, tseq_codes + tlen);
+  rs->f = Filters{rs->tseq_copy.data(), tlen, min_map_qual, min_read_len,
+                  min_map_len, min_map_fra, max_clip_len, use_secondary,
+                  use_supplementary, (int)trim_len, short_ref_len};
+  bf->v3_f = rs->f;  // sub_for reads use_secondary from v3_f
+  rs->clip_margin = clip_margin;
+  rs->want_tid = tid;
+  if (use_secondary) prefetch_secondary(*bf);
+  if (bf->bgzf) {
+    if (tid < 0 || tid >= (int32_t)bf->refs.size()) { delete rs; return nullptr; }
+    uint64_t vbeg = bf->tid_vbeg[(size_t)tid];
+    uint64_t vend = bf->tid_vend[(size_t)tid];
+    if (vend <= vbeg) {
+      rs->done = true;  // no records for this contig
+    } else {
+      rs->sc = new BgzfScan(bf->fd, bf->fsize);
+      rs->sc->coff = (int64_t)(vbeg >> 16);
+      rs->skip_first = (int64_t)(vbeg & 0xFFFF);
+    }
+  }
+  return rs;
+}
+
+void np2_range_close(void* handle) {
+  delete static_cast<RangeScan*>(handle);
+}
+
+// Advance the scan to serve [t_lo, t_hi): evicts carry records that no later
+// range can need (aln_t_e < t_lo), scans records with pos < t_hi, then scans
+// far enough past the set's max end that every member's clip verdict is
+// final. Reports the set's sizes and coordinate base. Safe to call again
+// with the same t_lo and a larger t_hi (segment extension).
+int np2_range_next(void* handle, int64_t t_lo, int64_t t_hi,
+                   int64_t* stream_n, int64_t* reads_n,
+                   int64_t* base_out, int64_t* maxt_out) {
+  RangeScan& rs = *static_cast<RangeScan*>(handle);
+  // evict: no future range (all have t_lo' >= t_lo) can touch these
+  while (!rs.carry.empty() && rs.carry.front().aln_t_e < t_lo)
+    rs.carry.pop_front();
+  if (rs.carry.size() > 1 && rs.carry.front().aln_t_e >= t_lo) {
+    // interior evictions (deque not sorted by end): compact in place
+    std::deque<CarryRec> kept;
+    for (auto& cr : rs.carry)
+      if (cr.aln_t_e >= t_lo) kept.emplace_back(std::move(cr));
+    rs.carry.swap(kept);
+  }
+  // prune chain ranges that can no longer contain any future member
+  size_t np = 0;
+  while (np < rs.closed_e.size() && rs.closed_e[np] < t_lo) np++;
+  if (np) {
+    rs.closed_s.erase(rs.closed_s.begin(), rs.closed_s.begin() + np);
+    rs.closed_e.erase(rs.closed_e.begin(), rs.closed_e.begin() + np);
+  }
+  // phase 1: all records with pos < t_hi
+  for (;;) {
+    int32_t pos; const uint8_t* q; uint32_t bs;
+    int r = rs_peek(rs, &pos, &q, &bs);
+    if (r < 0) return r;
+    if (r == 0 || (int64_t)pos >= t_hi) break;
+    int rc = rs_consume(rs, q, bs);
+    if (rc < 0) return rc;
+  }
+  // the set is now fixed: members overlap [t_lo, t_hi) by trimmed bounds
+  int64_t e_set = -1;
+  for (auto& cr : rs.carry)
+    if (cr.aln_t_s < t_hi && cr.aln_t_e >= t_lo && cr.aln_t_e > e_set)
+      e_set = cr.aln_t_e;
+  // phase 2: clip-verdict lookahead (see header comment for the proof)
+  int64_t need_frontier = e_set + 2 * rs.clip_margin + 32;
+  for (;;) {
+    int32_t pos; const uint8_t* q; uint32_t bs;
+    int r = rs_peek(rs, &pos, &q, &bs);
+    if (r < 0) return r;
+    if (r == 0 || (int64_t)pos >= need_frontier) break;
+    int rc = rs_consume(rs, q, bs);
+    if (rc < 0) return rc;
+  }
+  rs.set.clear();
+  rs.set_stream = 0;
+  int64_t mn = t_lo, mx = t_lo;
+  for (auto& cr : rs.carry) {
+    if (cr.aln_t_s < t_hi && cr.aln_t_e >= t_lo) {
+      rs_decide_clip(rs, cr);
+      rs.set.push_back(&cr);
+      rs.set_stream += (int64_t)cr.t.size();
+      if (cr.aln_t_s < mn) mn = cr.aln_t_s;
+      if (cr.aln_t_e > mx) mx = cr.aln_t_e;
+    }
+  }
+  rs.base = mn;
+  rs.maxt = mx;
+  *stream_n = rs.set_stream;
+  *reads_n = (int64_t)rs.set.size();
+  *base_out = mn;
+  *maxt_out = mx;
+  return 0;
+}
+
+// Fill caller buffers for the pending set: tag streams rebased to the
+// reported base, per-read stream offsets, rebased bounds, clip-filter drop
+// flags, raw clip labels and global orders.
+int np2_range_fetch(void* handle, int32_t* t_pos_out, int32_t* key_out,
+                    int64_t* read_start_out, int64_t* aln_bounds_out,
+                    uint8_t* clip_drop_out, uint8_t* clip_label_out,
+                    int64_t* orders_out) {
+  RangeScan& rs = *static_cast<RangeScan*>(handle);
+  int64_t off = 0;
+  int32_t b = (int32_t)rs.base;
+  for (size_t i = 0; i < rs.set.size(); i++) {
+    CarryRec& cr = *rs.set[i];
+    read_start_out[i] = off;
+    aln_bounds_out[2 * i] = cr.aln_t_s - rs.base;
+    aln_bounds_out[2 * i + 1] = cr.aln_t_e - rs.base;
+    clip_drop_out[i] = cr.drop;
+    clip_label_out[i] = cr.clip;
+    orders_out[i] = cr.order;
+    size_t n = cr.t.size();
+    const int32_t* tp = cr.t.data();
+    int32_t* to = t_pos_out + off;
+    for (size_t j = 0; j < n; j++) to[j] = tp[j] - b;
+    memcpy(key_out + off, cr.k.data(), n * 4);
+    off += (int64_t)n;
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -65,6 +65,9 @@ def load() -> Optional[ctypes.CDLL]:
     lib.np2_extract_alleles.restype = ctypes.c_int
     lib.np2_plan_windows.restype = ctypes.c_int
     lib.np2_window_max.restype = ctypes.c_int
+    lib.np2_range_open.restype = ctypes.c_void_p
+    lib.np2_range_next.restype = ctypes.c_int
+    lib.np2_range_fetch.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -760,3 +763,92 @@ def window_max_native(colslots: np.ndarray, lead: np.ndarray,
     if rc != 0:
         raise RuntimeError(f"np2_window_max failed rc={rc}")
     return out
+
+
+class RangeScanner:
+    """Sequential position-range ingest over one contig's BAM records
+    (np2_range_open/next/fetch) — the bounded-memory primitive behind the
+    segmented chromosome-scale engine (pipeline/segmented.py).
+
+    One forward pass serves ascending [t_lo, t_hi) requests; each kept record
+    is decoded/filtered/trimmed/expanded exactly once (identical semantics to
+    extract_contig_native, incl. the incremental clip filter mirroring
+    filter_alignseqs_by_clip, main.rs:531-574). `next()` returns a dict with
+    the segment's read set or None when the native library is unavailable.
+    """
+
+    def __init__(self, bam_path: str, tid: int, tseq_codes: np.ndarray, cfg):
+        self._h = None
+        lib = load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        tseq_codes = np.ascontiguousarray(tseq_codes, dtype=np.uint8)
+        h = lib.np2_range_open(
+            bam_path.encode(), ctypes.c_int32(tid),
+            _p(tseq_codes, ctypes.c_uint8), ctypes.c_int64(len(tseq_codes)),
+            ctypes.c_int64(cfg.min_map_qual), ctypes.c_int64(cfg.min_read_len),
+            ctypes.c_int64(cfg.min_map_len), ctypes.c_double(cfg.min_map_fra),
+            ctypes.c_int64(cfg.max_clip_len),
+            ctypes.c_int64(1 if cfg.use_secondary else 0),
+            ctypes.c_int64(1 if cfg.use_supplementary else 0),
+            ctypes.c_int64(cfg.trim_len), ctypes.c_int64(cfg.short_ref_len),
+            ctypes.c_int64(cfg.clip_margin))
+        if not h:
+            raise RuntimeError(f"np2_range_open failed for {bam_path}:{tid}")
+        self._h = h
+
+    def next(self, t_lo: int, t_hi: int) -> dict:
+        """Serve [t_lo, t_hi): t_lo must be nondecreasing across calls
+        (re-calling with the same t_lo and a larger t_hi extends the
+        segment). Returns {"t","k" (i32, rebased to base), "read_start",
+        "bounds" [nr,2] (rebased), "clip_drop", "clip_label" (u8),
+        "orders" (i64 global kept-record ordinals, 1-based),
+        "base", "maxt" (absolute)}."""
+        sn = ctypes.c_int64(0)
+        rn = ctypes.c_int64(0)
+        base = ctypes.c_int64(0)
+        maxt = ctypes.c_int64(0)
+        rc = self._lib.np2_range_next(
+            ctypes.c_void_p(self._h), ctypes.c_int64(t_lo),
+            ctypes.c_int64(t_hi), ctypes.byref(sn), ctypes.byref(rn),
+            ctypes.byref(base), ctypes.byref(maxt))
+        if rc != 0:
+            raise RuntimeError(f"np2_range_next failed rc={rc}")
+        ns, nr = sn.value, rn.value
+        t = np.empty(ns, dtype=np.int32)
+        k = np.empty(ns, dtype=np.int32)
+        read_start = np.empty(nr, dtype=np.int64)
+        bounds = np.empty(2 * nr, dtype=np.int64)
+        clip_drop = np.empty(nr, dtype=np.uint8)
+        clip_label = np.empty(nr, dtype=np.uint8)
+        orders = np.empty(nr, dtype=np.int64)
+        rc = self._lib.np2_range_fetch(
+            ctypes.c_void_p(self._h),
+            _p(t, ctypes.c_int32), _p(k, ctypes.c_int32),
+            _p(read_start, ctypes.c_int64), _p(bounds, ctypes.c_int64),
+            _p(clip_drop, ctypes.c_uint8), _p(clip_label, ctypes.c_uint8),
+            _p(orders, ctypes.c_int64))
+        if rc != 0:
+            raise RuntimeError(f"np2_range_fetch failed rc={rc}")
+        return {"t": t, "k": k, "read_start": read_start,
+                "bounds": bounds.reshape(nr, 2), "clip_drop": clip_drop,
+                "clip_label": clip_label, "orders": orders,
+                "base": base.value, "maxt": maxt.value}
+
+    def close(self) -> None:
+        if self._h is not None:
+            self._lib.np2_range_close(ctypes.c_void_p(self._h))
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
