@@ -2587,7 +2587,17 @@ void np2_range_close(void* handle) {
 // far enough past the set's max end that every member's clip verdict is
 // final. Reports the set's sizes and coordinate base. Safe to call again
 // with the same t_lo and a larger t_hi (segment extension).
+//
+// extract_mode: also include carry records whose trimmed start lands AT or
+// past t_hi but whose global order precedes a member's — allele extraction
+// (main.rs:1440-1523) walks reads with a monotone region cursor driven by a
+// running max of aln_t_s, so a boundary record whose trim pushed its start
+// past the segment can still gate a later (start-inverted) read's appends;
+// the set must carry them for exact cursor parity (pipeline/segmented.py
+// pass B). Newly scanned records get higher orders and can never join, so
+// the verdict lookahead still converges.
 int np2_range_next(void* handle, int64_t t_lo, int64_t t_hi,
+                   int64_t extract_mode,
                    int64_t* stream_n, int64_t* reads_n,
                    int64_t* base_out, int64_t* maxt_out) {
   RangeScan& rs = *static_cast<RangeScan*>(handle);
@@ -2618,10 +2628,20 @@ int np2_range_next(void* handle, int64_t t_lo, int64_t t_hi,
     if (rc < 0) return rc;
   }
   // the set is now fixed: members overlap [t_lo, t_hi) by trimmed bounds
-  int64_t e_set = -1;
+  // (plus, under extract_mode, the earlier-order past-boundary records)
+  int64_t e_set = -1, max_order = -1;
   for (auto& cr : rs.carry)
-    if (cr.aln_t_s < t_hi && cr.aln_t_e >= t_lo && cr.aln_t_e > e_set)
-      e_set = cr.aln_t_e;
+    if (cr.aln_t_s < t_hi && cr.aln_t_e >= t_lo) {
+      if (cr.aln_t_e > e_set) e_set = cr.aln_t_e;
+      if (cr.order > max_order) max_order = cr.order;
+    }
+  auto in_set = [&](const CarryRec& cr) {
+    if (cr.aln_t_s < t_hi && cr.aln_t_e >= t_lo) return true;
+    return extract_mode != 0 && cr.aln_t_s >= t_hi && cr.order <= max_order;
+  };
+  if (extract_mode)
+    for (auto& cr : rs.carry)
+      if (in_set(cr) && cr.aln_t_e > e_set) e_set = cr.aln_t_e;
   // phase 2: clip-verdict lookahead (see header comment for the proof)
   int64_t need_frontier = e_set + 2 * rs.clip_margin + 32;
   for (;;) {
@@ -2636,7 +2656,7 @@ int np2_range_next(void* handle, int64_t t_lo, int64_t t_hi,
   rs.set_stream = 0;
   int64_t mn = t_lo, mx = t_lo;
   for (auto& cr : rs.carry) {
-    if (cr.aln_t_s < t_hi && cr.aln_t_e >= t_lo) {
+    if (in_set(cr)) {
       rs_decide_clip(rs, cr);
       rs.set.push_back(&cr);
       rs.set_stream += (int64_t)cr.t.size();

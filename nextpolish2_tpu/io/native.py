@@ -798,20 +798,23 @@ class RangeScanner:
             raise RuntimeError(f"np2_range_open failed for {bam_path}:{tid}")
         self._h = h
 
-    def next(self, t_lo: int, t_hi: int) -> dict:
+    def next(self, t_lo: int, t_hi: int, extract_mode: bool = False) -> dict:
         """Serve [t_lo, t_hi): t_lo must be nondecreasing across calls
         (re-calling with the same t_lo and a larger t_hi extends the
-        segment). Returns {"t","k" (i32, rebased to base), "read_start",
-        "bounds" [nr,2] (rebased), "clip_drop", "clip_label" (u8),
-        "orders" (i64 global kept-record ordinals, 1-based),
-        "base", "maxt" (absolute)}."""
+        segment). extract_mode additionally includes earlier-order records
+        whose trimmed start landed past t_hi (allele-extraction cursor
+        parity; see np2_range_next). Returns {"t","k" (i32, rebased to
+        base), "read_start", "bounds" [nr,2] (rebased), "clip_drop",
+        "clip_label" (u8), "orders" (i64 global kept-record ordinals,
+        1-based), "base", "maxt" (absolute)}."""
         sn = ctypes.c_int64(0)
         rn = ctypes.c_int64(0)
         base = ctypes.c_int64(0)
         maxt = ctypes.c_int64(0)
         rc = self._lib.np2_range_next(
             ctypes.c_void_p(self._h), ctypes.c_int64(t_lo),
-            ctypes.c_int64(t_hi), ctypes.byref(sn), ctypes.byref(rn),
+            ctypes.c_int64(t_hi), ctypes.c_int64(1 if extract_mode else 0),
+            ctypes.byref(sn), ctypes.byref(rn),
             ctypes.byref(base), ctypes.byref(maxt))
         if rc != 0:
             raise RuntimeError(f"np2_range_next failed rc={rc}")

@@ -424,3 +424,128 @@ def count_kmers(seqs: list[bytes], ksize: int) -> tuple[np.ndarray, np.ndarray]:
     )
     uniq, cnt = np.unique(ident, return_counts=True)
     return uniq, cnt
+
+
+def _blocks_from_paths(paths, block_bytes: int):
+    """Yield ~block_bytes 'N'-joined base blobs streamed from FASTA/FASTQ
+    files (no whole-file residency; an N separator resets the rolling window
+    so no k-mer spans two reads, kmer.rs:272-274)."""
+    from .fastx import read_fastx
+
+    batch: list = []
+    n = 0
+    for path in paths:
+        for _, seq in read_fastx(path):
+            batch.append(seq)
+            n += len(seq) + 1
+            if n >= block_bytes:
+                yield b"N".join(batch)
+                batch, n = [], 0
+    if batch:
+        yield b"N".join(batch)
+
+
+class _RestartRound(Exception):
+    pass
+
+
+def count_kmers_stream(paths, ksize: int, mem_mb: int = 4096,
+                       rounds: int = 0, block_mb: int = 64,
+                       log=None):
+    """Bounded-memory k-mer counting over read FILES (VERDICT r4 item 8; the
+    reference delegates this to yak's streaming counter, kmer.rs:132-170
+    ethos). Yields (bin, entries u64) in ascending bin order for
+    write_yak_bins.
+
+    Strategy: stream blocks, reduce each to (ident, count), merge into a
+    sorted per-round accumulator. A round covers a contiguous PRE-bin range;
+    when the accumulator would exceed the memory budget the pass restarts
+    with twice the rounds (re-reading input; geometric, so total I/O stays
+    < 2x the final pass count). Identity/conflation semantics match
+    count_kmers exactly.
+    """
+    kmask = (1 << (2 * ksize)) - 1
+    budget = mem_mb << 20
+    n_rounds = max(1, rounds)
+    nbins = 1 << 10
+    while True:
+        try:
+            for r in range(n_rounds):
+                b_lo = nbins * r // n_rounds
+                b_hi = nbins * (r + 1) // n_rounds
+                chunks: list = []       # [(ident sorted, cnt)] pending merge
+                chunk_entries = 0
+                acc = (np.zeros(0, _U64), np.zeros(0, np.int64))
+
+                def merge(acc, chunks):
+                    idents = np.concatenate([acc[0]] + [c[0] for c in chunks])
+                    cnts = np.concatenate([acc[1]] + [c[1] for c in chunks])
+                    order = np.argsort(idents, kind="stable")
+                    idents = idents[order]
+                    cnts = cnts[order]
+                    uniq, start = np.unique(idents, return_index=True)
+                    summed = np.add.reduceat(cnts, start) if len(cnts) \
+                        else cnts
+                    return uniq, summed
+
+                for blob in _blocks_from_paths(paths, block_mb << 20):
+                    km = seq_kmers(blob, ksize)
+                    if not len(km):
+                        continue
+                    hashes = yak_hash64(km, kmask) if ksize < 32 else km
+                    del km
+                    bins = hashes & _U64(nbins - 1)
+                    if n_rounds > 1:
+                        hashes = hashes[(bins >= b_lo) & (bins < b_hi)]
+                    ident = ((hashes >> _U64(YAK_COUNTER_BITS))
+                             << _U64(YAK_COUNTER_BITS)) | (
+                        hashes & _U64(nbins - 1))
+                    del hashes, bins
+                    u, c = np.unique(ident, return_counts=True)
+                    del ident
+                    chunks.append((u, c))
+                    chunk_entries += len(u)
+                    if (chunk_entries + len(acc[0])) * 16 > budget // 2:
+                        acc = merge(acc, chunks)
+                        chunks, chunk_entries = [], 0
+                        if len(acc[0]) * 16 > budget:
+                            raise _RestartRound()
+                if chunks:
+                    acc = merge(acc, chunks)
+                # emit per bin, ascending: sort by (bin, ident)
+                uniq, cnt = acc
+                bins = (uniq & _U64(nbins - 1)).astype(np.int64)
+                order = np.argsort(bins, kind="stable")
+                bins_sorted = bins[order]
+                entries = ((uniq >> _U64(YAK_COUNTER_BITS))
+                           << _U64(YAK_COUNTER_BITS)) | np.minimum(
+                    cnt, YAK_MAX_COUNT).astype(_U64)
+                entries = entries[order]
+                bounds = np.searchsorted(bins_sorted, np.arange(b_lo, b_hi + 1))
+                for b in range(b_lo, b_hi):
+                    yield b, entries[bounds[b - b_lo] : bounds[b - b_lo + 1]]
+            return
+        except _RestartRound:
+            n_rounds *= 2
+            if n_rounds > nbins:
+                raise MemoryError(
+                    f"count_kmers_stream: budget {mem_mb} MB too small even "
+                    f"at {nbins} rounds")
+            if log:
+                log(f"accumulator over {mem_mb} MB budget; restarting with "
+                    f"{n_rounds} rounds")
+
+
+def write_yak_bins(path: str, ksize: int, bin_entries, pre: int = 10) -> None:
+    """Write a .yak dump from an ascending (bin, entries u64) iterator —
+    the streaming counterpart of write_yak (constant memory)."""
+    with open(path, "wb") as f:
+        f.write(YAK_MAGIC)
+        f.write(struct.pack("<3I", ksize, pre, YAK_COUNTER_BITS))
+        expect = 0
+        for b, seg in bin_entries:
+            assert b == expect, f"bins must ascend densely: got {b}, want {expect}"
+            expect += 1
+            f.write(struct.pack("<2I", len(seg), len(seg)))
+            np.asarray(seg, dtype="<u8").tofile(f)
+        assert expect == 1 << pre, f"missing bins: wrote {expect}/{1 << pre}"

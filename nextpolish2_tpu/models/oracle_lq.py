@@ -43,7 +43,9 @@ class LqSeq:
 
 def extract_alleles(alignseqs: List[AlignTags], lqseqs: List[LqRegion],
                     table: KmerTable, max_can: int = 60,
-                    cache: Optional[dict] = None) -> None:
+                    cache: Optional[dict] = None,
+                    coord_offset: int = 0,
+                    order_map: Optional[np.ndarray] = None) -> None:
     """Per-read allele extraction over LQ intervals
     (generate_lqseqs_from_tags_kmer first half, main.rs:1429-1523).
 
@@ -54,9 +56,24 @@ def extract_alleles(alignseqs: List[AlignTags], lqseqs: List[LqRegion],
     when available; _extract_alleles_py below is the executable spec and the
     fallback (differential-tested in tests/test_lq_units.py). `cache` (any
     dict, e.g. the engine's per-contig stream_cache) persists the concatenated
-    tag arrays across phasing iterations."""
+    tag arrays across phasing iterations.
+
+    Segmented use (pipeline/segmented.py): coord_offset rebases the regions'
+    absolute coordinates into the segment-local frame of alignseqs;
+    order_map maps a local alignseq index to its global read order (the
+    LqSeq.order the phasing graph keys on; index 0 = ref = 0)."""
     from ..io.native import extract_alleles_native
 
+    if coord_offset:
+        # shallow rebasing proxies sharing the real regions' seqs lists:
+        # appends land on the caller's objects, coordinates go local
+        lqseqs_local = [LqRegion(start=r.start - coord_offset,
+                                 end=r.end - coord_offset, label=r.label,
+                                 sudoseed=r.sudoseed, seqs=r.seqs)
+                        for r in lqseqs]
+    else:
+        lqseqs_local = lqseqs
+    lqseqs = lqseqs_local
     if len(lqseqs) and len(alignseqs):
         cache = cache if cache is not None else {}
         if "ea_concat" not in cache:
@@ -88,6 +105,8 @@ def extract_alleles(alignseqs: List[AlignTags], lqseqs: List[LqRegion],
                                          table.ksize, max_can)
         if res is not None:
             region, order, soff, seq, prehash, has = res
+            if order_map is not None:
+                order = order_map[order].astype(np.int32, copy=False)
             with stage("extract_materialize"):
                 hashes = np.zeros(len(prehash), np.uint64)
                 hi = np.nonzero(has)[0]
@@ -116,11 +135,12 @@ def extract_alleles(alignseqs: List[AlignTags], lqseqs: List[LqRegion],
                         order_l[i], 0, kmer_l[i],
                         sbytes[soff_l[i]:soff_l[i + 1]]))
             return
-    _extract_alleles_py(alignseqs, lqseqs, table, max_can)
+    _extract_alleles_py(alignseqs, lqseqs, table, max_can, order_map=order_map)
 
 
 def _extract_alleles_py(alignseqs: List[AlignTags], lqseqs: List[LqRegion],
-                        table: KmerTable, max_can: int = 60) -> None:
+                        table: KmerTable, max_can: int = 60,
+                        order_map: Optional[np.ndarray] = None) -> None:
     """Pure-Python spec for extract_alleles (kept as differential oracle)."""
     ksize = table.ksize
     # The reference's per-allele rolling k-mer (main.rs:1433-1434, 1488-1492)
@@ -199,7 +219,8 @@ def _extract_alleles_py(alignseqs: List[AlignTags], lqseqs: List[LqRegion],
         hashes = table.to_hash(np.minimum(k_fwd, k_rev)).astype(np.uint64)
     for lqseq, idx, chars, row in pend:
         lqseq.seqs.append(LqSeq(
-            order=idx, kscore=0,
+            order=int(order_map[idx]) if order_map is not None else idx,
+            kscore=0,
             kmer=int(hashes[row]) if row >= 0 else INVALID,
             seq=chars,
         ))

@@ -264,12 +264,25 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
                             ref_codes: np.ndarray, cfg: PolishConfig,
                             stream_cache: Optional[dict] = None,
                             final_iter: bool = False,
+                            plan_start: int = 0,
+                            plan_end: Optional[int] = None,
+                            plan_end_nominal: Optional[int] = None,
+                            plan_end_max: Optional[int] = None,
+                            first_keep_ge: bool = True,
+                            out_info: Optional[dict] = None,
                             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Run the device engine; return the global REVERSED backtrack stream as
     (pos, base_ascii, qv, lowcov) arrays — the exact stream the reference
     walk produces (genome-descending), with count/coverage already reduced
     to the two facts the LQ state machine reads (qv = count*100 // coverage
-    and coverage < 2; models.oracle_msa.lq_from_qv_stream)."""
+    and coverage < 2; models.oracle_msa.lq_from_qv_stream).
+
+    Segmented use (pipeline/segmented.py): plan_start/plan_end[_nominal/_max]
+    bound the window plan (see build_window_batch); first_keep_ge=False makes
+    the FIRST window keep only pos > its start (a mid-contig segment whose
+    opening anchor column belongs to the previous segment's last window);
+    out_info (when given) receives {"cut", "best_sum"} and DEFERS the
+    negative-global-best check to the caller (it is a whole-contig sum)."""
     import jax.numpy as jnp
 
     from ..utils.jaxcfg import bucket, configure_jax
@@ -284,7 +297,10 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
         # allocations, so there is nothing to compact
         wb = build_window_batch(alignseqs, n_pos, ref_codes, target=cfg.window_len,
                                 stream_cache=stream_cache,
-                                consume_cache=final_iter)
+                                consume_cache=final_iter,
+                                plan_start=plan_start, plan_end=plan_end,
+                                plan_end_nominal=plan_end_nominal,
+                                plan_end_max=plan_end_max)
     if wb.n_windows == 0:
         raise WindowOverflow("no windows")
     K = cfg.max_kmers_per_col
@@ -470,7 +486,11 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
 
     # whole-contig default-kmer check (main.rs:1651): window-local maxima are
     # partial sums from each anchor, so their sum is the true global best score
-    if int(best_all.sum()) < 0:
+    # (segmented callers accumulate across segments instead — out_info)
+    if out_info is not None:
+        out_info["cut"] = int(wb.plan.ends[-1])
+        out_info["best_sum"] = int(best_all.sum())
+    elif int(best_all.sum()) < 0:
         raise WindowOverflow("global best score < 0 (degenerate default kmer)")
 
     # stitch in global reverse order: last window first; window w keeps
@@ -493,7 +513,7 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
             emit_base = CODE2ASCII[packed_r & 0x7]
             emit_qv = qv_r
             emit_low = (packed_r & 0x20) != 0
-        if w > 0:
+        if w > 0 or not first_keep_ge:
             keep = keep & (abs_pos > wb.window_start[w])
         else:
             keep = keep & (abs_pos >= 0)
@@ -524,6 +544,15 @@ def polish_contig_tpu(tseq: bytes, records: Sequence[BamRecord],
     cfg = cfg or PolishConfig()
     if len(tseq) < cfg.min_ctg_len:
         return passthrough_consensus(tseq)
+    if native is not None and pre_ingest is None:
+        from ..io.native import available as native_available
+        from .segmented import polish_contig_tpu_segmented, use_segmented
+
+        if use_segmented(len(tseq)) and native_available():
+            # chromosome-scale: bounded-memory segmented engine (no oracle
+            # fallback — a WindowOverflow there means degenerate input)
+            return polish_contig_tpu_segmented(tseq, tables, cfg,
+                                               native[0], native[1])
     tables = sorted(tables, key=lambda t: t.ksize)
     ref_codes = ASCII2CODE[np.frombuffer(tseq, dtype=np.uint8)]
     alignseqs = None

@@ -350,6 +350,10 @@ def polish(fa_path: str, bam_path: str, yak_paths: Sequence[str],
                 tid = name_to_tid.get(name)
                 if tid is None or len(seq) < cfg.min_ctg_len:
                     return None
+                from .segmented import use_segmented
+
+                if use_segmented(len(seq)):
+                    return None  # segmented engine streams its own ingest
                 return build_alignseqs_native_flat(bam_path, tid, seq, cfg)
 
             with ThreadPoolExecutor(max_workers=1) as pre_pool:

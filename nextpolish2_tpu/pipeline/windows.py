@@ -31,6 +31,12 @@ class WindowOverflow(Exception):
     """A window exceeded static device bounds; caller falls back to the oracle."""
 
 
+class SegmentCutError(Exception):
+    """No valid cut anchor found in the requested plan range (segmented
+    engine, pipeline/segmented.py): the caller extends the ingest range and
+    retries."""
+
+
 @dataclass
 class WindowPlan:
     starts: np.ndarray        # absolute first column of each window (anchor or 0)
@@ -533,7 +539,11 @@ def build_window_batch(alignseqs: List[AlignTags], n_pos: int,
                        target: int = 1024,
                        stream_cache: Optional[dict] = None,
                        flat_stream: Optional[tuple] = None,
-                       consume_cache: bool = False) -> WindowBatch:
+                       consume_cache: bool = False,
+                       plan_start: int = 0,
+                       plan_end: Optional[int] = None,
+                       plan_end_nominal: Optional[int] = None,
+                       plan_end_max: Optional[int] = None) -> WindowBatch:
     """Plan windows over the t-sorted contig stream.
 
     Window w's range holds observations with t_pos in [start-2, end]; kmers at
@@ -550,7 +560,14 @@ def build_window_batch(alignseqs: List[AlignTags], n_pos: int,
     instead of copying 8 B/entry, and the sorted-stream cache keys are
     invalidated — lowers the per-contig working-set high-water the
     prefault must provision.
-    """
+
+    Segmented plan range (pipeline/segmented.py): plan_start is the first
+    window's start column (the previous segment's cut anchor, 0 for the
+    first segment). Either plan_end is given explicitly (the last segment
+    ends at the contig's final column) or plan_end_nominal asks for a cut:
+    the last anchor <= nominal in (plan_start, plan_end_max], else the
+    first anchor past it, else SegmentCutError. Any anchor-bounded plan
+    yields the exact whole-contig DP, so cut choice is free."""
     from ..io.native import sort_stream_native
     from ..utils.timing import stage
 
@@ -702,8 +719,26 @@ def build_window_batch(alignseqs: List[AlignTags], n_pos: int,
         else:
             anchors = np.zeros(n_pos, dtype=bool)
             colcnt = np.zeros(n_pos, dtype=np.int64)
+    if plan_end is None and plan_end_nominal is not None:
+        amax = plan_end_max if plan_end_max is not None else n_pos - 1
+        cand = np.nonzero(anchors[plan_start + 1 : amax + 1])[0] + plan_start + 1
+        below = cand[cand <= plan_end_nominal]
+        if len(below):
+            plan_end = int(below[-1])
+        elif len(cand):
+            plan_end = int(cand[0])
+        else:
+            raise SegmentCutError(
+                f"no cut anchor in ({plan_start}, {amax}]")
     with stage("plan_windows_greedy"):
-        plan = plan_windows(anchors, n_pos, target)
+        if plan_start or (plan_end is not None and plan_end != n_pos - 1):
+            pe = n_pos - 1 if plan_end is None else plan_end
+            sub = plan_windows(np.ascontiguousarray(anchors[plan_start:pe + 1]),
+                               pe + 1 - plan_start, target)
+            plan = WindowPlan(starts=sub.starts + plan_start,
+                              ends=sub.ends + plan_start, anchors=anchors)
+        else:
+            plan = plan_windows(anchors, n_pos, target)
     nw = len(plan.starts)
 
     starts = plan.starts

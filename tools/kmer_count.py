@@ -11,8 +11,7 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from nextpolish2_tpu.io.fastx import read_fastx  # noqa: E402
-from nextpolish2_tpu.io.yak import count_kmers, write_yak  # noqa: E402
+from nextpolish2_tpu.io.yak import count_kmers_stream, write_yak_bins  # noqa: E402
 
 
 def main(argv=None) -> int:
@@ -20,18 +19,29 @@ def main(argv=None) -> int:
     p.add_argument("-k", type=int, action="append", required=True,
                    help="k-mer size (repeatable)")
     p.add_argument("-o", required=True, help="output prefix")
+    p.add_argument("--mem-mb", type=int, default=4096,
+                   help="accumulator memory budget; read sets whose distinct "
+                        "k-mers exceed it are counted in multiple input "
+                        "passes over PRE-bin ranges (yak's streaming ethos, "
+                        "kmer.rs:132-170)")
+    p.add_argument("--rounds", type=int, default=0,
+                   help="force the input-pass count (0 = adaptive)")
     p.add_argument("reads", nargs="+", help="FASTA/FASTQ[.gz] read files")
     a = p.parse_args(argv)
-    seqs = []
-    for path in a.reads:
-        seqs.extend(seq for _, seq in read_fastx(path))
-    print(f"read {len(seqs)} sequences, {sum(map(len, seqs)):,} bases",
-          file=sys.stderr)
     for k in a.k:
-        hashes, counts = count_kmers(seqs, k)
         out = f"{a.o}.k{k}.yak"
-        write_yak(out, k, hashes, counts)
-        print(f"{out}: {len(hashes):,} distinct {k}-mers", file=sys.stderr)
+        n = 0
+
+        def count_bins():
+            nonlocal n
+            for b, seg in count_kmers_stream(
+                    a.reads, k, mem_mb=a.mem_mb, rounds=a.rounds,
+                    log=lambda m: print(f"[kmer_count] {m}", file=sys.stderr)):
+                n += len(seg)
+                yield b, seg
+
+        write_yak_bins(out, k, count_bins())
+        print(f"{out}: {n:,} distinct {k}-mers", file=sys.stderr)
     return 0
 
 
