@@ -144,7 +144,19 @@ def main(argv=None) -> int:
         from .parallel.mesh import auto_mesh, make_mesh, set_active_mesh
 
         if args.mesh == "auto":
-            set_active_mesh(auto_mesh())
+            # kmer-axis width from the table footprint: shard tables that
+            # would not fit replicated in per-device HBM (parallel/mesh.py)
+            yak_bytes = sum(os.path.getsize(p) for p in args.yak
+                            if os.path.exists(p))
+            mesh = auto_mesh(yak_bytes=yak_bytes)
+            from .parallel.mesh import axis_size
+
+            if axis_size(mesh, "kmer") > 1:
+                print(f"[np2] mesh auto: {axis_size(mesh, 'win')}x"
+                      f"{axis_size(mesh, 'kmer')} (tables "
+                      f"{yak_bytes/1e9:.1f} GB shard over the kmer axis)",
+                      file=sys.stderr)
+            set_active_mesh(mesh)
         else:
             n_win, n_kmer = (int(x) for x in args.mesh.lower().split("x"))
             set_active_mesh(make_mesh(n_win=n_win, n_kmer=n_kmer))

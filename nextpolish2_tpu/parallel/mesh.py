@@ -64,11 +64,30 @@ def axis_size(mesh: Optional[Mesh], axis: str) -> int:
     return int(mesh.shape[axis])
 
 
-def auto_mesh(n_kmer: int = 1) -> Optional[Mesh]:
-    """Mesh over all visible devices (None if single-device)."""
+def auto_mesh(n_kmer: int = 0, yak_bytes: int = 0) -> Optional[Mesh]:
+    """Mesh over all visible devices (None if single-device).
+
+    n_kmer = 0 picks the kmer-axis width automatically from the loaded
+    table footprint (VERDICT r4 item 7/9): a replicated table must fit every
+    device's HBM budget (NP2_KMER_DEVICE_BUDGET_GB, default 8 — half a v5e's
+    16 GB, leaving room for DP batches), so the axis doubles until the
+    per-device shard fits. yak_bytes is the summed .yak FILE size — resident
+    cost is ~1.25x (u64 keys + u16 counts per 8-byte dump entry). With
+    yak_bytes = 0 (unknown) the kmer axis stays 1, matching the pre-r5
+    behavior."""
+    import os
+
     n = len(jax.devices())
     if n <= 1:
         return None
+    if n_kmer <= 0:
+        n_kmer = 1
+        if yak_bytes:
+            budget = float(os.environ.get("NP2_KMER_DEVICE_BUDGET_GB", "8"))
+            budget *= 1e9
+            need = yak_bytes * 1.25
+            while n_kmer < n and need / n_kmer > budget:
+                n_kmer *= 2
     if n % n_kmer:
         n_kmer = 1
     return make_mesh(n_win=n // n_kmer, n_kmer=n_kmer)
