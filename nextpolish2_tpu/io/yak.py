@@ -31,6 +31,11 @@ YAK_MAX_COUNT = (1 << YAK_COUNTER_BITS) - 1
 INVALID_KMER = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 _U64 = np.uint64
+
+# process-wide count of batched lookups routed through the mesh-sharded
+# table (KmerTable.get_sharded) — lets the multichip dryrun ASSERT that the
+# production engine actually exercised the kmer axis, not just the win axis
+SHARDED_LOOKUPS = 0
 _device_tab_lock = threading.Lock()  # eager: a lazy lock is itself racy
 
 
@@ -248,6 +253,8 @@ class KmerTable:
         from ..parallel.sharded_kmer import (ShardedKmerTable,
                                              make_sharded_lookup)
 
+        global SHARDED_LOOKUPS
+        SHARDED_LOOKUPS += 1  # observability: proves production routing
         if self._sharded is None or self._sharded[0] is not mesh:
             tab = ShardedKmerTable.build(
                 self.full_hashes(), self.counts.astype(np.int64), self.ksize,
