@@ -154,6 +154,18 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=11)
     p.add_argument("-k", type=int, default=21)
     p.add_argument("--kmer-cov", type=int, default=30)
+    p.add_argument("--het-bp", type=int, default=0,
+                   help="diploid mode: one het SNP per ~INT truth bp (0 = "
+                        "haploid). Reads draw 50/50 from the two haplotypes; "
+                        "the assembly is haplotype 1 + errors; the yak table "
+                        "counts BOTH haplotypes at --kmer-cov/2 each. "
+                        "Writes PREFIX.het.tsv (switch_eval.py format).")
+    p.add_argument("--repeats", type=int, default=0,
+                   help="inject INT repeat-block copies per contig (truth "
+                        "block of --repeat-len bp duplicated elsewhere in "
+                        "the contig BEFORE edits; stresses repeat k-mer "
+                        "counts and the consensus graph, BASELINE config 4)")
+    p.add_argument("--repeat-len", type=int, default=30_000)
     a = p.parse_args(argv)
 
     from nextpolish2_tpu.io.bam import BamRecord, BamWriter
@@ -177,16 +189,52 @@ def main(argv=None) -> int:
     truth_list = []
     refs = []
     total_err = 0
+    het_lists = []  # (hpos asc, hbase) per contig; empty when haploid
+    het_f = open(a.prefix + ".het.tsv", "w") if a.het_bp else None
+    n_het = 0
     for name, size in zip(names, sizes):
         truth = rand_seq(rng, size)
+        for _ in range(a.repeats):
+            # duplicate a truth block elsewhere (same contig) pre-edits
+            L = min(a.repeat_len, size // 4)
+            if L < 1000:
+                break
+            x = int(rng.integers(0, size - L))
+            y = int(rng.integers(0, size - L))
+            truth[y : y + L] = truth[x : x + L]
         pos, kind, base = make_edits(rng, size, a.err_bp)
         asm = apply_edits(truth, pos, kind, base)
         total_err += len(pos)
+        if a.het_bp:
+            # het SNP sites >= 50 bp from every assembly edit: hap2 reads
+            # carry a substitution there (CIGARs are unchanged by subs)
+            cand = np.arange(300, size - 300, 50)
+            near = np.zeros(len(cand), dtype=bool)
+            j = np.searchsorted(pos, cand)
+            for d in (-1, 0):
+                k2 = np.clip(j + d, 0, len(pos) - 1)
+                if len(pos):
+                    near |= np.abs(pos[k2] - cand) < 50
+            cand = cand[~near]
+            want = max(1, (size - 600) // max(a.het_bp, 100))
+            hpos = np.sort(rng.choice(cand, size=min(want, len(cand)),
+                                      replace=False)).astype(np.int64)
+            shift = rng.integers(1, 4, size=len(hpos))
+            hbase = BASES[(np.searchsorted(BASES, truth[hpos]) + shift) % 4]
+            het_lists.append((hpos, hbase))
+            n_het += len(hpos)
+            for hp, hb in zip(hpos.tolist(), hbase.tolist()):
+                het_f.write(f"{name}\t{hp}\t{chr(truth[hp])}\t{chr(hb)}\n")
+        else:
+            het_lists.append((np.zeros(0, np.int64), np.zeros(0, np.uint8)))
         truth_f.write(b">" + name.encode() + b"\n" + truth.tobytes() + b"\n")
         asm_f.write(b">" + name.encode() + b"\n" + asm.tobytes() + b"\n")
         edit_lists.append((pos, kind))
         truth_list.append(truth)
         refs.append((name, len(asm)))
+    if het_f:
+        het_f.close()
+        print(f"{n_het} het sites -> {a.prefix}.het.tsv", file=sys.stderr)
     truth_f.close()
     asm_f.close()
     total_bp = sum(l for _, l in refs)
@@ -205,12 +253,18 @@ def main(argv=None) -> int:
             lo = -(a.read_len - 2000)
             starts = np.sort(rng.integers(
                 lo, max(lo + 1, len(truth) - 2000), size=n))
+            hpos, hbase = het_lists[tid]
             for i, st in enumerate(starts.tolist()):
                 ra = max(0, st)
                 rb = min(len(truth), st + a.read_len)
                 if rb - ra < 1500:
                     continue
                 r = truth[ra:rb].copy()
+                if len(hpos) and rng.random() < 0.5:
+                    # haplotype-2 read: substitute the het alleles in range
+                    lo2 = int(np.searchsorted(hpos, ra))
+                    hi2 = int(np.searchsorted(hpos, rb))
+                    r[hpos[lo2:hi2] - ra] = hbase[lo2:hi2]
                 n_err = rng.poisson(a.read_err * len(r))
                 if n_err:
                     at = rng.integers(0, len(r), size=n_err)
@@ -224,10 +278,21 @@ def main(argv=None) -> int:
     print(f"{n_reads} reads -> {a.prefix}.bam ({time.time()-t0:.0f}s)",
           file=sys.stderr, flush=True)
 
-    # yak table from the truth genome, scaled to --kmer-cov (see module doc)
+    # yak table from the truth genome, scaled to --kmer-cov (see module doc).
+    # Diploid: count BOTH haplotypes — shared k-mers appear twice and land at
+    # kmer-cov after the /2 scale; haplotype-specific ones at kmer-cov/2,
+    # exactly what error-free diploid short reads would produce.
     t0 = time.time()
-    h, c = count_kmers([t.tobytes() for t in truth_list], a.k)
-    c = np.minimum(c * a.kmer_cov, 1023)
+    seqs = [t.tobytes() for t in truth_list]
+    scale = a.kmer_cov
+    if a.het_bp:
+        for t, (hpos, hbase) in zip(truth_list, het_lists):
+            h2 = t.copy()
+            h2[hpos] = hbase
+            seqs.append(h2.tobytes())
+        scale = max(1, a.kmer_cov // 2)
+    h, c = count_kmers(seqs, a.k)
+    c = np.minimum(c * scale, 1023)
     write_yak(a.prefix + f".k{a.k}.yak", a.k, h, c)
     print(f"yak: {len(h)} distinct {a.k}-mers ({time.time()-t0:.0f}s)",
           file=sys.stderr, flush=True)
