@@ -151,10 +151,14 @@ def device_min_kscores_jit(key_hi, key_lo, counts, codes, starts,
 
     qhi = jax.lax.bitcast_convert_type(qh, jnp.int32)
     qlo = jax.lax.bitcast_convert_type(ql, jnp.int32)
+    # double-hashing stride (ops/kmer_table.py MAX_PROBES comment): low 32
+    # bits of (hash >> 10) forced odd — s10l is exactly that
+    stride = jax.lax.bitcast_convert_type(
+        (s10l | _U32(1)) & _U32(table_size - 1), jnp.int32)
     out = jnp.zeros(L, jnp.int32)
     found = jnp.zeros(L, bool)
     for probe in range(n_probes):
-        idx = (slot0 + probe) & (table_size - 1)
+        idx = (slot0 + probe * stride) & (table_size - 1)
         hit = (key_hi[idx] == qhi) & (key_lo[idx] == qlo) & ~found
         out = jnp.where(hit, counts[idx], out)
         found = found | hit

@@ -19,7 +19,16 @@ from dataclasses import dataclass
 import jax
 import numpy as np
 
-MAX_PROBES = 16
+MAX_PROBES = 32
+# Probe scheme: DOUBLE HASHING — probe i lands at (slot + i*stride) & mask
+# with stride = ((hash >> 10) | 1) & mask (odd, so the cycle covers every
+# slot of the power-of-two table). Linear probing's primary clustering made
+# the longest chain exceed any practical bound at useful load factors
+# (64M keys packed at ~6% load = 16x HBM waste, round-5 capacity run);
+# with double hashing the longest chain is ~log2(n) at load 0.5, so a
+# 1G-key table fits in ~2G slots (20 GB) instead of ~200 GB. The stride is
+# derived from the query planes inside the lookup kernels, so call sites
+# still ship only (hi, lo, slot).
 # Empty sentinel = hash 0xFFFFFFFF_FFFFFFFE. For k < 32 real hashes are < 2^(2k)
 # and can never collide; for k >= 32 a collision has probability 2^-64 per key
 # (the reference's k>=32 path conflates hash collisions anyway, kmer.rs:246-249).
@@ -71,11 +80,14 @@ class DeviceKmerTable:
         pending = hashes[order]
         pcnts = counts[order]
         pslots = slot[order].astype(np.int64)
-        # vectorized cascade: place keys; collisions retry at +1 up to MAX_PROBES
+        # double-hashing stride (see MAX_PROBES comment); odd -> full cycle
+        pstride = (((hashes[order] >> np.uint64(10)) | np.uint64(1))
+                   & mask).astype(np.int64)
+        # vectorized cascade: place keys; collisions retry at +stride
         for probe in range(MAX_PROBES):
             if len(pending) == 0:
                 return True, hi, lo, cnt, probe
-            s = (pslots + probe) & (size - 1)
+            s = (pslots + probe * pstride) & (size - 1)
             # first pending key per free slot wins this round
             free = ~occupied[s]
             idx_sorted = np.argsort(s[free], kind="stable")
@@ -91,7 +103,8 @@ class DeviceKmerTable:
             cnt[win_slots] = pcnts[winners_local]
             keep = np.ones(len(pending), dtype=bool)
             keep[winners_local] = False
-            pending, pcnts, pslots = pending[keep], pcnts[keep], pslots[keep]
+            pending, pcnts = pending[keep], pcnts[keep]
+            pslots, pstride = pslots[keep], pstride[keep]
         return len(pending) == 0, hi, lo, cnt, MAX_PROBES
 
     def query_host_arrays(self, hashes: np.ndarray):
@@ -115,10 +128,17 @@ def lookup(key_hi, key_lo, counts, q_hi, q_lo, q_slot, min_count: int,
     import jax.numpy as jnp
 
     size = key_hi.shape[0]
+    # double-hashing stride, derived from the query planes (call sites ship
+    # only hi/lo/slot): low 32 bits of (hash >> 10), forced odd
+    qh = jax.lax.bitcast_convert_type(q_hi, jnp.uint32)
+    ql = jax.lax.bitcast_convert_type(q_lo, jnp.uint32)
+    s10l = (ql >> jnp.uint32(10)) | (qh << jnp.uint32(22))
+    stride = jax.lax.bitcast_convert_type(
+        (s10l | jnp.uint32(1)) & jnp.uint32(size - 1), jnp.int32)
     out = jnp.zeros(q_hi.shape, dtype=jnp.int32)
     found = jnp.zeros(q_hi.shape, dtype=bool)
     for probe in range(n_probes):
-        idx = (q_slot + probe) & (size - 1)
+        idx = (q_slot + probe * stride) & (size - 1)
         khi = key_hi[idx]
         klo = key_lo[idx]
         hit = (khi == q_hi) & (klo == q_lo) & ~found
