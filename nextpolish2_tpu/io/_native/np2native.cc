@@ -2403,6 +2403,10 @@ struct RangeScan {
   std::vector<CarryRec*> set;
   int64_t set_stream = 0, base = 0, maxt = 0;
   std::vector<uint8_t> sq, st;     // analyze scratch
+  // staged raw record copies (4-byte size prefix + payload) awaiting the
+  // PARALLEL analyze/expand pass (rs_flush); staged in scan order
+  std::vector<std::vector<uint8_t>> batch;
+  int n_threads = 4;
   ~RangeScan() {
     delete sc;
     if (bf) delete bf;
@@ -2474,36 +2478,72 @@ static int rs_peek(RangeScan& rs, int32_t* pos_out, const uint8_t** q_out,
   }
 }
 
-// Consume the peeked record (q/bs from rs_peek): filter + expand + trim into
-// the carry, update the clip chain. Returns 0 or negative error.
-static int rs_consume(RangeScan& rs, const uint8_t* q, uint32_t bs) {
-  BamRec r;
-  parse_rec(q, r);
-  if ((int64_t)r.pos < rs.prev_pos) return -4;  // unsorted (main.rs:1753)
-  rs.prev_pos = r.pos;
-  rs.frontier = r.pos;
-  int e = 0;
-  const std::vector<uint8_t>* sub = sub_for(*rs.bf, q, r.flag, &e);
-  if (e) return e;
-  RecInfo ri;
-  if (analyze_record(r, rs.f, rs.sq, rs.st, ri, sub)) {
+// Stage the peeked record (q/bs from rs_peek): cheap ordered copy; the
+// filter/expand/trim runs in the PARALLEL rs_flush pass. Returns 0 or
+// negative error.
+static int rs_stage(RangeScan& rs, const uint8_t* q, uint32_t bs) {
+  int32_t pos = rd_i32(q + 4);
+  if ((int64_t)pos < rs.prev_pos) return -4;  // unsorted (main.rs:1753)
+  rs.prev_pos = pos;
+  rs.frontier = pos;
+  rs.batch.emplace_back(q - 4, q + bs);  // keep the size prefix: parse_rec
+  //                                        reads q[-4] on the long-CIGAR path
+  if (rs.bf->bgzf) rs.cursor += 4 + bs;
+  else rs.raw_cursor += 4 + bs;
+  return 0;
+}
+
+// Analyze + expand the staged batch in parallel (per-record independent),
+// then finalize IN ORDER: global order assignment, clip-chain construction
+// (reference order matters, main.rs:537-556) and carry append.
+static int rs_flush(RangeScan& rs) {
+  size_t nb = rs.batch.size();
+  if (!nb) return 0;
+  int T = rs.n_threads < 1 ? 1 : (rs.n_threads > 16 ? 16 : rs.n_threads);
+  if (nb < 64) T = 1;
+  std::vector<uint8_t> kept(nb, 0);
+  std::vector<CarryRec> recs(nb);
+  std::vector<int> errs(T, 0);
+  auto work = [&](int t) {
+    std::vector<uint8_t> qs, ts;
+    for (size_t i = nb * (size_t)t / T; i < nb * (size_t)(t + 1) / T; i++) {
+      const uint8_t* q = rs.batch[i].data() + 4;
+      BamRec r;
+      parse_rec(q, r);
+      int e = 0;
+      const std::vector<uint8_t>* sub = sub_for(*rs.bf, q, r.flag, &e);
+      if (e) { errs[t] = e; return; }
+      RecInfo ri;
+      if (!analyze_record(r, rs.f, qs, ts, ri, sub)) continue;
+      kept[i] = 1;
+      CarryRec& cr = recs[i];
+      cr.aln_t_s = ri.aln_t_s;
+      cr.aln_t_e = ri.aln_t_e;
+      cr.clip = ri.clip ? 1 : 0;
+      cr.drop = 0;
+      cr.decided = 0;
+      int64_t len = ri.new_len - ri.shift;
+      cr.t.resize((size_t)len);
+      cr.k.resize((size_t)len);
+      emit_tags(qs, ts, ri, cr.t.data(), cr.k.data());
+    }
+  };
+  if (T == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < T; t++) ths.emplace_back(work, t);
+    for (auto& th : ths) th.join();
+  }
+  for (int t = 0; t < T; t++) if (errs[t]) { rs.batch.clear(); return errs[t]; }
+  for (size_t i = 0; i < nb; i++) {
+    if (!kept[i]) continue;
+    CarryRec& cr = recs[i];
     rs.order_ctr++;
-    rs.carry.emplace_back();
-    CarryRec& cr = rs.carry.back();
     cr.order = rs.order_ctr;
-    cr.aln_t_s = ri.aln_t_s;
-    cr.aln_t_e = ri.aln_t_e;
-    cr.clip = ri.clip ? 1 : 0;
-    cr.drop = 0;
-    cr.decided = 0;
-    int64_t len = ri.new_len - ri.shift;
-    cr.t.resize((size_t)len);
-    cr.k.resize((size_t)len);
-    emit_tags(rs.sq, rs.st, ri, cr.t.data(), cr.k.data());
-    if (!ri.clip) {
-      // covered-range chain, reference construction order (main.rs:537-556)
-      int64_t ats = ri.aln_t_s + rs.clip_margin;
-      int64_t ate = ri.aln_t_e - rs.clip_margin;
+    if (!cr.clip) {
+      int64_t ats = cr.aln_t_s + rs.clip_margin;
+      int64_t ate = cr.aln_t_e - rs.clip_margin;
       if (rs.open_s == rs.open_e) {
         rs.open_s = ats; rs.open_e = ate;
       } else if (ats > rs.open_e) {
@@ -2514,9 +2554,9 @@ static int rs_consume(RangeScan& rs, const uint8_t* q, uint32_t bs) {
         rs.open_e = ate;
       }
     }
+    rs.carry.emplace_back(std::move(cr));
   }
-  if (rs.bf->bgzf) rs.cursor += 4 + bs;
-  else rs.raw_cursor += 4 + bs;
+  rs.batch.clear();
   return 0;
 }
 
@@ -2549,11 +2589,13 @@ void* np2_range_open(const char* bam_path, int32_t tid,
                      int64_t min_map_len, double min_map_fra,
                      int64_t max_clip_len, int64_t use_secondary,
                      int64_t use_supplementary, int64_t trim_len,
-                     int64_t short_ref_len, int64_t clip_margin) {
+                     int64_t short_ref_len, int64_t clip_margin,
+                     int64_t n_threads) {
   init_tables();
   BamFile* bf = static_cast<BamFile*>(np2_open(bam_path));
   if (!bf) return nullptr;
   RangeScan* rs = new RangeScan();
+  rs->n_threads = (int)(n_threads < 1 ? 1 : n_threads);
   rs->bf = bf;
   rs->tseq_copy.assign(tseq_codes, tseq_codes + tlen);
   rs->f = Filters{rs->tseq_copy.data(), tlen, min_map_qual, min_read_len,
@@ -2624,7 +2666,15 @@ int np2_range_next(void* handle, int64_t t_lo, int64_t t_hi,
     int r = rs_peek(rs, &pos, &q, &bs);
     if (r < 0) return r;
     if (r == 0 || (int64_t)pos >= t_hi) break;
-    int rc = rs_consume(rs, q, bs);
+    int rc = rs_stage(rs, q, bs);
+    if (rc < 0) return rc;
+    if (rs.batch.size() >= 8192) {
+      rc = rs_flush(rs);
+      if (rc < 0) return rc;
+    }
+  }
+  {
+    int rc = rs_flush(rs);
     if (rc < 0) return rc;
   }
   // the set is now fixed: members overlap [t_lo, t_hi) by trimmed bounds
@@ -2649,7 +2699,15 @@ int np2_range_next(void* handle, int64_t t_lo, int64_t t_hi,
     int r = rs_peek(rs, &pos, &q, &bs);
     if (r < 0) return r;
     if (r == 0 || (int64_t)pos >= need_frontier) break;
-    int rc = rs_consume(rs, q, bs);
+    int rc = rs_stage(rs, q, bs);
+    if (rc < 0) return rc;
+    if (rs.batch.size() >= 8192) {
+      rc = rs_flush(rs);
+      if (rc < 0) return rc;
+    }
+  }
+  {
+    int rc = rs_flush(rs);
     if (rc < 0) return rc;
   }
   rs.set.clear();

@@ -777,12 +777,16 @@ class RangeScanner:
     the segment's read set or None when the native library is unavailable.
     """
 
-    def __init__(self, bam_path: str, tid: int, tseq_codes: np.ndarray, cfg):
+    def __init__(self, bam_path: str, tid: int, tseq_codes: np.ndarray, cfg,
+                 n_threads: int = 0):
         self._h = None
         lib = load()
         if lib is None:
             raise RuntimeError("native library unavailable")
         self._lib = lib
+        if n_threads <= 0:
+            n_threads = int(os.environ.get(
+                "NP2_SCAN_THREADS", str(min(8, os.cpu_count() or 4))))
         tseq_codes = np.ascontiguousarray(tseq_codes, dtype=np.uint8)
         h = lib.np2_range_open(
             bam_path.encode(), ctypes.c_int32(tid),
@@ -793,7 +797,7 @@ class RangeScanner:
             ctypes.c_int64(1 if cfg.use_secondary else 0),
             ctypes.c_int64(1 if cfg.use_supplementary else 0),
             ctypes.c_int64(cfg.trim_len), ctypes.c_int64(cfg.short_ref_len),
-            ctypes.c_int64(cfg.clip_margin))
+            ctypes.c_int64(cfg.clip_margin), ctypes.c_int64(n_threads))
         if not h:
             raise RuntimeError(f"np2_range_open failed for {bam_path}:{tid}")
         self._h = h

@@ -305,7 +305,12 @@ class KmerTable:
         # table for big recheck cascades.
         import os as _os
 
-        dev_min = int(_os.environ.get("NP2_KMER_DEVICE_MIN", str(1 << 22)))
+        # default effectively OFF: over the tunneled link the device probe
+        # loses at EVERY measured batch size (r4 kscore_device_speedup
+        # 0.69-0.88; the r5 112 Mb run lost ~250 s to this route at 4M+
+        # queries, incl. a mid-run device-table build). Direct-attached
+        # hosts (PCIe) should lower it to ~32768.
+        dev_min = int(_os.environ.get("NP2_KMER_DEVICE_MIN", str(1 << 28)))
         if (self.use_device and self.pre <= YAK_COUNTER_BITS
                 and len(np.atleast_1d(hashes)) >= dev_min):
             return self.get_device(np.atleast_1d(np.asarray(hashes, dtype=_U64)),

@@ -330,8 +330,13 @@ def retrieve_kmer_count(lqseqs: List[LqRegion], table: KmerTable,
         from ..utils.timing import stage
 
         with stage("kscore_single"):
-            counts = table.get(np.array(single_hashes, dtype=np.uint64),
-                               min_kmer_count)
+            # dedup: the same short allele recurs across a region's ~60
+            # candidates and across regions (chr-scale contigs carry
+            # millions of single-kmer alleles but only ~1e5 distinct
+            # hashes) — one unique-lookup + inverse gather
+            arr = np.array(single_hashes, dtype=np.uint64)
+            uniq, inv = np.unique(arr, return_inverse=True)
+            counts = table.get(uniq, min_kmer_count)[inv]
         put(single_refs, counts)
 
 

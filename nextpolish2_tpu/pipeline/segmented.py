@@ -138,6 +138,7 @@ def _pass_a(tseq_len: int, codes: np.ndarray, cfg: PolishConfig,
     best_sum = 0
     slack = max(8192, sl // 64)
     per_entry = int(os.environ.get("NP2_PREFAULT_PER_ENTRY", "32"))
+    prev_ns = 0
     with RangeScanner(bam_path, tid, codes, cfg) as sc:
         cut = 0
         first = True
@@ -145,6 +146,14 @@ def _pass_a(tseq_len: int, codes: np.ndarray, cfg: PolishConfig,
             nominal_hi = min(cut + sl, tseq_len)
             last = nominal_hi >= tseq_len
             t_hi = tseq_len if last else min(nominal_hi + slack, tseq_len)
+            # pre-provision BEFORE the segment's allocations (sized from the
+            # previous segment — segment streams are near-uniform), so the
+            # faulted heap is REUSED by them: calling after the scanner's
+            # allocations doubled the heap high-water (45 GB at 112 Mb) and
+            # re-paid provisioning per segment. Steady state is a ledger hit.
+            if prev_ns * per_entry >= (256 << 20):
+                with stage("ingest_prefault"):
+                    prefault(prev_ns * per_entry, 8)
             while True:
                 with stage("seg_ingest"):
                     r = sc.next(max(cut - 2, 0), t_hi)
@@ -154,10 +163,7 @@ def _pass_a(tseq_len: int, codes: np.ndarray, cfg: PolishConfig,
                 # frame must cover that far
                 relmax = (tseq_len - 1 - base) if last \
                     else max(r["maxt"], t_hi - 2) - base
-                ns = len(r["t"]) + relmax + 1
-                if ns * per_entry >= (256 << 20):
-                    with stage("ingest_prefault"):
-                        prefault(ns * per_entry, 8)
+                prev_ns = len(r["t"]) + relmax + 1
                 alignseqs, flat = _seg_alignseqs(r, codes, relmax,
                                                  dropped_orders)
                 stream_cache = {"flat_all": flat}
