@@ -374,19 +374,25 @@ def main() -> int:
         # the tunnel (block_until_ready does NOT block on the axon backend)
         return packed.sum(dtype=jnp.int64)
 
+    from nextpolish2_tpu.pipeline.engine import upload_pool
+
     def step():
-        # the EXACT production dispatch (engine.dispatch_chunk_csr: tiered
-        # shapes, one-blob pack + upload, host->device transfers included);
-        # one checksum pull per sweep forces the whole chain
-        c = None
+        # the EXACT production dispatch (engine loop + batcher both submit
+        # pack + upload + compute to engine.upload_pool's worker — the H2D
+        # transfer of chunk i+1 overlaps compute of chunk i); one checksum
+        # pull per sweep forces the whole chain
+        futs = []
         for csr, agg, lead, seed, last_col, cwidth, ck in hostchunks:
             if csr is not None:
-                packed = dispatch_chunk_csr(csr[:-1], lead, seed,
-                                            last_col, cwidth, ck)
+                futs.append(upload_pool().submit(
+                    dispatch_chunk_csr, csr[:-1], lead, seed, last_col,
+                    cwidth, ck))
             else:
-                packed = dispatch_chunk(agg, lead, seed, last_col,
-                                        cwidth, ck)
-            s = _chk(packed)
+                futs.append(upload_pool().submit(
+                    dispatch_chunk, agg, lead, seed, last_col, cwidth, ck))
+        c = None
+        for f in futs:
+            s = _chk(f.result())
             c = s if c is None else c + s
         return c
 

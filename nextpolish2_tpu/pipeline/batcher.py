@@ -417,9 +417,15 @@ class DeviceBatcher:
             return (lambda x: jax.device_put(jnp.asarray(x), sh)), True
         return jnp.asarray, False
 
-    def _dispatch(self, tier, batch) -> tuple:
+    def _dispatch(self, tier, batch):
+        """Submit pack + upload + compute dispatch to the engine's upload
+        pool (engine.upload_pool): the worker thread immediately returns to
+        aggregating the next batch while the helper thread feeds the tunnel.
+        Returns a Future; _device_get resolves it."""
         kind, payload, overflow, lead, seed, last, _row = batch
         width = tier[0]
+        from .engine import upload_pool
+
         if kind == "csr":
             from .engine import dispatch_chunk_csr
 
@@ -429,16 +435,17 @@ class DeviceBatcher:
 
                 if axis_size(mesh, "win") <= 1:
                     mesh = None
-            return dispatch_chunk_csr(payload, lead, seed, last, width,
-                                      tier[1], mesh=mesh)
+            return upload_pool().submit(
+                dispatch_chunk_csr, payload, lead, seed, last, width,
+                tier[1], mesh=mesh)
         key_tab, cnt_tab, coverage, n_slots = payload
         K = key_tab.shape[2]
         jput, sharded = self._mesh_sharded(len(overflow))
         from .engine import dispatch_chunk
 
-        return dispatch_chunk((key_tab, cnt_tab, coverage, n_slots, overflow),
-                              lead, seed, last, width, K, jput=jput,
-                              sharded=sharded)
+        return upload_pool().submit(
+            dispatch_chunk, (key_tab, cnt_tab, coverage, n_slots, overflow),
+            lead, seed, last, width, K, jput=jput, sharded=sharded)
 
     def _device_get(self, dev, last_col) -> tuple:
         import jax
@@ -447,7 +454,8 @@ class DeviceBatcher:
         from ..utils.timing import stage
 
         with stage("device_dp_backtrack"):
-            return decode_backtrack_words(jax.device_get(dev), last_col)
+            return decode_backtrack_words(jax.device_get(dev.result()),
+                                          last_col)
 
 
 # ---- active batcher (same opt-in pattern as parallel.mesh.set_active_mesh) --
