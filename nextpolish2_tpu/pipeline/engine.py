@@ -289,6 +289,7 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
                             plan_end_max: Optional[int] = None,
                             first_keep_ge: bool = True,
                             out_info: Optional[dict] = None,
+                            on_plan=None,
                             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Run the device engine; return the global REVERSED backtrack stream as
     (pos, base_ascii, qv, lowcov) arrays — the exact stream the reference
@@ -322,6 +323,11 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
                                 plan_end_max=plan_end_max)
     if wb.n_windows == 0:
         raise WindowOverflow("no windows")
+    if on_plan is not None:
+        # the realized plan end (the segment cut) is final here — a segmented
+        # caller can already start the NEXT segment's ingest on a lookahead
+        # thread while this segment's aggregation + device DP run below
+        on_plan(int(wb.plan.ends[-1]))
     K = cfg.max_kmers_per_col
     nw = wb.n_windows
 

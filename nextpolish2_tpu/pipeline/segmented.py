@@ -129,7 +129,17 @@ def _pass_a(tseq_len: int, codes: np.ndarray, cfg: PolishConfig,
     """One ascending DP sweep. Returns (pieces, cuts, best_sum): pieces are
     per-segment reversed-stream tuples (pos_i32_abs, base_u8, qv_u8, low_b)
     in ascending segment order; cuts = [0, c1, ..., tseq_len] the realized
-    segment boundaries (anchors)."""
+    segment boundaries (anchors).
+
+    Software pipeline: segment k+1's range is fixed the moment segment k's
+    window plan lands (its realized cut — engine on_plan callback), so the
+    k+1 scan + prefault + alignseqs assembly run on a single lookahead
+    worker while segment k's aggregation + device DP run here. ONE worker
+    serializes every scanner call, so the scan order (and therefore every
+    order-dependent native state: carry set, clip chain, order counters) is
+    exactly the serial loop's."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..io.native import RangeScanner, prefault
     from .engine import device_consensus_stream
 
@@ -138,63 +148,136 @@ def _pass_a(tseq_len: int, codes: np.ndarray, cfg: PolishConfig,
     best_sum = 0
     slack = max(8192, sl // 64)
     per_entry = int(os.environ.get("NP2_PREFAULT_PER_ENTRY", "32"))
-    prev_ns = 0
+    state = {"prev_ns": 0}
+    pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="np2seg")
+    # the pool MUST drain before the scanner closes (a lookahead ingest on a
+    # freed native handle would fault), hence shutdown inside the with block
     with RangeScanner(bam_path, tid, codes, cfg) as sc:
-        cut = 0
-        first = True
-        while True:
-            nominal_hi = min(cut + sl, tseq_len)
-            last = nominal_hi >= tseq_len
-            t_hi = tseq_len if last else min(nominal_hi + slack, tseq_len)
-            # pre-provision BEFORE the segment's allocations (sized from the
-            # previous segment — segment streams are near-uniform), so the
-            # faulted heap is REUSED by them: calling after the scanner's
-            # allocations doubled the heap high-water (45 GB at 112 Mb) and
-            # re-paid provisioning per segment. Steady state is a ledger hit.
-            if prev_ns * per_entry >= (256 << 20):
-                with stage("ingest_prefault"):
-                    prefault(prev_ns * per_entry, 8)
-            while True:
+        try:
+
+            def seg_geom(cut_abs: int) -> tuple:
+                nominal_hi = min(cut_abs + sl, tseq_len)
+                last = nominal_hi >= tseq_len
+                t_hi = tseq_len if last else min(nominal_hi + slack, tseq_len)
+                return nominal_hi, last, t_hi
+
+            def ingest(cut_abs: int, t_hi: int, last: bool) -> tuple:
+                # pre-provision BEFORE the segment's allocations (sized from
+                # the previous segment — segment streams are near-uniform),
+                # so the faulted heap is REUSED by them: calling after the
+                # scanner's allocations doubled the heap high-water (45 GB
+                # at 112 Mb) and re-paid provisioning per segment. Steady
+                # state is a ledger hit. Runs on the lookahead worker, the
+                # same thread that then makes the allocations.
+                if state["prev_ns"] * per_entry >= (256 << 20):
+                    with stage("ingest_prefault"):
+                        prefault(state["prev_ns"] * per_entry, 8)
                 with stage("seg_ingest"):
-                    r = sc.next(max(cut - 2, 0), t_hi)
+                    r = sc.next(max(cut_abs - 2, 0), t_hi)
                 base = r["base"]
                 # the chosen cut can land anywhere <= t_hi - 2 (first anchor
                 # past nominal when none lies below), so the segment-local
                 # frame must cover that far
                 relmax = (tseq_len - 1 - base) if last \
                     else max(r["maxt"], t_hi - 2) - base
-                prev_ns = len(r["t"]) + relmax + 1
+                state["prev_ns"] = len(r["t"]) + relmax + 1
                 alignseqs, flat = _seg_alignseqs(r, codes, relmax,
                                                  dropped_orders)
-                stream_cache = {"flat_all": flat}
-                info: dict = {}
-                try:
-                    pos, b, qv, low = device_consensus_stream(
-                        alignseqs, relmax + 1, codes[base : base + relmax + 1],
-                        cfg, stream_cache,
-                        plan_start=cut - base,
-                        plan_end=(relmax if last else None),
-                        plan_end_nominal=(None if last else nominal_hi - base),
-                        plan_end_max=(None if last else t_hi - 2 - base),
-                        first_keep_ge=first, out_info=info)
+                cache: dict = {"flat_all": flat}
+                # pre-run the fused drop-filter sort and the anchor sweep
+                # here (both native, GIL-releasing): build_window_batch hits
+                # the sorted_dropsig / anchors caches and goes straight to
+                # the plan, keeping the main thread on aggregation + DP
+                from ..io.native import (find_anchors_native,
+                                         sort_stream_runs_native)
+                from .windows import _start_counts
+
+                n_loc = relmax + 1
+                drop = np.array([a.dropped or len(a) == 0
+                                 for a in alignseqs], dtype=np.uint8)
+                with stage("stream_sort"):
+                    res = sort_stream_runs_native(
+                        flat["t"], flat["k"], flat["aoff"], drop, n_loc,
+                        None, None)
+                if res is not None:
+                    t_s, k_s, maxd = res
+                    if maxd >= (1 << 14):
+                        raise WindowOverflow(
+                            "delta overflow: insertion run >= 16384 columns")
+                    cache["sort_bufs"] = (
+                        t_s.base if t_s.base is not None else t_s,
+                        k_s.base if k_s.base is not None else k_s)
+                    cache["t_sorted"] = t_s
+                    cache["k_sorted"] = k_s
+                    cache["sorted_dropsig"] = drop.tobytes()
+                    with stage("find_anchors"):
+                        anc = find_anchors_native(
+                            t_s, k_s, n_loc,
+                            codes[base : base + n_loc],
+                            _start_counts(alignseqs, n_loc))
+                    if anc is not None:
+                        cache["anchors"] = anc
+                return r, base, relmax, alignseqs, cache
+
+            cut = 0
+            first = True
+            nominal_hi, last, t_hi = seg_geom(0)
+            fut = pool.submit(ingest, 0, t_hi, last)
+            while True:
+                look: dict = {}
+                while True:
+                    _r, base, relmax, alignseqs, stream_cache = fut.result()
+                    info: dict = {}
+
+                    def on_plan(cut_local: int, base=base, last=last,
+                                look=look) -> None:
+                        # segment k's realized cut is final: kick segment
+                        # k+1's ingest on the worker NOW, overlapping this
+                        # segment's aggregation + device DP
+                        if last:
+                            return
+                        nxt = cut_local + base
+                        g = seg_geom(nxt)
+                        look["next"] = (nxt, g)
+                        look["fut"] = pool.submit(ingest, nxt, g[2], g[1])
+
+                    try:
+                        pos, b, qv, low = device_consensus_stream(
+                            alignseqs, relmax + 1,
+                            codes[base : base + relmax + 1],
+                            cfg, stream_cache,
+                            plan_start=cut - base,
+                            plan_end=(relmax if last else None),
+                            plan_end_nominal=(None if last
+                                              else nominal_hi - base),
+                            plan_end_max=(None if last else t_hi - 2 - base),
+                            first_keep_ge=first, out_info=info,
+                            on_plan=on_plan)
+                        break
+                    except SegmentCutError:
+                        if t_hi >= tseq_len:
+                            last = True
+                            t_hi = tseq_len
+                            # retry with plan_end forced to the contig end
+                        else:
+                            t_hi = min(t_hi + sl, tseq_len)
+                        # extension re-scan: same t_lo, larger t_hi (the
+                        # scanner supports this); no lookahead is pending
+                        # because on_plan only fires after a plan succeeds
+                        fut = pool.submit(ingest, cut, t_hi, last)
+                best_sum += info["best_sum"]
+                pieces.append(((pos + base).astype(np.int32),
+                               b.astype(np.uint8, copy=False),
+                               qv.astype(np.uint8, copy=False),
+                               low.astype(bool, copy=False)))
+                first = False
+                if last:
                     break
-                except SegmentCutError:
-                    if t_hi >= tseq_len:
-                        last = True
-                        t_hi = tseq_len
-                        # retry with plan_end forced to the contig end
-                    else:
-                        t_hi = min(t_hi + sl, tseq_len)
-            best_sum += info["best_sum"]
-            pieces.append(((pos + base).astype(np.int32),
-                           b.astype(np.uint8, copy=False),
-                           qv.astype(np.uint8, copy=False),
-                           low.astype(bool, copy=False)))
-            first = False
-            if last:
-                break
-            cut = info["cut"] + base
-            cuts.append(cut)
+                cut, (nominal_hi, last, t_hi) = look["next"]
+                fut = look["fut"]
+                cuts.append(cut)
+        finally:
+            pool.shutdown(wait=True)
     cuts.append(tseq_len)
     return pieces, cuts, best_sum
 
@@ -208,14 +291,29 @@ def _pass_b(lqseqs, cuts: Sequence[int], tseq_len: int, codes: np.ndarray,
 
     if not lqseqs:
         return
+    from concurrent.futures import ThreadPoolExecutor
+
     starts = np.fromiter((r.start for r in lqseqs), np.int64, len(lqseqs))
     ksize = table.ksize
+    pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="np2segb")
+    # pool drains before the scanner closes (same lifetime rule as _pass_a)
     with RangeScanner(bam_path, tid, codes, cfg) as sc:
+      try:
+
+        def scan(lo: int, hi: int) -> dict:
+            with stage("seg_ingest"):
+                return sc.next(lo, hi, extract_mode=True)
+
+        # one-segment lookahead: all ranges are known upfront (the pass-A
+        # cuts), so segment k+1's scan overlaps segment k's extraction; the
+        # single worker keeps every scanner call in serial order
+        fut = pool.submit(scan, cuts[0], cuts[1])
         for k in range(len(cuts) - 1):
             lo_c, hi_c = cuts[k], cuts[k + 1]
             idx = np.nonzero((starts >= lo_c) & (starts < hi_c))[0]
-            with stage("seg_ingest"):
-                r = sc.next(lo_c, hi_c, extract_mode=True)
+            r = fut.result()
+            if k + 2 < len(cuts):
+                fut = pool.submit(scan, cuts[k + 1], cuts[k + 2])
             if not len(idx):
                 continue
             regs = [lqseqs[int(j)] for j in idx]  # descending order kept
@@ -231,6 +329,8 @@ def _pass_b(lqseqs, cuts: Sequence[int], tseq_len: int, codes: np.ndarray,
                     alignseqs, regs, table, cfg.lqseq_max_can_count,
                     cache={"ea_concat": (flat["t"], flat["q"], flat["aoff"])},
                     coord_offset=base, order_map=order_map)
+      finally:
+        pool.shutdown(wait=True)
 
 
 def polish_contig_tpu_segmented(tseq: bytes, tables: Sequence[KmerTable],

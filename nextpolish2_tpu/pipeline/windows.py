@@ -707,8 +707,16 @@ def build_window_batch(alignseqs: List[AlignTags], n_pos: int,
     with stage("find_anchors"):
         from ..io.native import find_anchors_native
 
-        startcnt = _start_counts(alignseqs, n_pos)
-        if len(t_sorted):
+        cached_anchors = (stream_cache or {}).pop("anchors", None)
+        if cached_anchors is not None:
+            # precomputed by a segmented lookahead worker off the same
+            # sorted stream + drop mask (pipeline/segmented.py ingest task)
+            anchors, colcnt = cached_anchors
+        elif not len(t_sorted):
+            anchors = np.zeros(n_pos, dtype=bool)
+            colcnt = np.zeros(n_pos, dtype=np.int64)
+        else:
+            startcnt = _start_counts(alignseqs, n_pos)
             res = find_anchors_native(t_sorted, k_sorted, n_pos,
                                       ref_codes, startcnt)
             if res is not None:
@@ -716,9 +724,6 @@ def build_window_batch(alignseqs: List[AlignTags], n_pos: int,
             else:
                 anchors, colcnt = find_anchors_stream(
                     t_sorted, k_sorted, startcnt, n_pos, ref_codes)
-        else:
-            anchors = np.zeros(n_pos, dtype=bool)
-            colcnt = np.zeros(n_pos, dtype=np.int64)
     if plan_end is None and plan_end_nominal is not None:
         amax = plan_end_max if plan_end_max is not None else n_pos - 1
         cand = np.nonzero(anchors[plan_start + 1 : amax + 1])[0] + plan_start + 1
