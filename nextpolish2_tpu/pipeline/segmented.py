@@ -195,16 +195,26 @@ def _pass_a(tseq_len: int, codes: np.ndarray, cfg: PolishConfig,
                 n_loc = relmax + 1
                 drop = np.array([a.dropped or len(a) == 0
                                  for a in alignseqs], dtype=np.uint8)
+                # reuse sort output buffers (already-provisioned pages): a
+                # fresh np.empty per segment re-paid the hypervisor fault
+                # rate on ~4 GB every 16 Mb. DOUBLE-buffered: segment k+2
+                # reuses segment k's pair — by the time this lookahead task
+                # runs (submitted at plan k+1), the main thread has fully
+                # consumed segment k's sorted views, so no aliasing
+                flip = state.get("flip", 0)
+                state["flip"] = flip ^ 1
+                pair = state.setdefault("sort_bufs", [None, None])
+                t_buf, k_buf = pair[flip] or (None, None)
                 with stage("stream_sort"):
                     res = sort_stream_runs_native(
                         flat["t"], flat["k"], flat["aoff"], drop, n_loc,
-                        None, None)
+                        t_buf, k_buf)
                 if res is not None:
                     t_s, k_s, maxd = res
                     if maxd >= (1 << 14):
                         raise WindowOverflow(
                             "delta overflow: insertion run >= 16384 columns")
-                    cache["sort_bufs"] = (
+                    pair[flip] = (
                         t_s.base if t_s.base is not None else t_s,
                         k_s.base if k_s.base is not None else k_s)
                     cache["t_sorted"] = t_s
