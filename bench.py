@@ -518,9 +518,19 @@ def main() -> int:
             "interleaved_ab": True,
             "value_min_group": round(float(np.min(per_group_wps)), 2),
         },
-        "scale_run": "SCALE_r04.json: 92.5 Mb / 18 contigs at -t4 on chip, "
-                     "307.5 s = 1.08 Gbp/hr, peak RSS 25.5 GB, 18/18 "
-                     "byte-identical to truth + oracle spot checks",
+        "scale_run": "SCALE_r05.json: 112.7 Mb SINGLE-CONTIG (segmented "
+                     "engine) at -t4 on chip, 1932->1255 s over round 5, "
+                     "peak RSS 41.7-45.5 GB = O(segment), 3/3 byte-identical "
+                     "to truth + oracle spots; SCALE_r04.json: 92.5 Mb / 18 "
+                     "contigs, 307.5 s = 1.08 Gbp/hr, 18/18 byte-identical",
+        "r4_r5_comparison": "r5 production dispatch adds the upload pool "
+                            "(pack+upload+compute on a helper worker): "
+                            "measured 4.6k -> 6.2k w/s interleaved on chip "
+                            "vs an 8.9k resident ceiling in the same "
+                            "minutes (tools/bench_overlap.py); compare "
+                            "BENCH_r04 value 7381 / resident 14635 only "
+                            "via the noise block's provision_gb_s + "
+                            "dispatch_rtt_ms at similar hours",
         "e2e_s_100kb": round(e2e_s, 1),
         "e2e_stage_s": stage_s,
         "e2e_gbp_per_hr": round(e2e_gbp_per_hr, 4),
