@@ -1528,6 +1528,47 @@ int np2_find_anchors(const int32_t* t_sorted, const int32_t* k_sorted,
   return 0;
 }
 
+// Anchor sweep over the UNSORTED flat run stream (segmented lookahead:
+// anchors are order-independent per-column aggregates, so they do not need
+// the sorted stream — computing them here lets the window plan, and with
+// it the next segment's cut, land BEFORE the sort finishes, taking the
+// sort off the segmented critical path). Exactly np2_find_anchors'
+// counts/epilogue over the drop-filtered entries; runs are per-read so t
+// advances near-sequentially (cache-friendly). Single-threaded: the run
+// pass streams at memory speed and sits under the scan in the pipeline.
+int np2_find_anchors_runs(const int32_t* t_flat, const int32_t* k_flat,
+                          const int64_t* aoff, const uint8_t* drop,
+                          int64_t nr, int64_t n, int64_t n_pos,
+                          const uint8_t* ref_codes, const int64_t* startcnt,
+                          uint8_t* anchors_out, int64_t* colcnt_out) {
+  std::fill(colcnt_out, colcnt_out + n_pos, 0);
+  std::fill(anchors_out, anchors_out + n_pos, 0);
+  std::vector<int64_t> matchcnt((size_t)n_pos, 0);
+  for (int64_t r = 0; r < nr; r++) {
+    if (drop[r]) continue;
+    int64_t lo = aoff[r], hi = aoff[r + 1];
+    if (lo < 0 || hi < lo || hi > n) return -1;
+    for (int64_t i = lo; i < hi; i++) {
+      int64_t tp = t_flat[i];
+      if (tp < 0 || tp >= n_pos) return -1;
+      colcnt_out[tp]++;
+      uint32_t k = (uint32_t)k_flat[i];
+      if (!(k & 0x1000u) && (k & 0xFu) == (uint32_t)ref_codes[tp])
+        matchcnt[tp]++;
+    }
+  }
+  uint8_t p0 = 0, p1 = 0;  // pure[t-1], pure[t-2]
+  for (int64_t t = 0; t < n_pos; t++) {
+    uint8_t pure =
+        (colcnt_out[t] >= 2 && matchcnt[t] == colcnt_out[t]) ? 1 : 0;
+    if (t >= 2 && pure && p0 && p1 && startcnt[t] == 0 && startcnt[t - 1] == 0)
+      anchors_out[t] = 1;
+    p1 = p0;
+    p0 = pure;
+  }
+  return 0;
+}
+
 // Filter the sorted stream by a per-read drop mask (phasing iteration 2):
 // keeps entries whose rid is not dropped, preserving order. Returns the kept
 // count (>= 0) or a negative error. Threaded two-pass (count, prefix, fill).

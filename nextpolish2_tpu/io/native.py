@@ -446,6 +446,44 @@ def find_anchors_native(t_sorted: np.ndarray, k_sorted: np.ndarray,
     return anchors.view(bool), colcnt
 
 
+def find_anchors_runs_native(t_flat: np.ndarray, k_flat: np.ndarray,
+                             aoff: np.ndarray, drop: np.ndarray,
+                             n_pos: int, ref_codes: np.ndarray,
+                             startcnt: np.ndarray) -> Optional[tuple]:
+    """Anchor sweep over the UNSORTED flat run stream (np2_find_anchors_runs):
+    bit-identical to find_anchors_native on the drop-filtered sorted stream
+    (anchors are order-independent per-column aggregates), but needs no
+    sort — the segmented lookahead plans (and cuts) before the sort lands.
+    Returns (anchors bool[n_pos], colcnt i64[n_pos]) or None."""
+    lib = load()
+    if lib is None:
+        return None
+    t_flat = np.ascontiguousarray(t_flat, dtype=np.int32)
+    k_flat = np.ascontiguousarray(k_flat, dtype=np.int32)
+    aoff = np.ascontiguousarray(aoff, dtype=np.int64)
+    drop = np.ascontiguousarray(drop, dtype=np.uint8)
+    ref_codes = np.ascontiguousarray(ref_codes, dtype=np.uint8)
+    startcnt = np.ascontiguousarray(startcnt, dtype=np.int64)
+    nr = len(aoff) - 1
+    if len(drop) != nr or (nr and int(aoff[-1]) > len(t_flat)):
+        raise ValueError(
+            f"run contract violated: len(aoff)={len(aoff)} "
+            f"len(drop)={len(drop)} aoff[-1]="
+            f"{int(aoff[-1]) if len(aoff) else 'n/a'} n={len(t_flat)}")
+    anchors = np.empty(n_pos, dtype=np.uint8)
+    colcnt = np.empty(n_pos, dtype=np.int64)
+    rc = lib.np2_find_anchors_runs(
+        _p(t_flat, ctypes.c_int32), _p(k_flat, ctypes.c_int32),
+        _p(aoff, ctypes.c_int64), _p(drop, ctypes.c_uint8),
+        ctypes.c_int64(nr), ctypes.c_int64(len(t_flat)),
+        ctypes.c_int64(n_pos), _p(ref_codes, ctypes.c_uint8),
+        _p(startcnt, ctypes.c_int64),
+        _p(anchors, ctypes.c_uint8), _p(colcnt, ctypes.c_int64))
+    if rc != 0:
+        raise RuntimeError(f"np2_find_anchors_runs failed rc={rc}")
+    return anchors.view(bool), colcnt
+
+
 def filter_stream_native(t_sorted: np.ndarray, k_sorted: np.ndarray,
                          rid_sorted: np.ndarray, drop: np.ndarray,
                          n_threads: int = 8,

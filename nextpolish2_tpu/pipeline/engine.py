@@ -315,19 +315,18 @@ def device_consensus_stream(alignseqs: List[AlignTags], n_pos: int,
         # re-sorts from the pristine flat stream with the drop mask fused
         # into the counting sort (np2_sort_stream_runs) — zero per-iteration
         # allocations, so there is nothing to compact
+        # on_plan fires INSIDE build_window_batch the moment the plan (and
+        # with it the segment cut) is realized — before the sort future is
+        # resolved and before aggregation/DP below, so a segmented caller's
+        # next-segment scan overlaps both
         wb = build_window_batch(alignseqs, n_pos, ref_codes, target=cfg.window_len,
                                 stream_cache=stream_cache,
                                 consume_cache=final_iter,
                                 plan_start=plan_start, plan_end=plan_end,
                                 plan_end_nominal=plan_end_nominal,
-                                plan_end_max=plan_end_max)
+                                plan_end_max=plan_end_max, on_plan=on_plan)
     if wb.n_windows == 0:
         raise WindowOverflow("no windows")
-    if on_plan is not None:
-        # the realized plan end (the segment cut) is final here — a segmented
-        # caller can already start the NEXT segment's ingest on a lookahead
-        # thread while this segment's aggregation + device DP run below
-        on_plan(int(wb.plan.ends[-1]))
     K = cfg.max_kmers_per_col
     nw = wb.n_windows
 

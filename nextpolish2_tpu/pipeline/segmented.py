@@ -150,7 +150,11 @@ def _pass_a(tseq_len: int, codes: np.ndarray, cfg: PolishConfig,
     per_entry = int(os.environ.get("NP2_PREFAULT_PER_ENTRY", "32"))
     state = {"prev_ns": 0}
     pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="np2seg")
-    # the pool MUST drain before the scanner closes (a lookahead ingest on a
+    # second worker: the per-segment stream sort (consumed lazily by
+    # build_window_batch AFTER the plan fires on_plan, so the next
+    # segment's scan on `pool` overlaps this segment's sort here)
+    sort_pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="np2sort")
+    # the pools MUST drain before the scanner closes (a lookahead ingest on a
     # freed native handle would fault), hence shutdown inside the with block
     with RangeScanner(bam_path, tid, codes, cfg) as sc:
         try:
@@ -184,32 +188,45 @@ def _pass_a(tseq_len: int, codes: np.ndarray, cfg: PolishConfig,
                 alignseqs, flat = _seg_alignseqs(r, codes, relmax,
                                                  dropped_orders)
                 cache: dict = {"flat_all": flat}
-                # pre-run the fused drop-filter sort and the anchor sweep
-                # here (both native, GIL-releasing): build_window_batch hits
-                # the sorted_dropsig / anchors caches and goes straight to
-                # the plan, keeping the main thread on aggregation + DP
-                from ..io.native import (find_anchors_native,
+                # anchors from the UNSORTED run stream (order-independent
+                # per-column aggregates; bit-identical to the sorted sweep)
+                # so the window plan — and with it the NEXT segment's cut —
+                # lands without waiting for the sort; the sort itself runs
+                # on its own worker and is only resolved after the plan
+                # fires on_plan (build_window_batch). Net: scan(k+1)
+                # overlaps sort(k).
+                from ..io.native import (find_anchors_runs_native,
                                          sort_stream_runs_native)
                 from .windows import _start_counts
 
                 n_loc = relmax + 1
                 drop = np.array([a.dropped or len(a) == 0
                                  for a in alignseqs], dtype=np.uint8)
+                with stage("find_anchors"):
+                    anc = find_anchors_runs_native(
+                        flat["t"], flat["k"], flat["aoff"], drop, n_loc,
+                        codes[base : base + n_loc],
+                        _start_counts(alignseqs, n_loc))
+                if anc is None:  # no native lib (unreachable: RangeScanner
+                    return r, base, relmax, alignseqs, cache  # requires it)
+                cache["anchors"] = anc
                 # reuse sort output buffers (already-provisioned pages): a
                 # fresh np.empty per segment re-paid the hypervisor fault
                 # rate on ~4 GB every 16 Mb. DOUBLE-buffered: segment k+2
-                # reuses segment k's pair — by the time this lookahead task
-                # runs (submitted at plan k+1), the main thread has fully
-                # consumed segment k's sorted views, so no aliasing
+                # reuses segment k's pair — by the time its sort runs
+                # (submitted here, after plan k+1 consumed segment k), the
+                # main thread has fully released segment k's sorted views.
                 flip = state.get("flip", 0)
                 state["flip"] = flip ^ 1
                 pair = state.setdefault("sort_bufs", [None, None])
-                t_buf, k_buf = pair[flip] or (None, None)
-                with stage("stream_sort"):
-                    res = sort_stream_runs_native(
-                        flat["t"], flat["k"], flat["aoff"], drop, n_loc,
-                        t_buf, k_buf)
-                if res is not None:
+
+                def sort_task(flip=flip, drop=drop, flat=flat, n_loc=n_loc):
+                    t_buf, k_buf = pair[flip] or (None, None)
+                    with stage("stream_sort"):
+                        res = sort_stream_runs_native(
+                            flat["t"], flat["k"], flat["aoff"], drop, n_loc,
+                            t_buf, k_buf)
+                    assert res is not None
                     t_s, k_s, maxd = res
                     if maxd >= (1 << 14):
                         raise WindowOverflow(
@@ -217,16 +234,9 @@ def _pass_a(tseq_len: int, codes: np.ndarray, cfg: PolishConfig,
                     pair[flip] = (
                         t_s.base if t_s.base is not None else t_s,
                         k_s.base if k_s.base is not None else k_s)
-                    cache["t_sorted"] = t_s
-                    cache["k_sorted"] = k_s
-                    cache["sorted_dropsig"] = drop.tobytes()
-                    with stage("find_anchors"):
-                        anc = find_anchors_native(
-                            t_s, k_s, n_loc,
-                            codes[base : base + n_loc],
-                            _start_counts(alignseqs, n_loc))
-                    if anc is not None:
-                        cache["anchors"] = anc
+                    return t_s, k_s
+
+                cache["sorted_future"] = sort_pool.submit(sort_task)
                 return r, base, relmax, alignseqs, cache
 
             cut = 0
@@ -288,6 +298,7 @@ def _pass_a(tseq_len: int, codes: np.ndarray, cfg: PolishConfig,
                 cuts.append(cut)
         finally:
             pool.shutdown(wait=True)
+            sort_pool.shutdown(wait=True)
     cuts.append(tseq_len)
     return pieces, cuts, best_sum
 

@@ -543,7 +543,8 @@ def build_window_batch(alignseqs: List[AlignTags], n_pos: int,
                        plan_start: int = 0,
                        plan_end: Optional[int] = None,
                        plan_end_nominal: Optional[int] = None,
-                       plan_end_max: Optional[int] = None) -> WindowBatch:
+                       plan_end_max: Optional[int] = None,
+                       on_plan=None) -> WindowBatch:
     """Plan windows over the t-sorted contig stream.
 
     Window w's range holds observations with t_pos in [start-2, end]; kmers at
@@ -641,9 +642,20 @@ def build_window_batch(alignseqs: List[AlignTags], n_pos: int,
         return t_s, k_s, maxd
 
     fused = None
-    if stream_cache is not None and "flat_all" in stream_cache:
+    sorted_future = (stream_cache.pop("sorted_future", None)
+                     if stream_cache is not None else None)
+    if sorted_future is not None:
+        # segmented lookahead: anchors were precomputed from the UNSORTED
+        # run stream (io.native.find_anchors_runs_native — bit-identical,
+        # order-independent aggregates) and the sort still runs on its own
+        # worker; the plan fires on_plan, THEN we block on the sort. The
+        # next segment's scan therefore overlaps this segment's sort.
+        t_sorted = k_sorted = None
+    elif stream_cache is not None and "flat_all" in stream_cache:
         fused = _fused_sort()
-    if fused is not None:
+    if sorted_future is not None:
+        pass
+    elif fused is not None:
         t_sorted, k_sorted, fmaxd = fused
         if fmaxd is not None and fmaxd >= (1 << 14):
             raise WindowOverflow(
@@ -708,9 +720,13 @@ def build_window_batch(alignseqs: List[AlignTags], n_pos: int,
         from ..io.native import find_anchors_native
 
         cached_anchors = (stream_cache or {}).pop("anchors", None)
+        if sorted_future is not None and cached_anchors is None:
+            raise AssertionError(
+                "sorted_future requires precomputed anchors in the cache")
         if cached_anchors is not None:
             # precomputed by a segmented lookahead worker off the same
-            # sorted stream + drop mask (pipeline/segmented.py ingest task)
+            # stream + drop mask (sorted or unsorted-runs form — both are
+            # bit-identical; pipeline/segmented.py ingest task)
             anchors, colcnt = cached_anchors
         elif not len(t_sorted):
             anchors = np.zeros(n_pos, dtype=bool)
@@ -745,6 +761,13 @@ def build_window_batch(alignseqs: List[AlignTags], n_pos: int,
         else:
             plan = plan_windows(anchors, n_pos, target)
     nw = len(plan.starts)
+    if on_plan is not None and nw:
+        # the realized plan end (segment cut) is final — a segmented caller
+        # can kick the next segment's scan NOW, before this segment's sort
+        # (below) or aggregation/DP (engine) have finished
+        on_plan(int(plan.ends[-1]))
+    if sorted_future is not None:
+        t_sorted, k_sorted = sorted_future.result()
 
     starts = plan.starts
     ends = plan.ends
